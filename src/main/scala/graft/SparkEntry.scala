@@ -1,13 +1,130 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.GridMeta
+import graft.functions._
+import graft.operators.SpatialJoin
+import graft.sources.{Fixtures, Pages, RasterStack}
+
+/**
+ * Driver contract — every implemented operator from SURVEY.md §2 gets a
+ * `queries` entry; oracle-expressible ones also get a DuckDB SQL twin in
+ * `oracleSql` (bit-exact by construction: every derived column is integer
+ * arithmetic or identical-order IEEE double arithmetic in both engines).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Test grid mirroring the reference nc fixture shape (FIXTURES.md §1). */
+  val G: GridMeta = GridMeta.TestGrid
+  /** Cell resolution for tiling/joins: ~0.088 deg cells at res 12. */
+  val Res = 12
+  /** Tile shape (th x tw) — reference default block_shape analogue (raster.py:140). */
+  val Th = 64; val Tw = 64
+
+  private val TwoPow58 = 288230376151711744L
+  private val TwoPow29 = 536870912L
+
+  /** SQL twin of CellEncode at a fixed res (lon/lat in derivation range, no clamp needed). */
+  private def cellSql(res: Int, lon: String = "lon", lat: String = "lat"): String = {
+    val n = 1L << res
+    s"(${res.toLong * TwoPow58} + CAST(FLOOR(($lon + 180.0) / 360.0 * $n) AS BIGINT) * $TwoPow29" +
+      s" + CAST(FLOOR(($lat + 90.0) / 180.0 * $n) AS BIGINT))"
+  }
+
+  /** Pages derived from documents.parquet with point + grid projection. */
+  private def pages(s: SparkSession, dir: String): DataFrame =
+    Pages.withGrid(Pages.fromDocuments(s, dir), "doc_id", G)
+
+  /** Oracle twin: the same derivation as a SQL subquery over `documents`. */
+  private val pagesSql: String =
+    s"""(SELECT doc_id, text, lang,
+       |  'https://host-' || (doc_id % 97) || '.example/d/' || doc_id AS url,
+       |  ${Pages.lonSql("doc_id")} AS lon, ${Pages.latSql("doc_id")} AS lat
+       | FROM documents)""".stripMargin
+
+  private def gridJoinSql(r: String = "grow", c: String = "gcol"): String =
+    s"(SELECT row, col, ${RasterStack.NcBands.map(b => RasterStack.bandSql("row", "col", b) + s" AS ${b.name}").mkString(", ")} FROM ${RasterStack.gridSql(G)})"
+
+  private val probeSql: String =
+    s"""(SELECT *, ${Pages.rowSql(G)} AS grow, ${Pages.colSql(G)} AS gcol FROM $pagesSql p)"""
+
+  // =====================================================================
+  // Flagship: the full north-rule pipeline — cell encode -> broadcast
+  // R-tree PIP -> tile assignment -> per-(polygon, tile) rollup.
+  // =====================================================================
+  def entry(spark: SparkSession): DataFrame = {
+    val p = SpatialJoin.assign(pages(spark, "/root/testdata/sf0.001"), col("lon"), col("lat"), Fixtures.Polys)
+      .withColumn("cell", cell_encode(col("lon"), col("lat"), Res))
+      .withColumn("tile", when(col("inb"), tile_id(col("grow"), col("gcol"), G, Th, Tw)).otherwise(-1L))
+    p.groupBy("poly_id", "tile")
+      .agg(count(lit(1)).as("n_pages"), countDistinct(col("lang")).as("n_langs"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Cell encoding + tile assignment (north star's batched Catalyst stage).
+    "q01_cell_tile" -> ((s, dir) => {
+      pages(s, dir)
+        .withColumn("cell", cell_encode(col("lon"), col("lat"), Res))
+        .withColumn("tile", when(col("inb"), tile_id(col("grow"), col("gcol"), G, Th, Tw)).otherwise(-1L))
+        .select(col("doc_id"), col("lon"), col("lat"), col("cell"), col("tile"))
+    }),
+
+    // Broadcast R-tree point-in-polygon assignment, last-wins.
+    "q02_pip_assign" -> ((s, dir) => {
+      SpatialJoin.assign(pages(s, dir), col("lon"), col("lat"), Fixtures.Polys)
+        .select(col("doc_id"), col("poly_id").cast("int").as("poly_id"))
+    }),
+
+    // Byte-identity invariant: text untouched through the spatial pipeline.
+    "q03_text_invariant" -> ((s, dir) => {
+      SpatialJoin.assign(pages(s, dir), col("lon"), col("lat"), Fixtures.Polys)
+        .withColumn("cell", cell_encode(col("lon"), col("lat"), Res))
+        .select(col("url"), md5(col("text").cast("binary")).as("text_md5"))
+    }),
+
+    // extract_xy: point-probe left-outer join against the raster stack
+    // (reference raster.py:2300-2391 — out-of-bounds probes yield nulls).
+    "q04_extract_xy" -> ((s, dir) => {
+      val probes = pages(s, dir).select("doc_id", "grow", "gcol")
+      val stack = RasterStack.stack(s, G)
+        .withColumnRenamed("row", "grow").withColumnRenamed("col", "gcol")
+        .drop("x", "y")
+      probes.join(stack, Seq("grow", "gcol"), "left_outer")
+    }),
+
+    // Cover-cells PIP join (the scale path): one row per (page, polygon).
+    "q05_pip_join" -> ((s, dir) => {
+      SpatialJoin.pipJoin(pages(s, dir), "lon", "lat", Fixtures.Polys, Res)
+        .select(col("doc_id"), col("poly_id").cast("int").as("poly_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_cell_tile" ->
+      s"""SELECT doc_id, lon, lat, ${cellSql(Res)} AS cell,
+         | CASE WHEN grow >= 0 AND grow < ${G.height} AND gcol >= 0 AND gcol < ${G.width}
+         |      THEN (grow // $Th) * ${graft.core.Tiles.tilesPerRow(G.width, Tw)} + (gcol // $Tw)
+         |      ELSE -1 END AS tile
+         |FROM $probeSql""".stripMargin,
+
+    "q02_pip_assign" ->
+      s"SELECT doc_id, CAST(${Fixtures.winnerSql()} AS INT) AS poly_id FROM $pagesSql",
+
+    "q03_text_invariant" ->
+      s"SELECT url, md5(text) AS text_md5 FROM $pagesSql",
+
+    "q04_extract_xy" ->
+      s"""SELECT p.doc_id, p.grow, p.gcol, ${RasterStack.NcBands.map(b => s"g.${b.name}").mkString(", ")}
+         |FROM $probeSql p LEFT JOIN ${gridJoinSql()} g
+         |  ON g.row = p.grow AND g.col = p.gcol""".stripMargin,
+
+    "q05_pip_join" ->
+      s"""SELECT p.doc_id, CAST(r.poly_id AS INT) AS poly_id
+         |FROM $pagesSql p JOIN ${Fixtures.rectsValuesSql} r
+         |  ON p.lon > r.xmin AND p.lon < r.xmax AND p.lat > r.ymin AND p.lat < r.ymax""".stripMargin
+  )
 }

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions._
+
+import graft.core.GridMeta
+
+/**
+ * Column-function facade of the engine — the `org.apache.spark.sql.functions`
+ * analogue for spatial/tiling primitives. Everything here returns plain
+ * `Column`s built from codegen-friendly expressions, so queries composed
+ * from these stay inside WholeStageCodegen.
+ */
+package object functions {
+
+  private def col2(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftBridge.column(e)
+  private def expr0(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    GraftBridge.expression(c)
+
+  /**
+   * Integer FLOOR division on long columns (Spark's `Column./` is always
+   * double division; SQL engines' `//` is floor division — this matches
+   * the latter for negatives too).
+   */
+  def fdiv(a: Column, b: Long): Column = {
+    val q = a.cast("long")
+    val r = (q % b + b) % b // nonneg remainder -> (q - r) is an exact multiple of b
+    col2(org.apache.spark.sql.catalyst.expressions.IntegralDivide(expr0(q - r), expr0(lit(b))))
+  }
+
+  /** Hierarchical cell id of (lon, lat) at resolution res — Catalyst-native, codegen'd. */
+  def cell_encode(lon: Column, lat: Column, res: Int): Column =
+    col2(CellEncode(expr0(lon), expr0(lat), expr0(lit(res))))
+
+  /** Ancestor cell at a coarser resolution. */
+  def cell_parent(cell: Column, res: Int): Column =
+    col2(CellParentAt(expr0(cell), expr0(lit(res))))
+
+  /** Array of neighbor cells within Chebyshev distance k (for explode-based expansion). */
+  def cell_disk(cell: Column, k: Int): Column =
+    col2(CellDisk(expr0(cell), expr0(lit(k))))
+
+  /** Page-derived point geometry from a stable 64-bit url hash. */
+  def url_lon(url: Column): Column = col2(UrlLon(expr0(url)))
+  def url_lat(url: Column): Column = col2(UrlLat(expr0(url)))
+
+  // ---------------------------------------------------------------------
+  // Affine grid arithmetic — pure built-in functions (already codegen'd),
+  // floor semantics of rasterio.transform.rowcol (reference raster.py:2351).
+  // North-up fast path avoids the full 2x2 inverse.
+  // ---------------------------------------------------------------------
+
+  /** World x/y -> grid column, FLOOR semantics. */
+  def grid_col(x: Column, y: Column, g: GridMeta): Column =
+    if (g.b == 0.0 && g.d == 0.0) floor((x - lit(g.c)) / lit(g.a)).cast("long")
+    else {
+      val det = g.a * g.e - g.b * g.d
+      floor((lit(g.e) * (x - lit(g.c)) - lit(g.b) * (y - lit(g.f))) / lit(det)).cast("long")
+    }
+
+  /** World x/y -> grid row, FLOOR semantics. */
+  def grid_row(x: Column, y: Column, g: GridMeta): Column =
+    if (g.b == 0.0 && g.d == 0.0) floor((y - lit(g.f)) / lit(g.e)).cast("long")
+    else {
+      val det = g.a * g.e - g.b * g.d
+      floor((lit(-g.d) * (x - lit(g.c)) + lit(g.a) * (y - lit(g.f))) / lit(det)).cast("long")
+    }
+
+  /** Grid (row, col) -> world x/y of the pixel CENTER. */
+  def grid_x(row: Column, col: Column, g: GridMeta): Column =
+    lit(g.a) * (col.cast("double") + lit(0.5)) + lit(g.b) * (row.cast("double") + lit(0.5)) + lit(g.c)
+  def grid_y(row: Column, col: Column, g: GridMeta): Column =
+    lit(g.d) * (col.cast("double") + lit(0.5)) + lit(g.e) * (row.cast("double") + lit(0.5)) + lit(g.f)
+
+  /** In-bounds predicate for a (row, col) pair. */
+  def in_bounds(row: Column, col: Column, g: GridMeta): Column =
+    row >= 0L && row < g.height.toLong && col >= 0L && col < g.width.toLong
+
+  /**
+   * Tile id of pixel (row, col) for (th x tw) tiles, row-major with edge
+   * clipping — the partition unit, Spark analogue of the reference's
+   * block/window generator (reference raster.py:673-698).
+   */
+  def tile_id(row: Column, col: Column, g: GridMeta, th: Int, tw: Int): Column = {
+    val tpr = graft.core.Tiles.tilesPerRow(g.width, tw)
+    fdiv(row, th.toLong) * tpr + fdiv(col, tw.toLong)
+  }
+
+  // ---------------------------------------------------------------------
+  // Mask (validity-set) algebra — np.ma mask ≙ SQL NULL
+  // (reference rasterlayer.py:241-284, SURVEY.md §2.7).
+  // ---------------------------------------------------------------------
+
+  /** `a & b`: keep a where BOTH valid (mask intersection). */
+  def mask_and(a: Column, b: Column): Column =
+    when(a.isNull || b.isNull, lit(null)).otherwise(a)
+
+  /** `a | b`: fill gaps in a with b (mask union). */
+  def mask_or(a: Column, b: Column): Column = coalesce(a, b)
+
+  /** `a ^ b`: valid where exactly one is valid (mask symmetric difference). */
+  def mask_xor(a: Column, b: Column): Column =
+    when(a.isNotNull && b.isNotNull, lit(null)).otherwise(coalesce(a, b))
+
+  // ---------------------------------------------------------------------
+  // Feature generators (reference preprocessing.py / transformers.py).
+  // ---------------------------------------------------------------------
+
+  /** One-hot columns for the given categories (preprocessing.py:10-65). */
+  def one_hot(c: Column, name: String, categories: Seq[Any]): Seq[Column] =
+    categories.map(v =>
+      when(c.isNull, lit(null)).otherwise(when(c === lit(v), 1).otherwise(0))
+        .as(s"${name}_cat_$v"))
+
+  /** Rotated coordinate features x + tan(theta)*y for n angles in [0, 180) (preprocessing.py:114-157). */
+  def rotated_coords(x: Column, y: Column, nAngles: Int): Seq[Column] = {
+    (0 until nAngles).map { i =>
+      val theta = math.Pi * i / nAngles
+      (x + lit(math.tan(theta)) * y).as(s"angle_${i + 1}")
+    }
+  }
+
+  /** Euclidean distance to a fixed reference point (preprocessing.py:207-239, transformers.py:286-355). */
+  def dist_to(x: Column, y: Column, refX: Double, refY: Double): Column =
+    sqrt((x - lit(refX)) * (x - lit(refX)) + (y - lit(refY)) * (y - lit(refY)))
+
+  /** Aspect (degrees) -> easting/northing components (transformers.py:358-429). */
+  def aspect_easting(deg: Column): Column = sin(radians(deg))
+  def aspect_northing(deg: Column): Column = cos(radians(deg))
+  /** Inverse: components -> degrees in [0, 360). */
+  def aspect_degrees(easting: Column, northing: Column): Column =
+    (degrees(atan2(easting, northing)) + lit(360.0)) % lit(360.0)
+
+  // ---------------------------------------------------------------------
+  // Deterministic seeded per-row hash for sampling (SURVEY.md §2.6) —
+  // pure 63-bit-safe integer arithmetic, so the identical formula is
+  // computable by the SQL oracle (no xxhash64 dependence).
+  // ---------------------------------------------------------------------
+  def sample_hash(key: Column, seed: Long): Column = {
+    // Two LCG rounds; every intermediate stays < 2^63 for keys < 2^32,
+    // so engines that ERROR on bigint overflow (the oracle) agree with
+    // Spark's wrap-free result bit-for-bit.
+    val r1 = (key.cast("long") * lit(1103515245L) + lit(seed % 2147483648L)) % lit(2147483648L)
+    (r1 * lit(69069L) + lit(12345L)) % lit(2147483648L)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.PolygonSet
+import graft.functions._
+
+/**
+ * `PipWinner(lon, lat)` — broadcast R-tree point-in-polygon as a native
+ * Catalyst expression: returns the LAST-WINS containing polygon id, or
+ * -1 if none (reference rasterize overwrite semantics,
+ * raster.py:2442-2448). The PolygonSet ships with the serialized plan
+ * (small vector layers only — the scale path for big layers is the
+ * cover-cells equi-join in [[SpatialJoin.pipJoin]]); its R-tree is built
+ * once per executor (@transient lazy in PolygonSet). Codegen'd via a
+ * plan reference object, so the probe side stays in WholeStageCodegen.
+ */
+case class PipWinner(left: Expression, right: Expression, polys: PolygonSet)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pip_winner"
+
+  override def nullSafeEval(lon: Any, lat: Any): Any =
+    polys.winner(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("polySet", polys, classOf[PolygonSet].getName)
+    defineCodeGen(ctx, ev, (lon, lat) => s"$ref.winner($lon, $lat)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `PipContains(lon, lat, polyId)` — exact refine of one candidate pair. */
+case class PipContains(first: Expression, second: Expression, third: Expression,
+                       polys: PolygonSet) extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pip_contains"
+
+  override def nullSafeEval(lon: Any, lat: Any, id: Any): Any =
+    polys.contains(id.asInstanceOf[Int], lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("polySet", polys, classOf[PolygonSet].getName)
+    defineCodeGen(ctx, ev, (lon, lat, id) => s"$ref.contains($id, $lon, $lat)")
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/**
+ * Point-in-polygon joins — the heart of the graft (SURVEY.md §2.3).
+ *
+ * Two physical shapes, chosen by layer size:
+ *  - [[assign]]: zero-shuffle scalar assignment through the broadcast
+ *    R-tree expression (small layers; the `mask`/tile-assignment path);
+ *  - [[pipJoin]]: cover-cells equi-join + exact refine — polygon bboxes
+ *    explode to covering cells at `res`, probes join on their cell id,
+ *    then exact PIP refines. Shuffle-free on the probe side when the
+ *    cover table is broadcast; scales to big layers by letting Spark
+ *    shuffle on cell_id (AQE handles hot-cell skew).
+ */
+object SpatialJoin {
+
+  private def c(e: Expression): Column = GraftBridge.column(e)
+  private def e(col: Column): Expression = GraftBridge.expression(col)
+
+  /** Adds `poly_id` (-1 if outside all) via the broadcast R-tree expression. */
+  def assign(points: DataFrame, lon: Column, lat: Column, polys: PolygonSet,
+             out: String = "poly_id"): DataFrame =
+    points.withColumn(out, c(PipWinner(e(lon), e(lat), polys)))
+
+  /** Boolean containment column (for mask / semi / anti). */
+  def containsAny(lon: Column, lat: Column, polys: PolygonSet): Column =
+    c(PipWinner(e(lon), e(lat), polys)) =!= lit(-1)
+
+  /**
+   * Cover-cells PIP join: returns `points` columns + `poly_id`, one output
+   * row PER (point, containing polygon) pair (inner). `res` trades cover
+   * table size against refine selectivity.
+   */
+  def pipJoin(points: DataFrame, lonCol: String, latCol: String,
+              polys: PolygonSet, res: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cover = polys.coverCells(res).toDF("cell", "poly_id")
+    val probed = points.withColumn("cell", cell_encode(col(lonCol), col(latCol), res))
+    probed.join(broadcast(cover), Seq("cell"))
+      .where(c(PipContains(e(col(lonCol)), e(col(latCol)), e(col("poly_id")), polys)))
+      .drop("cell")
+  }
+
+  /**
+   * Last-wins variant of the cover-cells join (max containing poly_id per
+   * point), matching [[assign]] exactly — used to cross-check the two
+   * physical paths in tests.
+   */
+  def pipJoinLastWins(points: DataFrame, lonCol: String, latCol: String,
+                      polys: PolygonSet, res: Int, keyCols: Seq[String]): DataFrame = {
+    val joined = pipJoin(points, lonCol, latCol, polys, res)
+    joined.groupBy(keyCols.map(col): _*)
+      .agg(max(col("poly_id")).as("poly_id"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.sources
+
+import graft.core.{Polygon, PolygonSet}
+
+/**
+ * Deterministic vector fixtures (FIXTURES.md §2): a small polygon layer
+ * in lon/lat space mirroring the reference's 34-polygon nc fixture in
+ * spirit — overlapping rectangles so the LAST-WINS tie-break is
+ * exercised. Rectangles because the SQL oracle can evaluate containment
+ * exactly; arbitrary polygons are covered by ScalaTest golden suites.
+ *
+ * Edge values are deliberately "generic" decimals: no hash-derived point
+ * coordinate can land exactly on an edge, so open-vs-closed boundary
+ * conventions cannot cause Spark/oracle divergence.
+ */
+object Fixtures {
+
+  final case class Rect(id: Int, xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                        label: String)
+
+  val Rects: IndexedSeq[Rect] = IndexedSeq(
+    Rect(0, -110.3, -50.7, -60.1, -10.3, "forest"),
+    Rect(1, -70.9, -30.2, -20.3, 20.7, "water"),   // overlaps 0 and 2
+    Rect(2, -30.1, -10.9, 30.3, 40.1, "urban"),
+    Rect(3, 10.7, -55.3, 70.9, 5.1, "crop"),       // overlaps 2
+    Rect(4, 50.3, 0.7, 110.1, 50.9, "barren"),     // overlaps 3
+    Rect(5, -15.9, 42.3, 55.7, 58.1, "snow"),
+    Rect(6, 80.3, -58.7, 118.9, -20.1, "shrub"),
+    Rect(7, -118.7, 25.3, -75.1, 57.9, "wetland"))
+
+  val Polys: PolygonSet = PolygonSet(
+    Rects.map(r => Polygon.rect(r.id, r.xmin, r.ymin, r.xmax, r.ymax)))
+
+  /** Strict-interior SQL containment for rect `r` on columns (lon, lat). */
+  def rectSql(r: Rect, lon: String = "lon", lat: String = "lat"): String =
+    s"($lon > ${r.xmin} AND $lon < ${r.xmax} AND $lat > ${r.ymin} AND $lat < ${r.ymax})"
+
+  /** SQL for the last-wins containing polygon id (-1 if none). */
+  def winnerSql(lon: String = "lon", lat: String = "lat"): String =
+    Rects.map(r => s"CASE WHEN ${rectSql(r, lon, lat)} THEN ${r.id} ELSE -1 END")
+      .mkString("GREATEST(", ", ", ")")
+
+  /** Inline VALUES relation of the rect layer for join-shaped oracles. */
+  def rectsValuesSql: String =
+    Rects.map(r => s"(${r.id}, ${r.xmin}, ${r.ymin}, ${r.xmax}, ${r.ymax}, '${r.label}')")
+      .mkString(
+        "(SELECT * FROM (VALUES ",
+        ", ",
+        ") AS t(poly_id, xmin, ymin, xmax, ymax, label))")
+}

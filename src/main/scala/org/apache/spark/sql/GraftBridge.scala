@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Bridge into Spark's `private[sql]` Column <-> Expression conversion
+ * (Spark 4 Columns are ColumnNode-backed; `classic.ExpressionUtils` is
+ * the supported internal conversion — public-bytecode, sql-private in
+ * Scala). Pattern per public usage in Spark-extension projects.
+ */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

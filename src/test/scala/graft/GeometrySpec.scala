@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+class GeometrySpec extends AnyFunSuite {
+
+  val rect = Polygon.rect(0, 0.0, 0.0, 10.0, 5.0)
+  val concave = Polygon(1, Array((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (5.0, 5.0), (0.0, 10.0)))
+  val withHole = Polygon(2, Array((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)),
+    Array(Array((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0))))
+
+  test("rect containment") {
+    assert(rect.contains(5.0, 2.5))
+    assert(!rect.contains(-0.1, 2.5))
+    assert(!rect.contains(5.0, 5.1))
+  }
+
+  test("concave polygon: notch is outside") {
+    assert(concave.contains(1.0, 1.0))
+    assert(concave.contains(5.0, 4.0))   // below the notch
+    assert(!concave.contains(5.0, 8.0))  // inside the notch
+  }
+
+  test("hole subtracts") {
+    assert(withHole.contains(2.0, 2.0))
+    assert(!withHole.contains(5.0, 5.0)) // in the hole
+  }
+
+  test("PolygonSet winner = last (max id) containing polygon — rasterize overwrite semantics") {
+    val set = PolygonSet(IndexedSeq(
+      Polygon.rect(0, 0, 0, 10, 10), Polygon.rect(1, 5, 5, 15, 15)))
+    assert(set.winner(2, 2) === 0)
+    assert(set.winner(7, 7) === 1)   // overlap -> later wins (raster.py:2442-2448)
+    assert(set.winner(12, 12) === 1)
+    assert(set.winner(20, 20) === -1)
+  }
+
+  test("R-tree query agrees with brute force on random points") {
+    val polys = (0 until 40).map { i =>
+      val x = (i % 8) * 40.0 - 160.0 + (i % 3) * 2.1
+      val y = (i / 8) * 25.0 - 60.0 + (i % 5) * 1.3
+      Polygon.rect(i, x, y, x + 30.7, y + 18.9)
+    }
+    val set = PolygonSet(polys.toIndexedSeq)
+    val r0 = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val x = r0.nextDouble() * 360.0 - 180.0
+      val y = r0.nextDouble() * 180.0 - 90.0
+      val brute = polys.filter(_.contains(x, y)).map(_.id).sorted
+      assert(set.containingIds(x, y).toSeq === brute)
+    }
+  }
+
+  test("coverCells covers every interior point of each polygon") {
+    val set = PolygonSet(IndexedSeq(Polygon.rect(0, -10.3, -5.7, 20.1, 15.9)))
+    val cover = set.coverCells(8).map(_._1).toSet
+    val r0 = new scala.util.Random(11)
+    (1 to 1000).foreach { _ =>
+      val x = -10.3 + r0.nextDouble() * (20.1 - -10.3)
+      val y = -5.7 + r0.nextDouble() * (15.9 - -5.7)
+      assert(cover.contains(CellIndex.encode(x, y, 8)))
+    }
+  }
+
+  test("PolygonSet survives java serialization (plan shipping) and still answers") {
+    val set = PolygonSet(IndexedSeq(Polygon.rect(0, 0, 0, 10, 10)))
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(set)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)).readObject().asInstanceOf[PolygonSet]
+    assert(back.winner(5, 5) === 0)
+    assert(back.winner(50, 50) === -1)
+  }
+}

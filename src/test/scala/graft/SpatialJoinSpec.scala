@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{CellIndex, Polygon, PolygonSet, StablePoint}
+import graft.functions._
+import graft.operators.SpatialJoin
+import graft.sources.{Fixtures, Pages}
+
+class SpatialJoinSpec extends AnyFunSuite with SparkSpec {
+
+  lazy val pages = Pages.withGrid(Pages.fromDocuments(spark, sf("")), "doc_id", SparkEntry.G).cache()
+
+  test("broadcast R-tree assign matches driver-side scalar evaluation") {
+    val got = SpatialJoin.assign(pages, col("lon"), col("lat"), Fixtures.Polys)
+      .select("doc_id", "poly_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (id, pid) =>
+      val (lon, lat) = (StablePoint.lonFromId(id), StablePoint.latFromId(id))
+      assert(pid === Fixtures.Polys.winner(lon, lat), s"doc $id")
+    }
+    assert(got.values.toSet.size > 2, "fixture should hit several polygons")
+  }
+
+  test("cover-cells pipJoin (last-wins) ≡ broadcast R-tree assign — two physical paths, one answer") {
+    val a = SpatialJoin.assign(pages, col("lon"), col("lat"), Fixtures.Polys)
+      .where(col("poly_id") =!= -1).select("doc_id", "poly_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = SpatialJoin.pipJoinLastWins(pages, "lon", "lat", Fixtures.Polys, SparkEntry.Res, Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a === b)
+  }
+
+  test("pipJoin with concave polygons matches scalar reference") {
+    val tri = Polygon(0, Array((-50.0, -20.0), (10.0, -20.0), (-20.0, 40.0)))
+    val concave = Polygon(1, Array((20.0, -30.0), (80.0, -30.0), (80.0, 30.0), (50.0, 0.0), (20.0, 30.0)))
+    val set = PolygonSet(IndexedSeq(tri, concave))
+    val got = SpatialJoin.pipJoin(pages, "lon", "lat", set, 8)
+      .select("doc_id", "poly_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val exp = pages.select("doc_id", "lon", "lat").collect().flatMap { r =>
+      set.containingIds(r.getDouble(1), r.getDouble(2)).map(pid => (r.getLong(0), pid))
+    }.toSet
+    assert(got === exp)
+    assert(exp.nonEmpty)
+  }
+
+  test("cell_encode expression ≡ CellIndex.encode (codegen path)") {
+    val got = pages.select(col("lon"), col("lat"), cell_encode(col("lon"), col("lat"), 12))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === CellIndex.encode(r.getDouble(0), r.getDouble(1), 12))
+    }
+  }
+
+  test("url_lon/url_lat expressions ≡ StablePoint.fromUrl") {
+    val got = pages.select(col("url"), url_lon(col("url")), url_lat(col("url"))).collect()
+    got.foreach { r =>
+      val (lon, lat) = StablePoint.fromUrl(r.getString(0))
+      assert(r.getDouble(1) === lon && r.getDouble(2) === lat)
+    }
+  }
+
+  test("cell_disk explode yields gridDisk") {
+    val row = pages.select(explode(cell_disk(cell_encode(col("lon"), col("lat"), 10), 1)))
+      .limit(9).collect()
+    assert(row.length === 9)
+  }
+
+  test("flagship entry() returns rows and preserves text bytes through the pipeline") {
+    val out = SparkEntry.entry(spark)
+    assert(out.count() > 0)
+    // byte-identity invariant: text md5 unchanged vs raw documents read
+    val raw = spark.read.parquet(s"${sf("")}/documents.parquet")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("m"))
+    val piped = SpatialJoin.assign(
+        Pages.withGrid(Pages.fromDocuments(spark, sf("")), "doc_id", SparkEntry.G),
+        col("lon"), col("lat"), Fixtures.Polys)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("m2"))
+    assert(raw.join(piped, "doc_id").where(col("m") =!= col("m2")).count() === 0)
+  }
+}
