@@ -62,7 +62,10 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_pages"), countDistinct(col("lang")).as("n_langs"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++
+    graft.queries.StackQueries.queries
+
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Cell encoding + tile assignment (north star's batched Catalyst stage).
     "q01_cell_tile" -> ((s, dir) => {
@@ -97,7 +100,8 @@ object SparkEntry {
 
     // Cover-cells PIP join (the scale path): one row per (page, polygon).
     "q05_pip_join" -> ((s, dir) => {
-      SpatialJoin.pipJoin(pages(s, dir), "lon", "lat", Fixtures.Polys, Res)
+      SpatialJoin.pipJoin(pages(s, dir), "lon", "lat", Fixtures.Polys,
+        SpatialJoin.chooseCoverRes(Fixtures.Polys))
         .select(col("doc_id"), col("poly_id").cast("int").as("poly_id"))
     })
   )
@@ -126,5 +130,5 @@ object SparkEntry {
       s"""SELECT p.doc_id, CAST(r.poly_id AS INT) AS poly_id
          |FROM $pagesSql p JOIN ${Fixtures.rectsValuesSql} r
          |  ON p.lon > r.xmin AND p.lon < r.xmax AND p.lat > r.ymin AND p.lat < r.ymax""".stripMargin
-  )
+  ) ++ graft.queries.StackQueries.oracles
 }

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GridMeta, PolygonSet}
+import graft.functions._
+
+/**
+ * Extraction joins (the #1 reference workflow, SURVEY.md §2.3).
+ */
+object Extract {
+
+  /**
+   * extract_xy / extract_vector(points): probe coordinates -> (row, col)
+   * by inverse affine with floor semantics, LEFT-OUTER join against the
+   * stack — out-of-bounds probes yield null layers, duplicate probes
+   * (two points in one pixel) are preserved, probe identity (
+   * `geometry_idx`) is carried (reference raster.py:2300-2391,
+   * extract_by_chunk raster.py:2510-2530). Spark's hash join replaces
+   * the reference's hand-rolled block-partitioned chunk loop.
+   */
+  def xy(stack: Stack, probes: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val p = probes
+      .withColumn("row", grid_row(col(xCol), col(yCol), stack.meta))
+      .withColumn("col", grid_col(col(xCol), col(yCol), stack.meta))
+    p.join(stack.df, Seq("row", "col"), "left_outer")
+  }
+
+  /**
+   * extract_raster: labelled-pixel raster (aligned grid) INNER equi-join
+   * on (row, col) (reference raster.py:2474-2508). With tile/cell
+   * bucketed storage both sides are co-partitioned — shuffle-free.
+   */
+  def raster(stack: Stack, labels: DataFrame): DataFrame =
+    labels.where(col("value").isNotNull).join(stack.df, Seq("row", "col"))
+
+  /**
+   * extract_vector(polygons/lines): rasterize-then-join (reference
+   * raster.py:2435-2455) — geometries burn onto the grid (pixel-CENTER
+   * rule for fills, supercover `all_touched` for boundaries), overlap
+   * tie-break LAST-GEOMETRY-WINS, then an inner join gathers the layer
+   * values. Output carries (row, col, poly_id, layers...).
+   */
+  def vector(stack: Stack, polys: PolygonSet, allTouched: Boolean = false): DataFrame =
+    Rasterize(stack.df.sparkSession, polys, stack.meta, allTouched).join(stack.df, Seq("row", "col"))
+}
+
+/**
+ * Distributed rasterization — the engine's replacement for
+ * `rasterio.features.rasterize` (reference raster.py:2442-2448):
+ * one task per polygon (layers are small relative to pixels; the pixel
+ * side never materializes globally), scanline fill in O(rows x vertices),
+ * Amanatides-Woo supercover for boundaries when `allTouched`.
+ * Last-wins = max(poly_id) per pixel, matching rasterize burn order.
+ */
+object Rasterize {
+
+  def apply(spark: SparkSession, polys: PolygonSet, meta: GridMeta,
+            allTouched: Boolean): DataFrame = {
+    import spark.implicits._
+    require(meta.b == 0.0 && meta.d == 0.0, "rasterize requires a north-up grid")
+    val ids = spark.createDataset(polys.polys.map(_.id))
+      .repartition(math.min(polys.polys.size, 32))
+    val burned = ids.flatMap { id =>
+      val p = polys.polys.find(_.id == id).get
+      val fill = scanlineFill(p, meta)
+      val touched = if (allTouched) boundary(p, meta) else Iterator.empty
+      (fill ++ touched).map { case (r, c) => (r, c, id) }
+    }.toDF("row", "col", "poly_id")
+    burned.groupBy("row", "col").agg(max(col("poly_id")).as("poly_id"))
+  }
+
+  /** Pixels whose CENTER is inside the polygon (even-odd over all rings). */
+  private[operators] def scanlineFill(p: graft.core.Polygon, meta: GridMeta)
+      : Iterator[(Long, Long)] = {
+    val (bx0, by0, bx1, by1) = p.bbox
+    val r0 = math.max(meta.row(bx0, by1), 0L)
+    val r1 = math.min(meta.row(bx1, by0), meta.height - 1L)
+    (r0 to r1).iterator.flatMap { r =>
+      val yc = meta.y(r, 0)
+      // x-intersections of all ring edges with the horizontal line y = yc,
+      // half-open vertex rule (y_i <= y < y_j) for consistent even-odd parity
+      val xs = p.rings.flatMap { ring =>
+        var acc = List.empty[Double]
+        var i = 0
+        var j = ring.length - 1
+        while (i < ring.length) {
+          val (xi, yi) = ring(i); val (xj, yj) = ring(j)
+          if ((yi > yc) != (yj > yc)) acc ::= (xj - xi) * (yc - yi) / (yj - yi) + xi
+          j = i; i += 1
+        }
+        acc
+      }.toArray.sorted
+      // fill between pairs: centers with xlo < xc < xhi
+      xs.grouped(2).withFilter(_.length == 2).flatMap { case Array(xlo, xhi) =>
+        // first col whose center > xlo ... last col whose center < xhi
+        val cLo = math.max(math.ceil((xlo - meta.c) / meta.a - 0.5).toLong, 0L)
+        val cHi = math.min(math.floor((xhi - meta.c) / meta.a - 0.5 - 1e-12).toLong, meta.width - 1L)
+        (cLo to cHi).iterator.collect {
+          case c if {
+            val xc = meta.x(r, c)
+            xc > xlo && xc < xhi // exact guard against ceil/floor edge rounding
+          } => (r, c)
+        }
+      }
+    }
+  }
+
+  /** Supercover (all-touched) pixels of the polygon boundary — Amanatides-Woo. */
+  private[operators] def boundary(p: graft.core.Polygon, meta: GridMeta)
+      : Iterator[(Long, Long)] =
+    p.rings.flatMap { ring =>
+      ring.indices.iterator.flatMap { i =>
+        val (x0, y0) = ring(i)
+        val (x1, y1) = ring((i + 1) % ring.length)
+        segment(x0, y0, x1, y1, meta)
+      }
+    }
+
+  /** All in-bounds pixels a segment touches (grid traversal). */
+  private[operators] def segment(x0: Double, y0: Double, x1: Double, y1: Double,
+                                 meta: GridMeta): Iterator[(Long, Long)] = {
+    // continuous grid coordinates (col-space gx, row-space gy)
+    val gx0 = (x0 - meta.c) / meta.a; val gy0 = (y0 - meta.f) / meta.e
+    val gx1 = (x1 - meta.c) / meta.a; val gy1 = (y1 - meta.f) / meta.e
+    var cx = math.floor(gx0).toLong; var cy = math.floor(gy0).toLong
+    val ex = math.floor(gx1).toLong; val ey = math.floor(gy1).toLong
+    val dx = gx1 - gx0; val dy = gy1 - gy0
+    val stepX = if (dx > 0) 1L else if (dx < 0) -1L else 0L
+    val stepY = if (dy > 0) 1L else if (dy < 0) -1L else 0L
+    var tMaxX = if (stepX == 0) Double.PositiveInfinity
+      else ((if (stepX > 0) cx + 1 else cx).toDouble - gx0) / dx
+    var tMaxY = if (stepY == 0) Double.PositiveInfinity
+      else ((if (stepY > 0) cy + 1 else cy).toDouble - gy0) / dy
+    val tDeltaX = if (stepX == 0) Double.PositiveInfinity else math.abs(1.0 / dx)
+    val tDeltaY = if (stepY == 0) Double.PositiveInfinity else math.abs(1.0 / dy)
+    val out = Vector.newBuilder[(Long, Long)]
+    val maxSteps = math.abs(ex - cx) + math.abs(ey - cy) + 2
+    var steps = 0L
+    var continue = true
+    while (continue) {
+      out += ((cy, cx)) // (row, col)
+      if ((cx == ex && cy == ey) || steps > maxSteps) continue = false
+      else if (tMaxX < tMaxY) { cx += stepX; tMaxX += tDeltaX }
+      else { cy += stepY; tMaxY += tDeltaY }
+      steps += 1
+    }
+    out.result().iterator.filter { case (r, c) =>
+      r >= 0 && r < meta.height && c >= 0 && c < meta.width
+    }
+  }
+}

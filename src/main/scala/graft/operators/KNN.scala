@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.CellIndex
+import graft.functions._
+
+/**
+ * Exact k-nearest-neighbor join with the north star's two-stage
+ * cell-neighbor expansion (reference KNNTransformer,
+ * transformers.py:10-283):
+ *
+ *  stage 1 — probes explode their 3x3 cell disk at `res` and equi-join
+ *  training points on cell id (shuffle on cell id; broadcast if train is
+ *  small). Per probe, rank candidates by (dist, trainId).
+ *
+ *  stage 2 — a probe's top-k is EXACT iff its kth distance fits inside
+ *  the disk's planar safety margin (distance from the probe to the disk
+ *  edge). The (typically tiny) remainder re-runs against the full
+ *  training set (broadcast nested-loop), guaranteeing exactness.
+ *
+ * Metric: planar Euclidean on (lon, lat) — matches the reference's
+ * minkowski(p=2) on projected coordinates. Ranking ties break by
+ * trainId, making results deterministic and oracle-reproducible.
+ */
+object KNN {
+
+  /**
+   * Returns one row per (probe, neighbor): probe columns + `__rank`,
+   * `__dist`, and all train columns. Exact top-k per probe.
+   */
+  def join(probes: DataFrame, probeId: String, pLon: String, pLat: String,
+           train: DataFrame, tLon: String, tLat: String, tId: String,
+           k: Int, res: Int): DataFrame = {
+    val cw = CellIndex.cellWidthDeg(res)
+    val ch = CellIndex.cellHeightDeg(res)
+
+    val t = train.withColumn("__tcell", cell_encode(col(tLon), col(tLat), res))
+    val p = probes
+      .withColumn("__cell", cell_encode(col(pLon), col(pLat), res))
+      .withColumn("__tcell", explode(cell_disk(col("__cell"), 1)))
+
+    val dist = sqrt(
+      (col(pLon) - col(tLon)) * (col(pLon) - col(tLon)) +
+      (col(pLat) - col(tLat)) * (col(pLat) - col(tLat)))
+
+    val cand = p.join(t, Seq("__tcell")).withColumn("__dist", dist)
+    val w = Window.partitionBy(col(probeId)).orderBy(col("__dist"), col(tId))
+    val ranked = cand
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(probeId))))
+      .where(col("__rank") <= k)
+
+    // planar distance from the probe to the edge of its 3x3 disk: the
+    // disk spans [ (ix-1)*cw, (ix+2)*cw ) x [ (iy-1)*ch, (iy+2)*ch )
+    val ix = fdiv(floor((col(pLon) + 180.0) / cw), 1L) // floor as long
+    val iy = fdiv(floor((col(pLat) + 90.0) / ch), 1L)
+    val lonIn = col(pLon) + 180.0
+    val latIn = col(pLat) + 90.0
+    val n = 1L << res
+    val margin = least(
+      when(ix - 1 < 0, lit(Double.PositiveInfinity)).otherwise(lonIn - (ix - 1).cast("double") * cw),
+      when(ix + 2 > n, lit(Double.PositiveInfinity)).otherwise((ix + 2).cast("double") * cw - lonIn),
+      when(iy - 1 < 0, lit(Double.PositiveInfinity)).otherwise(latIn - (iy - 1).cast("double") * ch),
+      when(iy + 2 > n, lit(Double.PositiveInfinity)).otherwise((iy + 2).cast("double") * ch - latIn))
+
+    val kth = Window.partitionBy(col(probeId))
+    val marked = ranked
+      .withColumn("__kth", max(col("__dist")).over(kth))
+      .withColumn("__safe", col("__n") >= k && col("__kth") <= margin)
+
+    val safeRows = marked.where(col("__safe"))
+      .drop("__tcell", "__cell", "__n", "__kth", "__safe")
+
+    // stage 2: unresolved probes -> exact brute force vs broadcast train
+    val unsafeProbes = probes.join(
+      marked.where(!col("__safe")).select(col(probeId)).distinct()
+        .union(probes.select(col(probeId))
+          .except(marked.select(col(probeId)).distinct())), // probes with ZERO stage-1 candidates
+      Seq(probeId), "left_semi")
+
+    val brute = unsafeProbes.crossJoin(broadcast(t.drop("__tcell")))
+      .withColumn("__dist", dist)
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+
+    safeRows.unionByName(brute)
+  }
+
+  /**
+   * Feature aggregation over the k neighbors (transformers.py:182-283):
+   * weighted mean of `yCol` — uniform or inverse-distance weights; any
+   * ZERO-distance neighbor short-circuits to the average of the
+   * coincident neighbors (sklearn/reference semantics).
+   */
+  def meanFeature(knn: DataFrame, probeId: String, yCol: String,
+                  weighting: String = "distance", out: String = "knn_y"): DataFrame = {
+    val grouped = knn.groupBy(col(probeId))
+    weighting match {
+      case "uniform" => grouped.agg(avg(col(yCol)).as(out))
+      case "distance" =>
+        grouped.agg(
+          (sum(when(col("__dist") === 0.0, col(yCol)))).as("__zsum"),
+          count(when(col("__dist") === 0.0, 1)).as("__zn"),
+          sum(col(yCol) / col("__dist")).as("__wsum"),
+          sum(lit(1.0) / col("__dist")).as("__wtot"))
+          .withColumn(out,
+            when(col("__zn") > 0, col("__zsum") / col("__zn"))
+              .otherwise(col("__wsum") / col("__wtot")))
+          .drop("__zsum", "__zn", "__wsum", "__wtot")
+    }
+  }
+
+  /**
+   * Weighted MODE of a categorical `yCol` over the k neighbors; ties
+   * break toward the smallest category (scipy.stats.mode semantics the
+   * reference inherits).
+   */
+  def modeFeature(knn: DataFrame, probeId: String, yCol: String,
+                  weighting: String = "uniform", out: String = "knn_y"): DataFrame = {
+    val wcol = weighting match {
+      case "uniform" => lit(1.0)
+      case "distance" => when(col("__dist") === 0.0, lit(1e18)).otherwise(lit(1.0) / col("__dist"))
+    }
+    val votes = knn.groupBy(col(probeId), col(yCol)).agg(sum(wcol).as("__votes"))
+    val w = Window.partitionBy(col(probeId)).orderBy(col("__votes").desc, col(yCol).asc)
+    votes.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col(probeId), col(yCol).as(out))
+  }
+
+  /**
+   * GeoDistTransformer (transformers.py:286-355): distance columns from
+   * each row to m reference points (tiny broadcast refs folded into
+   * literal columns), optional log.
+   */
+  def geoDist(df: DataFrame, xCol: String, yCol: String,
+              refs: Seq[(Double, Double)], log: Boolean = false): DataFrame =
+    refs.zipWithIndex.foldLeft(df) { case (d, ((rx, ry), i)) =>
+      val dist = dist_to(col(xCol), col(yCol), rx, ry)
+      d.withColumn(s"geodist_$i", if (log) org.apache.spark.sql.functions.log(dist) else dist)
+    }
+}

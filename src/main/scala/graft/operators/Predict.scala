@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Batch scoring (reference raster.py:845-1218, kernels _prediction.py):
+ * a pluggable `Predictor` scored over the feature layers with the
+ * reference's masking rule — OUTPUT NULL WHERE ANY INPUT FEATURE IS NULL
+ * (_prediction.py:101-112) — and `constants` semantics (append constant
+ * features, or override named features, error on unknown key —
+ * _prediction.py:5-58).
+ *
+ * Physical shapes:
+ *  - models exposing a Column expression ([[ColumnPredictor]]) score
+ *    inside WholeStageCodegen — zero serialization (the common case:
+ *    linear/tree-lite models compile to expressions);
+ *  - black-box models score via a vectorized-per-row Scala UDF over an
+ *    array of features (the Spark analogue of the reference's
+ *    block-flattened `estimator.predict` batches).
+ * Either way the masking rule is applied OUTSIDE the model, exactly like
+ * the reference re-masks after scoring.
+ */
+object Predict {
+
+  /** Black-box row scorer. */
+  trait Predictor extends Serializable {
+    def predict(features: Array[Double]): Double
+  }
+
+  /** Multi-class scorer (reference predict_proba, raster.py:845-1025). */
+  trait ProbPredictor extends Serializable {
+    def numClasses: Int
+    def predictProba(features: Array[Double]): Array[Double]
+  }
+
+  /** Models that can compile themselves to a Catalyst expression. */
+  trait ColumnPredictor extends Predictor {
+    def column(features: Seq[Column]): Column
+  }
+
+  /**
+   * Deterministic linear model — the test fixture (FIXTURES.md: frozen
+   * weights, no sklearn). Accumulates left-to-right so the SQL oracle's
+   * `((0 + w1*x1) + w2*x2) ... + bias` reproduces it bit-for-bit.
+   */
+  final case class LinearModel(weights: Array[Double], bias: Double)
+      extends ColumnPredictor {
+    override def predict(x: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < weights.length) { acc += weights(i) * x(i); i += 1 }
+      acc + bias
+    }
+    override def column(features: Seq[Column]): Column =
+      weights.zip(features).foldLeft(lit(0.0)) { case (acc, (w, f)) => acc + lit(w) * f } + lit(bias)
+  }
+
+  /**
+   * Rational squashing classifier: p1 = 0.5 + z/(2*(1+|z|)) — a
+   * sigmoid-shaped link using only +,*,/,abs so both engines produce
+   * identical IEEE doubles (no libm). 2 classes: (1-p1, p1).
+   */
+  final case class SquashModel(lin: LinearModel) extends ProbPredictor {
+    override def numClasses: Int = 2
+    override def predictProba(x: Array[Double]): Array[Double] = {
+      val z = lin.predict(x)
+      val p1 = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+      Array(1.0 - p1, p1)
+    }
+  }
+
+  /** `constants` semantics (_prediction.py:5-58). */
+  def applyConstants(features: Seq[String], constantsList: Seq[Double] = Nil,
+                     constantsMap: Map[String, Double] = Map.empty)
+      : (Seq[String], Seq[Column]) = {
+    constantsMap.keys.foreach { k =>
+      require(features.contains(k), s"constants key '$k' is not a feature (=_prediction.py:39-46)")
+    }
+    val base = features.map(n => constantsMap.get(n).map(v => lit(v)).getOrElse(col(n)))
+    val extraNames = constantsList.zipWithIndex.map { case (_, i) => s"const_$i" }
+    (features ++ extraNames, base ++ constantsList.map(lit))
+  }
+
+  private def anyNull(cols: Seq[Column]): Column = cols.map(_.isNull).reduce(_ || _)
+
+  /**
+   * predict(): one output layer `pred_raw_0` (naming: raster.py:1209-1211),
+   * null where any input null.
+   */
+  def predict(df: DataFrame, features: Seq[String], model: Predictor,
+              constantsList: Seq[Double] = Nil,
+              constantsMap: Map[String, Double] = Map.empty): DataFrame = {
+    val (_, cols) = applyConstants(features, constantsList, constantsMap)
+    val scored = model match {
+      case m: ColumnPredictor => m.column(cols)
+      case m =>
+        val u = udf((xs: Seq[Double]) => m.predict(xs.toArray))
+        u(array(cols.map(c => coalesce(c, lit(0.0))): _*)) // masked inputs fill 0 like the reference (_prediction.py:94-104)
+    }
+    df.withColumn("pred_raw_0", when(anyNull(cols), lit(null)).otherwise(scored).cast("double"))
+  }
+
+  /** predict_proba(): k probability layers `prob_0..k-1` (raster.py:1015-1025). */
+  def predictProba(df: DataFrame, features: Seq[String], model: ProbPredictor,
+                   indexes: Seq[Int] = Nil): DataFrame = {
+    val (_, cols) = applyConstants(features)
+    val u = udf((xs: Seq[Double]) => m2(model, xs))
+    val withArr = df.withColumn("__p", when(anyNull(cols), lit(null))
+      .otherwise(u(array(cols.map(c => coalesce(c, lit(0.0))): _*))))
+    val classes = if (indexes.nonEmpty) indexes else 0 until model.numClasses
+    classes.foldLeft(withArr) { (d, i) =>
+      d.withColumn(s"prob_$i", element_at(col("__p"), i + 1))
+    }.drop("__p")
+  }
+  private def m2(model: ProbPredictor, xs: Seq[Double]): Seq[Double] =
+    model.predictProba(xs.toArray).toSeq
+
+  /**
+   * apply(fn): arbitrary per-pixel function of the layers -> n output
+   * columns (reference Raster.apply, raster.py:1981-2102). Spark-first:
+   * outputs are DECLARED (name -> Column), not probed from a test block —
+   * the codegen-friendly analogue of the reference's schema-probing.
+   */
+  def applyColumns(df: DataFrame, outputs: Seq[(String, Column)], maskOn: Seq[String]): DataFrame = {
+    val m = anyNull(maskOn.map(col))
+    outputs.foldLeft(df) { case (d, (n, c)) =>
+      d.withColumn(n, when(m, lit(null)).otherwise(c).cast("double"))
+    }
+  }
+}

@@ -82,9 +82,26 @@ object SpatialJoin {
     c(PipWinner(e(lon), e(lat), polys)) =!= lit(-1)
 
   /**
+   * Pick a cover resolution so each polygon explodes to at most
+   * ~`targetCellsPerPoly` covering cells — finer wastes broadcast size
+   * and driver time, coarser wastes refine work. O(polys) driver-side.
+   */
+  def chooseCoverRes(polys: PolygonSet, targetCellsPerPoly: Int = 256): Int = {
+    (graft.core.CellIndex.MaxRes to 0 by -1).find { res =>
+      polys.polys.forall { p =>
+        val (x0, y0, x1, y1) = p.bbox
+        val cw = graft.core.CellIndex.cellWidthDeg(res)
+        val ch = graft.core.CellIndex.cellHeightDeg(res)
+        ((x1 - x0) / cw + 1) * ((y1 - y0) / ch + 1) <= targetCellsPerPoly
+      }
+    }.getOrElse(0)
+  }
+
+  /**
    * Cover-cells PIP join: returns `points` columns + `poly_id`, one output
    * row PER (point, containing polygon) pair (inner). `res` trades cover
-   * table size against refine selectivity.
+   * table size against refine selectivity; use [[chooseCoverRes]] unless
+   * you have layout reasons to pin it.
    */
   def pipJoin(points: DataFrame, lonCol: String, latCol: String,
               polys: PolygonSet, res: Int): DataFrame = {

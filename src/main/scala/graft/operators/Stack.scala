@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GridMeta, PolygonSet}
+import graft.functions._
+
+/**
+ * The Raster-stack analogue (SURVEY.md §1.4): a wide DataFrame of pixels
+ * `(row, col, layer...)` plus broadcast grid metadata. Immutable — every
+ * operator returns a new Stack. Layer values are nullable DoubleType;
+ * NULL ≙ the reference's numpy mask.
+ *
+ * Scale notes: all operators below are projections/filters (no shuffle)
+ * except `aggregate` (hash agg on derived block keys) and the extraction
+ * joins in [[Extract]]. Filters on row/col/tile prune partitions when
+ * the pixel table is stored partitioned/sorted by tile or cell id.
+ */
+final case class Stack(df: DataFrame, meta: GridMeta, layers: Seq[String]) {
+
+  private def L(name: String): Column = col(name)
+  private def keyCols = Seq(col("row"), col("col"))
+
+  // --- projections (reference locindexer.py, raster.py:1220-1344) -------
+
+  /** Label subsetting: `loc[[names]]` (locindexer.py:16-42). */
+  def select(names: Seq[String]): Stack = {
+    require(names.forall(layers.contains), s"unknown layers ${names.filterNot(layers.contains)}")
+    Stack(df.select((Seq("row", "col") ++ names).map(col): _*), meta, names)
+  }
+
+  /** Positional subsetting: `iloc` (locindexer.py:212-239). */
+  def iloc(idx: Seq[Int]): Stack = select(idx.map(layers))
+
+  /** drop(labels) (raster.py:1267-1316). */
+  def drop(names: Seq[String]): Stack = {
+    require(names.forall(layers.contains), s"unknown layers ${names.filterNot(layers.contains)}")
+    val keep = layers.filterNot(names.contains)
+    Stack(df.drop(names: _*), meta, keep)
+  }
+
+  /** rename (raster.py:1318-1344); new names are sanitized. */
+  def rename(mapping: Map[String, String]): Stack = {
+    val newLayers = layers.map(n => Naming.sanitize(mapping.getOrElse(n, n)))
+    val newDf = mapping.foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, Naming.sanitize(n)) }
+    Stack(newDf, meta, newLayers)
+  }
+
+  /**
+   * append(other): width-wise concat of aligned stacks — an equi-join on
+   * (row, col) since the grids are aligned (raster.py:1220-1265); names
+   * deduplicated with _1.._n suffixes. At scale: both sides share the
+   * same layout, so with tile/cell-bucketed storage this is a
+   * co-partitioned (shuffle-free) join.
+   */
+  def append(other: Stack): Stack = {
+    require(other.meta.width == meta.width && other.meta.height == meta.height,
+      "append requires aligned grids (raster.py:481-516)")
+    val all = Naming.fix(layers ++ other.layers)
+    val mine = layers.zip(all.take(layers.size))
+    val theirs = other.layers.zip(all.drop(layers.size))
+    val lhs = mine.foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+    val rhs = theirs.foldLeft(other.df.select((Seq("row", "col") ++ other.layers).map(col): _*)) {
+      case (d, (o, n)) => d.withColumnRenamed(o, n)
+    }
+    Stack(lhs.join(rhs, Seq("row", "col")), meta, all)
+  }
+
+  /** Replace / add a layer (locindexer.py:44-61). */
+  def withLayer(name: String, c: Column): Stack = {
+    val n = Naming.sanitize(name)
+    Stack(df.withColumn(n, c.cast("double")), meta,
+      if (layers.contains(n)) layers else layers :+ n)
+  }
+
+  // --- filters (reference raster.py:1346-1709) --------------------------
+
+  /**
+   * crop(bounds): world-bounds filter + recomputed transform
+   * (raster.py:1588-1709). The predicate is on (row, col), so a
+   * tile/cell-partitioned layout prunes at the source.
+   */
+  def crop(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Stack = {
+    // bounds -> row/col window exactly like the reference: rowcol of the
+    // corners with floor semantics, clamped to the grid (raster.py:1649-1662)
+    val c0 = math.max(meta.col(xmin, ymax), 0L)
+    val r0 = math.max(meta.row(xmin, ymax), 0L)
+    val c1 = math.min(meta.col(math.nextUp(xmax), math.nextDown(ymin)) + 1, meta.width.toLong)
+    val r1 = math.min(meta.row(math.nextUp(xmax), math.nextDown(ymin)) + 1, meta.height.toLong)
+    val cropped = df.where(col("row") >= r0 && col("row") < r1 && col("col") >= c0 && col("col") < c1)
+      .withColumn("row", col("row") - r0)
+      .withColumn("col", col("col") - c0)
+    Stack(cropped, meta.windowed(r0, c0, (r1 - r0).toInt, (c1 - c0).toInt), layers)
+  }
+
+  /**
+   * mask(shapes): null out pixels OUTSIDE the polygon union (keep inside);
+   * invert=true keeps outside (raster.py:1346-1484). Zero-shuffle: a
+   * broadcast R-tree PIP predicate over pixel centers — the semi/anti
+   * join of SURVEY.md §2.2 expressed as a projection.
+   */
+  def mask(shapes: PolygonSet, invert: Boolean = false): Stack = {
+    val x = grid_x(col("row"), col("col"), meta)
+    val y = grid_y(col("row"), col("col"), meta)
+    val inside = SpatialJoin.containsAny(x, y, shapes)
+    val keep = if (invert) !inside else inside
+    val masked = layers.foldLeft(df)((d, n) => d.withColumn(n, when(keep, col(n))))
+    Stack(masked, meta, layers)
+  }
+
+  /**
+   * intersect(): pixel dropped (nulled) in EVERY layer if null in ANY
+   * layer (raster.py:1486-1586) — pure projection.
+   */
+  def intersect: Stack = {
+    val anyNull = layers.map(L(_).isNull).reduce(_ || _)
+    Stack(layers.foldLeft(df)((d, n) => d.withColumn(n, when(!anyNull, col(n)))), meta, layers)
+  }
+
+  // --- aggregations (reference _rasterstats.py, raster.py:1868-1979) ----
+
+  /**
+   * Per-layer stats, EXACT over all pixels (divergence from the
+   * reference's 10k-pixel decimated sample, documented in SURVEY.md §4).
+   * mean/std are derived from integer-exact sums where layer values are
+   * integral, making them reproducible across engines.
+   */
+  def stats: DataFrame = {
+    val aggs = layers.flatMap { n =>
+      Seq(count(L(n)).as(s"${n}_count"), min(L(n)).as(s"${n}_min"), max(L(n)).as(s"${n}_max"),
+        sum(L(n)).as(s"${n}_sum"), sum(L(n) * L(n)).as(s"${n}_sumsq"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * aggregate(out_shape): decimate to a coarser grid (raster.py:1868-1979).
+   * Block key = floor(row * outH / H) — classic hash agg with map-side
+   * partial aggregation; `how` ∈ avg|min|max|sum|count.
+   */
+  def aggregate(outH: Int, outW: Int, how: String = "avg"): Stack = {
+    val orow = fdiv(col("row") * outH.toLong, meta.height.toLong)
+    val ocol = fdiv(col("col") * outW.toLong, meta.width.toLong)
+    val fn: Column => Column = how match {
+      case "avg" => avg
+      case "min" => min
+      case "max" => max
+      case "sum" => sum
+      case "count" => c => count(c).cast("double")
+    }
+    val out = df.groupBy(orow.as("row"), ocol.as("col"))
+      .agg(fn(L(layers.head)).as(layers.head),
+        layers.tail.map(n => fn(L(n)).as(n)): _*)
+    Stack(out, meta.scaledTo(outH, outW), layers)
+  }
+
+  /**
+   * scale(): standardize each layer to (x - mean) / std, two-phase —
+   * one exact aggregate, broadcast into a projection (raster.py:2532-2615).
+   */
+  def scale(centre: Boolean = true, scale: Boolean = true): Stack = {
+    val row = stats.collect()(0)
+    val proj = layers.foldLeft(df) { (d, n) =>
+      val cnt = row.getAs[Long](s"${n}_count").toDouble
+      val s = row.getAs[Double](s"${n}_sum"); val ss = row.getAs[Double](s"${n}_sumsq")
+      val mean = s / cnt
+      val std = math.sqrt((ss - s * s / cnt) / cnt)
+      val centred = if (centre) col(n) - mean else col(n)
+      d.withColumn(n, if (scale) centred / std else centred)
+    }
+    Stack(proj, meta, layers)
+  }
+
+  // --- sampling (reference raster.py:2162-2298) --------------------------
+
+  /**
+   * sample(size, seed): deterministic seeded sample of pixels with no
+   * null layer — one pass via order-by-hash + limit (contract of the
+   * reference's rejection loop: n valid pixels, seeded — raster.py:2196-2243).
+   * TakeOrderedAndProject: no full sort, no shuffle of the data itself.
+   */
+  def sample(size: Int, seed: Long): DataFrame = {
+    val key = col("row") * meta.width.toLong + col("col")
+    val noNull = layers.map(L(_).isNotNull).reduce(_ && _)
+    df.where(noNull)
+      .withColumn("__h", sample_hash(key, seed))
+      .orderBy(col("__h"), key)
+      .limit(size)
+      .drop("__h")
+  }
+
+  /**
+   * Stratified sample: `size` pixels PER category of the strata layer
+   * (raster.py:2244-2287) — per-stratum ranking window.
+   */
+  def sampleStrata(strata: DataFrame, size: Int, seed: Long): DataFrame = {
+    val key = col("row") * meta.width.toLong + col("col")
+    val noNull = layers.map(L(_).isNotNull).reduce(_ && _)
+    val joined = df.where(noNull).join(strata, Seq("row", "col"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(sample_hash(key, seed), key)
+    joined.withColumn("__rn", row_number().over(w)).where(col("__rn") <= size).drop("__rn")
+  }
+}

@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.GridMeta
+import graft.functions._
+import graft.operators.{Extract, Predict, Stack}
+import graft.sources.{Fixtures, RasterStack}
+
+/**
+ * Oracle-checked queries for the Stack operator family (SURVEY.md §2.2,
+ * §2.4, §2.6, §2.8, §2.10). Every oracle is bit-exact: outputs are
+ * integer-exact sums/counts, pointwise IEEE arithmetic in identical
+ * evaluation order, or deterministic integer ranks.
+ */
+object StackQueries {
+
+  val G: GridMeta = GridMeta.TestGrid
+  import RasterStack.{NcBands, bandSql, gridSql, xSql, ySql}
+
+  def stack(s: SparkSession): Stack =
+    Stack(RasterStack.stack(s, G).drop("x", "y"), G, NcBands.map(_.name))
+
+  /** SQL pixel+bands relation. */
+  private val pixSql: String =
+    s"(SELECT row, col, ${NcBands.map(b => bandSql("row", "col", b) + s" AS ${b.name}").mkString(", ")} FROM ${gridSql(G)})"
+
+  /** SQL pixel relation with world center coords. */
+  private val pixXySql: String =
+    s"(SELECT *, ${xSql(G)} AS x, ${ySql(G)} AS y FROM $pixSql)"
+
+  private def maskKeepSql(invert: Boolean): String = {
+    val inside = Fixtures.Rects.map(r => Fixtures.rectSql(r, "x", "y")).mkString("(", " OR ", ")")
+    if (invert) s"NOT $inside" else inside
+  }
+
+  // derived mean/std from integer-exact sums — identical formula both engines
+  private def statCols(n: String) = Seq(
+    col(s"${n}_count"), col(s"${n}_min"), col(s"${n}_max"), col(s"${n}_sum"),
+    (col(s"${n}_sum") / col(s"${n}_count")).as(s"${n}_mean"),
+    sqrt((col(s"${n}_sumsq") - col(s"${n}_sum") * col(s"${n}_sum") / col(s"${n}_count")) / col(s"${n}_count")).as(s"${n}_std"))
+
+  private def statSql(n: String) = Seq(
+    s"COUNT($n) AS ${n}_count", s"MIN($n) AS ${n}_min", s"MAX($n) AS ${n}_max",
+    s"SUM($n) AS ${n}_sum", s"SUM($n) / COUNT($n) AS ${n}_mean",
+    s"SQRT((SUM($n*$n) - SUM($n) * SUM($n) / COUNT($n)) / COUNT($n)) AS ${n}_std")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-layer stats, exact (reference _rasterstats.py:4-37; divergence:
+    // exact instead of 10k-sample, SURVEY.md §4).
+    "q06_stats" -> ((s, _) => {
+      val st = stack(s).stats
+      st.select(NcBands.map(_.name).flatMap(statCols): _*)
+    }),
+
+    // Downsample to a coarser grid (raster.py:1868-1979).
+    "q07_aggregate" -> ((s, _) => {
+      stack(s).aggregate(16, 20, "avg").df
+    }),
+
+    // crop(bounds) -> rebased window + recomputed transform (raster.py:1588-1709).
+    "q08_crop" -> ((s, _) => stack(s).crop(-30.7, -20.3, 40.9, 25.1).df),
+
+    // mask(shapes): null outside polygon union; emit per-band valid counts
+    // (mirrors tests/test_mask.py count/min/max invariants).
+    "q09_mask" -> ((s, _) => {
+      val m = stack(s).mask(Fixtures.Polys)
+      m.df.agg(
+        count(col("b1")).as("b1_count"), min(col("b1")).as("b1_min"), max(col("b1")).as("b1_max"),
+        count(col("b7")).as("b7_count"), min(col("b7")).as("b7_min"), max(col("b7")).as("b7_max"))
+    }),
+
+    "q10_mask_invert" -> ((s, _) => {
+      val m = stack(s).mask(Fixtures.Polys, invert = true)
+      m.df.agg(
+        count(col("b1")).as("b1_count"), min(col("b1")).as("b1_min"), max(col("b1")).as("b1_max"),
+        count(col("b7")).as("b7_count"), min(col("b7")).as("b7_min"), max(col("b7")).as("b7_max"))
+    }),
+
+    // intersect(): null everywhere any layer is null (raster.py:1486-1586;
+    // mirrors tests/test_intersect.py).
+    "q11_intersect" -> ((s, _) => {
+      val i = stack(s).intersect
+      i.df.agg(
+        count(col("b1")).as("b1_count"), min(col("b1")).as("b1_min"), max(col("b1")).as("b1_max"),
+        count(col("b5")).as("b5_count"))
+    }),
+
+    // Deterministic seeded sample of valid pixels (raster.py:2196-2243).
+    "q12_sample" -> ((s, _) => stack(s).sample(100, seed = 7)),
+
+    // Stratified sample, `size` per stratum (raster.py:2244-2287).
+    "q13_sample_strata" -> ((s, _) => {
+      stack(s).sampleStrata(RasterStack.strata(s, G), 20, seed = 11)
+        .select("row", "col", "stratum", "b1")
+    }),
+
+    // predict(): linear model, null where any input null (_prediction.py:101-112).
+    "q14_predict" -> ((s, _) => {
+      val m = Predict.LinearModel(Array(0.3, -0.2, 0.1, 0.05, -0.15, 0.25), 10.0)
+      Predict.predict(stack(s).df, NcBands.map(_.name), m)
+        .select("row", "col", "pred_raw_0")
+    }),
+
+    // predict_proba(): 2-class rational-squash classifier -> prob_0, prob_1.
+    "q15_predict_proba" -> ((s, _) => {
+      val m = Predict.SquashModel(Predict.LinearModel(Array(0.02, -0.01, 0.015, -0.02, 0.01, 0.005), -1.0))
+      Predict.predictProba(stack(s).df, NcBands.map(_.name), m)
+        .select("row", "col", "prob_0", "prob_1")
+    }),
+
+    // apply(): declared-output batch function (NDVI-style normalized diff)
+    // with the reference masking rule (raster.py:1981-2102).
+    "q16_apply_ndvi" -> ((s, _) => {
+      Predict.applyColumns(stack(s).df,
+        Seq("ndvi" -> when(col("b4") + col("b3") =!= 0.0, (col("b4") - col("b3")) / (col("b4") + col("b3")))),
+        maskOn = Seq("b3", "b4"))
+        .select("row", "col", "ndvi")
+    }),
+
+    // extract_raster: labelled pixels inner-join the stack (raster.py:2474-2508).
+    "q17_extract_raster" -> ((s, _) => {
+      Extract.raster(stack(s), RasterStack.labels(s, G))
+        .select("row", "col", "value", "b1", "b2", "b7")
+    }),
+
+    // extract_vector(polygons): rasterize (pixel-center, last-wins) + join
+    // (raster.py:2435-2455).
+    "q18_extract_polygons" -> ((s, _) => {
+      Extract.vector(stack(s), Fixtures.Polys)
+        .select("row", "col", "poly_id", "b1", "b4")
+    }),
+
+    // Band math + mask algebra (rasterlayer.py:152-347, §2.7/2.8).
+    "q19_band_math" -> ((s, _) => {
+      val d = stack(s).df
+      d.select(col("row"), col("col"),
+        (col("b1") + col("b2")).as("b_add"),
+        (col("b1") * 2.0 - col("b3")).as("mul_sub"),
+        (col("b1") / when(col("b2") =!= 0.0, col("b2"))).as("b_ratio"),
+        abs(-col("b4")).as("abs_neg"),
+        floor(col("b5") / 7.0).as("floor7"),
+        mask_and(col("b1"), col("b2")).as("m_and"),
+        mask_or(col("b1"), col("b2")).as("m_or"),
+        mask_xor(col("b1"), col("b2")).as("m_xor"))
+    }),
+
+    // Feature generators: one-hot + rotated coords + distance-to-corners
+    // (preprocessing.py:10-293).
+    "q20_features" -> ((s, _) => {
+      val d = stack(s).df
+        .withColumn("x", grid_x(col("row"), col("col"), G))
+        .withColumn("y", grid_y(col("row"), col("col"), G))
+      val strata = fdiv(col("col") * 6L, G.width.toLong).cast("int").as("stratum")
+      val oh = one_hot(strata, "stratum", Seq(0, 1, 2, 3, 4, 5))
+      val rot = rotated_coords(col("x"), col("y"), 4)
+      val (bx0, by0, bx1, by1) = G.bounds
+      d.select(Seq(col("row"), col("col")) ++ oh ++ rot ++ Seq(
+        dist_to(col("x"), col("y"), bx0, by0).as("d_sw"),
+        dist_to(col("x"), col("y"), bx1, by1).as("d_ne")): _*)
+        .where(col("row") % 13L === 0L && col("col") % 11L === 0L) // thin the output
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q06_stats" ->
+      s"SELECT ${NcBands.map(_.name).flatMap(statSql).mkString(", ")} FROM $pixSql",
+
+    "q07_aggregate" -> {
+      val cells = NcBands.map(b => s"AVG(${b.name}) AS ${b.name}").mkString(", ")
+      s"""SELECT CAST(row * 16 // ${G.height} AS BIGINT) AS row,
+         | CAST(col * 20 // ${G.width} AS BIGINT) AS col, $cells
+         |FROM $pixSql GROUP BY 1, 2""".stripMargin
+    },
+
+    "q08_crop" -> {
+      // same window arithmetic as Stack.crop, precomputed on the driver
+      val c0 = math.max(G.col(-30.7, 25.1), 0L); val r0 = math.max(G.row(-30.7, 25.1), 0L)
+      val c1 = math.min(G.col(math.nextUp(40.9), math.nextDown(-20.3)) + 1, G.width.toLong)
+      val r1 = math.min(G.row(math.nextUp(40.9), math.nextDown(-20.3)) + 1, G.height.toLong)
+      s"""SELECT row - $r0 AS row, col - $c0 AS col, ${NcBands.map(_.name).mkString(", ")}
+         |FROM $pixSql WHERE row >= $r0 AND row < $r1 AND col >= $c0 AND col < $c1""".stripMargin
+    },
+
+    "q09_mask" ->
+      s"""SELECT COUNT(b1) AS b1_count, MIN(b1) AS b1_min, MAX(b1) AS b1_max,
+         | COUNT(b7) AS b7_count, MIN(b7) AS b7_min, MAX(b7) AS b7_max
+         |FROM (SELECT CASE WHEN ${maskKeepSql(false)} THEN b1 END AS b1,
+         |             CASE WHEN ${maskKeepSql(false)} THEN b7 END AS b7 FROM $pixXySql)""".stripMargin,
+
+    "q10_mask_invert" ->
+      s"""SELECT COUNT(b1) AS b1_count, MIN(b1) AS b1_min, MAX(b1) AS b1_max,
+         | COUNT(b7) AS b7_count, MIN(b7) AS b7_min, MAX(b7) AS b7_max
+         |FROM (SELECT CASE WHEN ${maskKeepSql(true)} THEN b1 END AS b1,
+         |             CASE WHEN ${maskKeepSql(true)} THEN b7 END AS b7 FROM $pixXySql)""".stripMargin,
+
+    "q11_intersect" ->
+      s"""SELECT COUNT(b1) AS b1_count, MIN(b1) AS b1_min, MAX(b1) AS b1_max, COUNT(b5) AS b5_count
+         |FROM (SELECT CASE WHEN ${NcBands.map(_.name + " IS NOT NULL").mkString(" AND ")} THEN b1 END AS b1,
+         |             CASE WHEN ${NcBands.map(_.name + " IS NOT NULL").mkString(" AND ")} THEN b5 END AS b5
+         |      FROM $pixSql)""".stripMargin,
+
+    "q12_sample" -> {
+      val key = s"(row * ${G.width} + col)"
+      val h = s"((($key * 1103515245 + 7) % 2147483648) * 69069 + 12345) % 2147483648"
+      s"""SELECT row, col, ${NcBands.map(_.name).mkString(", ")} FROM $pixSql
+         |WHERE ${NcBands.map(_.name + " IS NOT NULL").mkString(" AND ")}
+         |ORDER BY $h, $key LIMIT 100""".stripMargin
+    },
+
+    "q13_sample_strata" -> {
+      val key = s"(row * ${G.width} + col)"
+      val h = s"((($key * 1103515245 + 11) % 2147483648) * 69069 + 12345) % 2147483648"
+      s"""SELECT row, col, stratum, b1 FROM (
+         | SELECT row, col, CAST(col * 6 // ${G.width} AS INT) AS stratum, b1,
+         |   ROW_NUMBER() OVER (PARTITION BY (col * 6 // ${G.width}) ORDER BY $h, $key) AS rn
+         | FROM $pixSql WHERE ${NcBands.map(_.name + " IS NOT NULL").mkString(" AND ")}
+         |) WHERE rn <= 20""".stripMargin
+    },
+
+    "q14_predict" -> {
+      val ws = Seq(0.3, -0.2, 0.1, 0.05, -0.15, 0.25)
+      val acc = NcBands.zip(ws).foldLeft("0.0") { case (a, (b, w)) => s"($a + ${graft.sources.OracleLit.d(w)} * ${b.name})" }
+      s"""SELECT row, col,
+         | CASE WHEN ${NcBands.map(_.name + " IS NULL").mkString(" OR ")} THEN NULL
+         |      ELSE ($acc + 10.0) END AS pred_raw_0
+         |FROM $pixSql""".stripMargin
+    },
+
+    "q15_predict_proba" -> {
+      val ws = Seq(0.02, -0.01, 0.015, -0.02, 0.01, 0.005)
+      val acc = NcBands.zip(ws).foldLeft("0.0") { case (a, (b, w)) => s"($a + ${graft.sources.OracleLit.d(w)} * ${b.name})" }
+      val z = s"($acc + -1.0)"
+      val p1 = s"(0.5 + $z / (2.0 * (1.0 + ABS($z))))"
+      s"""SELECT row, col,
+         | CASE WHEN ${NcBands.map(_.name + " IS NULL").mkString(" OR ")} THEN NULL ELSE (1.0 - $p1) END AS prob_0,
+         | CASE WHEN ${NcBands.map(_.name + " IS NULL").mkString(" OR ")} THEN NULL ELSE $p1 END AS prob_1
+         |FROM $pixSql""".stripMargin
+    },
+
+    "q16_apply_ndvi" ->
+      s"""SELECT row, col,
+         | CASE WHEN b3 IS NULL OR b4 IS NULL THEN NULL
+         |      WHEN b4 + b3 <> 0.0 THEN (b4 - b3) / (b4 + b3) END AS ndvi
+         |FROM $pixSql""".stripMargin,
+
+    "q17_extract_raster" ->
+      s"""SELECT l.row, l.col, ${RasterStack.labelsSqlValue("l.row", "l.col")} AS value, g.b1, g.b2, g.b7
+         |FROM ${gridSql(G)} l JOIN $pixSql g ON g.row = l.row AND g.col = l.col
+         |WHERE ${RasterStack.labelsSqlWhere("l.row", "l.col")}""".stripMargin,
+
+    "q18_extract_polygons" -> {
+      val winner = Fixtures.Rects
+        .map(r => s"CASE WHEN ${Fixtures.rectSql(r, "x", "y")} THEN ${r.id} ELSE -1 END")
+        .mkString("GREATEST(", ", ", ")")
+      s"""SELECT row, col, $winner AS poly_id, b1, b4 FROM $pixXySql
+         |WHERE $winner >= 0""".stripMargin
+    },
+
+    "q19_band_math" ->
+      s"""SELECT row, col,
+         | b1 + b2 AS b_add, b1 * 2.0 - b3 AS mul_sub,
+         | b1 / (CASE WHEN b2 <> 0.0 THEN b2 END) AS b_ratio,
+         | ABS(-b4) AS abs_neg, CAST(FLOOR(b5 / 7.0) AS BIGINT) AS floor7,
+         | CASE WHEN b1 IS NULL OR b2 IS NULL THEN NULL ELSE b1 END AS m_and,
+         | COALESCE(b1, b2) AS m_or,
+         | CASE WHEN b1 IS NOT NULL AND b2 IS NOT NULL THEN NULL ELSE COALESCE(b1, b2) END AS m_xor
+         |FROM $pixSql""".stripMargin,
+
+    "q20_features" -> {
+      val x = xSql(G); val y = ySql(G)
+      val strata = s"CAST(col * 6 // ${G.width} AS INT)"
+      val oh = (0 to 5).map(v => s"CASE WHEN $strata = $v THEN 1 ELSE 0 END AS stratum_cat_$v")
+      val rot = (0 until 4).map { i =>
+        val t = math.tan(math.Pi * i / 4)
+        s"($x + ${graft.sources.OracleLit.d(t)} * $y) AS angle_${i + 1}"
+      }
+      val (bx0, by0, bx1, by1) = G.bounds
+      s"""SELECT row, col, ${oh.mkString(", ")}, ${rot.mkString(", ")},
+         | SQRT(($x - $bx0) * ($x - $bx0) + ($y - $by0) * ($y - $by0)) AS d_sw,
+         | SQRT(($x - $bx1) * ($x - $bx1) + ($y - $by1) * ($y - $by1)) AS d_ne
+         |FROM $pixSql WHERE row % 13 = 0 AND col % 11 = 0""".stripMargin
+    }
+  )
+}

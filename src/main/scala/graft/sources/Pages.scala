@@ -85,7 +85,7 @@ object Pages {
   }
 
   def rowSql(g: GridMeta): String =
-    s"CAST(FLOOR((lat - ${g.f}) / (${g.e})) AS BIGINT)"
+    s"CAST(FLOOR((lat - ${OracleLit.d(g.f)}) / (${OracleLit.d(g.e)})) AS BIGINT)"
   def colSql(g: GridMeta): String =
-    s"CAST(FLOOR((lon - ${g.c}) / (${g.a})) AS BIGINT)"
+    s"CAST(FLOOR((lon - ${OracleLit.d(g.c)}) / (${OracleLit.d(g.a)})) AS BIGINT)"
 }

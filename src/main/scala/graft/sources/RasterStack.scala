@@ -56,9 +56,9 @@ object RasterStack {
 
   /** SQL twins of the pixel-center coordinates. */
   def xSql(g: GridMeta, c: String = "col"): String =
-    s"(${g.a} * (CAST($c AS DOUBLE) + 0.5) + ${g.c})"
+    s"(${OracleLit.d(g.a)} * (CAST($c AS DOUBLE) + 0.5) + ${OracleLit.d(g.c)})"
   def ySql(g: GridMeta, r: String = "row"): String =
-    s"(${g.e} * (CAST($r AS DOUBLE) + 0.5) + ${g.f})"
+    s"(${OracleLit.d(g.e)} * (CAST($r AS DOUBLE) + 0.5) + ${OracleLit.d(g.f)})"
 
   /**
    * Sparse labelled-pixel raster for extract_raster (FIXTURES.md §2

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GridMeta, Polygon, PolygonSet}
+import graft.operators.{Extract, Naming, Predict, Rasterize, Stack}
+import graft.queries.StackQueries
+import graft.sources.{Fixtures, RasterStack}
+
+class StackSpec extends AnyFunSuite with SparkSpec {
+
+  lazy val st: Stack = StackQueries.stack(spark)
+  val G: GridMeta = StackQueries.G
+
+  test("naming: sanitize + dedup mirror the reference (_make_name / _fix_names)") {
+    assert(Naming.sanitize("my layer.1-x") === "my_layer_1_x")
+    assert(Naming.sanitize("7band") === "x7band")
+    assert(Naming.dedup(Seq("a", "b", "a", "a")) === Seq("a", "b", "a_1", "a_2"))
+    assert(Naming.dedup(Seq("a", "a_1", "a")) === Seq("a", "a_1", "a_2"))
+  }
+
+  test("select/drop/iloc/rename keep schema and layer list consistent") {
+    val s2 = st.select(Seq("b1", "b4"))
+    assert(s2.layers === Seq("b1", "b4"))
+    assert(s2.df.columns.toSeq === Seq("row", "col", "b1", "b4"))
+    val s3 = st.drop(Seq("b2"))
+    assert(s3.layers === Seq("b1", "b3", "b4", "b5", "b7"))
+    assert(st.iloc(Seq(0, 5)).layers === Seq("b1", "b7"))
+    val s4 = st.rename(Map("b1" -> "blue band"))
+    assert(s4.layers.head === "blue_band")
+    intercept[IllegalArgumentException](st.select(Seq("nope")))
+  }
+
+  test("append dedups names with _1 suffixes and zip-joins on (row,col)") {
+    val ap = st.select(Seq("b1")).append(st.select(Seq("b1", "b2")))
+    assert(ap.layers === Seq("b1", "b1_1", "b2"))
+    // aligned zip: b1 == b1_1 everywhere
+    assert(ap.df.where(!(col("b1") <=> col("b1_1"))).count() === 0)
+    assert(ap.df.count() === G.cells)
+  }
+
+  test("withLayer replaces in place") {
+    val s2 = st.withLayer("b1", col("b1") * 2.0)
+    assert(s2.layers === st.layers)
+    assert(s2.df.where(col("row") === 7 && col("col") === 7).select("b1").collect()(0).getDouble(0)
+      === st.df.where(col("row") === 7 && col("col") === 7).select("b1").collect()(0).getDouble(0) * 2.0)
+  }
+
+  test("crop: window pixel count matches the bounds window; transform rebased") {
+    val c = st.crop(-30.7, -20.3, 40.9, 25.1)
+    assert(c.df.count() === c.meta.cells)
+    assert(c.meta.width < G.width && c.meta.height < G.height)
+    // world coordinate of pixel (0,0) in crop == original pixel at window offset
+    val r0 = math.max(G.row(-30.7, 25.1), 0L)
+    val c0 = math.max(G.col(-30.7, 25.1), 0L)
+    assert(math.abs(c.meta.x(0, 0) - G.x(r0, c0)) < 1e-9)
+  }
+
+  test("mask + mask(invert) partition the valid set (tests/test_mask.py analogue)") {
+    val total = st.df.agg(count(col("b1"))).collect()(0).getLong(0)
+    val in = st.mask(Fixtures.Polys).df.agg(count(col("b1"))).collect()(0).getLong(0)
+    val out = st.mask(Fixtures.Polys, invert = true).df.agg(count(col("b1"))).collect()(0).getLong(0)
+    assert(in + out === total)
+    assert(in > 0 && out > 0)
+  }
+
+  test("intersect: valid count equals pixels where NO layer is null (tests/test_intersect.py analogue)") {
+    val i = st.intersect
+    val c1 = i.df.agg(count(col("b1"))).collect()(0).getLong(0)
+    val expected = st.df.where(st.layers.map(col(_).isNotNull).reduce(_ && _)).count()
+    assert(c1 === expected)
+    // all layers share the valid count after intersect
+    val c7 = i.df.agg(count(col("b7"))).collect()(0).getLong(0)
+    assert(c7 === c1)
+  }
+
+  test("aggregate: output grid shape + scaled transform (raster.py:1868-1979)") {
+    val a = st.aggregate(16, 20, "avg")
+    assert(a.df.count() === 16L * 20L)
+    assert(math.abs(a.meta.a - G.a * G.width / 20.0) < 1e-12)
+  }
+
+  test("scale: standardized layers have ~0 mean and ~1 std") {
+    val sc = st.select(Seq("b1")).scale()
+    val r = sc.df.agg(avg(col("b1")), stddev_pop(col("b1"))).collect()(0)
+    assert(math.abs(r.getDouble(0)) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("sample: n valid rows, deterministic across runs (raster.py:2196-2243 contract)") {
+    val s1 = st.sample(50, seed = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val s2 = st.sample(50, seed = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(s1 === s2)
+    assert(s1.size === 50)
+    val s3 = st.sample(50, seed = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(s1 !== s3)
+  }
+
+  test("stratified sample: exactly `size` per stratum (raster.py:2244-2287)") {
+    val s = st.sampleStrata(RasterStack.strata(spark, G), 10, seed = 5)
+    val counts = s.groupBy("stratum").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set(0, 1, 2, 3, 4, 5))
+    assert(counts.values.forall(_ === 10L))
+  }
+
+  test("predict constants: dict overrides a feature, unknown key errors (_prediction.py:5-58)") {
+    val m = Predict.LinearModel(Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0), 0.0)
+    val d = Predict.predict(st.df, st.layers, m, constantsMap = Map("b1" -> 99.0))
+      .where(col("b2").isNotNull && col("b3").isNotNull && col("b4").isNotNull &&
+             col("b5").isNotNull && col("b7").isNotNull && col("b1").isNotNull)
+    assert(d.select("pred_raw_0").distinct().collect().map(_.getDouble(0)).toSeq === Seq(99.0))
+    intercept[IllegalArgumentException] {
+      Predict.predict(st.df, st.layers, m, constantsMap = Map("nope" -> 1.0))
+    }
+  }
+
+  test("extract lines (all_touched supercover): golden row count frozen + boundary superset of fixtures") {
+    // boundary-only extraction = the reference's line extraction
+    // (tests/test_extract.py:97 asserts an exact count; ours is frozen
+    // from the deterministic fixture the same way)
+    val lines = Rasterize(spark, Fixtures.Polys, G, allTouched = true)
+    val n = lines.count()
+    assert(n === 132242L, s"golden extract row count drifted: $n")
+    // all-touched must be a superset of the centre-rule fill for rects
+    val fill = Rasterize(spark, Fixtures.Polys, G, allTouched = false)
+    assert(fill.join(lines, Seq("row", "col"), "left_anti").count() === 0)
+  }
+
+  test("rasterize matches scalar center-in-polygon for a concave polygon") {
+    val p = Polygon(0, Array((-50.0, -20.0), (10.0, -20.0), (10.0, 30.0), (-20.0, 5.0), (-50.0, 30.0)))
+    val set = PolygonSet(IndexedSeq(p))
+    val got = Rasterize(spark, set, G, allTouched = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // scalar reference: test every pixel center in the bbox
+    val exp = (for {
+      r <- 0L until G.height.toLong
+      c <- 0L until G.width.toLong
+      if p.contains(G.x(r, c), G.y(r, c))
+    } yield (r, c)).toSet
+    assert(got === exp)
+    assert(exp.nonEmpty)
+  }
+}
