@@ -63,7 +63,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++
-    graft.queries.StackQueries.queries
+    graft.queries.StackQueries.queries ++ graft.queries.GeoQueries.queries ++
+    graft.queries.PipelineQueries.queries
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -130,5 +131,6 @@ object SparkEntry {
       s"""SELECT p.doc_id, CAST(r.poly_id AS INT) AS poly_id
          |FROM $pagesSql p JOIN ${Fixtures.rectsValuesSql} r
          |  ON p.lon > r.xmin AND p.lon < r.xmax AND p.lat > r.ymin AND p.lat < r.ymax""".stripMargin
-  ) ++ graft.queries.StackQueries.oracles
+  ) ++ graft.queries.StackQueries.oracles ++ graft.queries.GeoQueries.oracles ++
+    graft.queries.PipelineQueries.oracles
 }

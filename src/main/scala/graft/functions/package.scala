@@ -30,6 +30,13 @@ package object functions {
     col2(org.apache.spark.sql.catalyst.expressions.IntegralDivide(expr0(q - r), expr0(lit(b))))
   }
 
+  /** Integral (truncating) division of two long columns — equals floor
+    * division for NONNEGATIVE operands. Spark's `Column./` is double
+    * division, which silently corrupts quotients of longs above 2^53. */
+  def idiv(a: Column, b: Column): Column =
+    col2(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      expr0(a.cast("long")), expr0(b.cast("long"))))
+
   /** Hierarchical cell id of (lon, lat) at resolution res — Catalyst-native, codegen'd. */
   def cell_encode(lon: Column, lat: Column, res: Int): Column =
     col2(CellEncode(expr0(lon), expr0(lat), expr0(lit(res))))

@@ -104,8 +104,10 @@ object KNN {
         grouped.agg(
           (sum(when(col("__dist") === 0.0, col(yCol)))).as("__zsum"),
           count(when(col("__dist") === 0.0, 1)).as("__zn"),
-          sum(col(yCol) / col("__dist")).as("__wsum"),
-          sum(lit(1.0) / col("__dist")).as("__wtot"))
+          // zero-distance rows excluded here (ANSI divide-by-zero); the
+          // __zn branch takes over when any exist
+          sum(when(col("__dist") =!= 0.0, col(yCol) / col("__dist"))).as("__wsum"),
+          sum(when(col("__dist") =!= 0.0, lit(1.0) / col("__dist"))).as("__wtot"))
           .withColumn(out,
             when(col("__zn") > 0, col("__zsum") / col("__zn"))
               .otherwise(col("__wsum") / col("__wtot")))

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`): exact
+ * brute-force cosine top-k as the baseline, and random-hyperplane LSH
+ * bucketing as the scale path (candidates only meet inside a bucket —
+ * the shuffle key is the bucket signature, never the vector).
+ *
+ * All dot products fold LEFT-TO-RIGHT over the array index with each
+ * float cast to double first — deterministic and identical to the SQL
+ * oracle's list_reduce.
+ */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<float> columns (as doubles). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, ${dim + 1})]), (acc, v) -> acc + v)"
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+  def normSql(a: String, dim: Int): String = s"SQRT(${dotSql(a, a, dim)})"
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineSql(a: String, b: String, dim: Int): String =
+    s"(${dotSql(a, b, dim)} / (${normSql(a, dim)} * ${normSql(b, dim)}))"
+
+  /**
+   * Exact brute-force cosine top-k: each query row (filtered from the
+   * corpus by `isQuery`) against every corpus row. Corpus side is
+   * broadcast when small; at scale, flip to the LSH path. Deterministic
+   * rank ties break by corpus id.
+   */
+  def bruteForceTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                     isQuery: Column, k: Int): DataFrame = {
+    val q = vecs.where(isQuery).select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = vecs.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
+    q.join(broadcast(c), col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "rnk", "nbr_id", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5). */
+  private def planeVal(plane: Int, d: Int): Double =
+    (((plane * 64 + d) * 2654435761L % 2147483648L).toDouble / 2147483648.0) - 0.5
+  private def planeValSql(plane: Int, d: String): String =
+    s"(CAST((($plane * 64 + $d) * 2654435761 % 2147483648) AS DOUBLE) / 2147483648.0 - 0.5)"
+
+  /** Sign bit of <v, plane_p> for one hyperplane. */
+  private def planeBit(vec: Column, plane: Int, dim: Int): Column = {
+    val s = (0 until dim).foldLeft(lit(0.0)) { (acc, d) =>
+      acc + element_at(vec, d + 1).cast("double") * lit(planeVal(plane, d))
+    }
+    when(s >= 0.0, 1).otherwise(0)
+  }
+
+  /**
+   * Random-hyperplane LSH bucket signature (nPlanes sign bits packed to
+   * an int) — the IVF/LSH-bucketed ANN scale path: group/join on
+   * `bucket`, search within buckets only.
+   */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).foldLeft(lit(0)) { (acc, p) =>
+      acc + planeBit(vec, p, dim) * lit(1 << p)
+    }
+  def lshBucketSql(v: String, nPlanes: Int, dim: Int): String =
+    (0 until nPlanes).map { p =>
+      val s = (0 until dim).foldLeft("CAST(0 AS DOUBLE)") { (acc, d) =>
+        s"($acc + CAST($v[${d + 1}] AS DOUBLE) * ${planeValSql(p, d.toString)})"
+      }
+      s"(CASE WHEN $s >= 0.0 THEN 1 ELSE 0 END * ${1 << p})"
+    }.mkString("(", " + ", ")")
+
+  /**
+   * LSH-bucketed ANN with MULTIPLE hash tables (standard recall lever):
+   * table t uses planes [t*nPlanes, (t+1)*nPlanes); candidates are the
+   * union over tables (distinct pairs), ranked by exact cosine. The
+   * shuffle key is (table, bucket) — never the vectors pairwise.
+   */
+  def lshTopK(vecs: DataFrame, idCol: String, vecCol: String,
+              isQuery: Column, k: Int, nPlanes: Int, dim: Int,
+              nTables: Int = 3): DataFrame = {
+    val bucketed = vecs.select(
+      col(idCol), col(vecCol),
+      posexplode(array((0 until nTables).map(t =>
+        tableBucket(col(vecCol), t, nPlanes, dim)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val q = bucketed.where(isQuery)
+      .select(col("tbl"), col("bucket"), col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    val pairs = q.join(c, Seq("tbl", "bucket")).where(col("query_id") =!= col("nbr_id"))
+      .select("query_id", "qv", "nbr_id", "cv").distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
+    pairs.withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "rnk", "nbr_id", "cos")
+  }
+
+  /** Bucket signature of table `t` (planes t*nPlanes .. t*nPlanes+nPlanes-1). */
+  def tableBucket(vec: Column, t: Int, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).foldLeft(lit(0)) { (acc, p) =>
+      acc + planeBit(vec, t * nPlanes + p, dim) * lit(1 << p)
+    }
+  def tableBucketSql(v: String, t: Int, nPlanes: Int, dim: Int): String =
+    (0 until nPlanes).map { p =>
+      val s = (0 until dim).foldLeft("CAST(0 AS DOUBLE)") { (acc, d) =>
+        s"($acc + CAST($v[${d + 1}] AS DOUBLE) * ${planeValSql(t * nPlanes + p, d.toString)})"
+      }
+      s"(CASE WHEN $s >= 0.0 THEN 1 ELSE 0 END * ${1 << p})"
+    }.mkString("(", " + ", ")")
+
+  /** Embedding-cosine near-duplicate pairs above a threshold. */
+  def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
+    val with_b = vecs.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
+    val a = with_b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = with_b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.GridMeta
+import graft.functions._
+import graft.operators.{KNN, Warp}
+import graft.sources.{OracleLit, Pages, RasterStack}
+
+/**
+ * Oracle-checked queries for the kNN join, to_crs warp, GeoDist and
+ * point-filter operators (SURVEY.md §2.3, §2.11).
+ */
+object GeoQueries {
+
+  val G: GridMeta = GridMeta.TestGrid
+  /** kNN cell resolution: res 4 -> 22.5 x 11.25 deg cells. */
+  val KnnRes = 4
+  val K = 5
+
+  /** Warp target grid + affine pseudo-CRS fixture. */
+  val TargetG: GridMeta = GridMeta.northUp(-100.0, -50.0, 100.0, 50.0, width = 120, height = 100)
+  val Crs: Warp.AffineCrs = Warp.AffineCrs(0.9, 0.05, 3.1, -0.02, 0.95, -1.7)
+
+  private def pages(s: SparkSession, dir: String): DataFrame =
+    Pages.withIdPoint(Pages.fromDocuments(s, dir), "doc_id")
+
+  private val pagesSql: String =
+    s"""(SELECT doc_id, ${Pages.lonSql("doc_id")} AS lon, ${Pages.latSql("doc_id")} AS lat
+       | FROM documents)""".stripMargin
+
+  private def probes(s: SparkSession, dir: String): DataFrame =
+    pages(s, dir).select(col("doc_id").as("pid"), col("lon").as("plon"), col("lat").as("plat"))
+
+  private def train(s: SparkSession, dir: String): DataFrame =
+    pages(s, dir).where(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("tid"), col("lon").as("tlon"), col("lat").as("tlat"),
+        (col("doc_id") % 23L).cast("double").as("y"))
+
+  private val distSql =
+    "SQRT((p.lon - t.tlon) * (p.lon - t.tlon) + (p.lat - t.tlat) * (p.lat - t.tlat))"
+  private val knnRankedSql =
+    s"""(SELECT p.doc_id AS pid, t.tid AS nbr_id, t.y AS y, $distSql AS dist,
+       |  ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY $distSql, t.tid) AS rnk
+       | FROM $pagesSql p
+       | CROSS JOIN (SELECT doc_id AS tid, lon AS tlon, lat AS tlat,
+       |    CAST(doc_id % 23 AS DOUBLE) AS y FROM $pagesSql WHERE doc_id % 7 = 0) t)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact kNN join via two-stage cell-disk expansion (SURVEY.md §2.3):
+    // ranks + distances are integer/IEEE-exact against the cross-join oracle.
+    "q21_knn_join" -> ((s, dir) => {
+      KNN.join(probes(s, dir), "pid", "plon", "plat",
+          train(s, dir), "tlon", "tlat", "tid", K, KnnRes)
+        .select(col("pid"), col("__rank").cast("long").as("rnk"),
+          col("tid").as("nbr_id"), col("__dist").as("dist"))
+    }),
+
+    // kNN feature: uniform mean of an integer-valued target over the k
+    // neighbors (KNNTransformer, transformers.py:182-233).
+    "q22_knn_mean" -> ((s, dir) => {
+      val knn = KNN.join(probes(s, dir), "pid", "plon", "plat",
+        train(s, dir), "tlon", "tlat", "tid", K, KnnRes)
+      KNN.meanFeature(knn, "pid", "y", weighting = "uniform")
+    }),
+
+    // to_crs nearest re-gridding through an affine pseudo-CRS
+    // (raster.py:1711-1866, nearest = default resampling).
+    "q23_to_crs" -> ((s, _) => {
+      val st = StackQueries.stack(s)
+      Warp.nearest(st, TargetG, Crs).df.select("row", "col", "b1", "b7")
+    }),
+
+    // filter_points: min-distance dedup via cell-snap (vector.py:7-39;
+    // divergence from complete-linkage documented in SURVEY.md §2.3).
+    "q24_filter_points" -> ((s, dir) => {
+      pages(s, dir)
+        .withColumn("cell", cell_encode(col("lon"), col("lat"), 6))
+        .groupBy("cell")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_points"))
+    }),
+
+    // GeoDistTransformer: distance columns to fixed reference points
+    // (transformers.py:286-355).
+    "q25_geodist" -> ((s, dir) => {
+      KNN.geoDist(pages(s, dir), "lon", "lat",
+          Seq((0.0, 0.0), (-100.0, 40.0), (100.0, -40.0)))
+        .select("doc_id", "geodist_0", "geodist_1", "geodist_2")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q21_knn_join" ->
+      s"SELECT pid, rnk, nbr_id, dist FROM $knnRankedSql WHERE rnk <= $K",
+
+    "q22_knn_mean" ->
+      s"SELECT pid, AVG(y) AS knn_y FROM (SELECT * FROM $knnRankedSql WHERE rnk <= $K) GROUP BY pid",
+
+    "q23_to_crs" -> {
+      val tx = RasterStack.xSql(TargetG, "tcol"); val ty = RasterStack.ySql(TargetG, "trow")
+      val sx = Crs.sxSql(tx, ty); val sy = Crs.sySql(tx, ty)
+      val srow = s"CAST(FLOOR(($sy - ${OracleLit.d(G.f)}) / (${OracleLit.d(G.e)})) AS BIGINT)"
+      val scol = s"CAST(FLOOR(($sx - ${OracleLit.d(G.c)}) / (${OracleLit.d(G.a)})) AS BIGINT)"
+      s"""SELECT t.trow AS row, t.tcol AS col, g.b1, g.b7
+         |FROM (SELECT CAST(range // ${TargetG.width} AS BIGINT) AS trow,
+         |             CAST(range % ${TargetG.width} AS BIGINT) AS tcol,
+         |             $srow AS srow, $scol AS scol
+         |      FROM range(${TargetG.cells})) t
+         |LEFT JOIN (SELECT row, col,
+         |    ${RasterStack.NcBands.filter(b => Set("b1", "b7")(b.name)).map(b => RasterStack.bandSql("row", "col", b) + s" AS ${b.name}").mkString(", ")}
+         |  FROM ${RasterStack.gridSql(G)}) g
+         |ON g.row = t.srow AND g.col = t.scol""".stripMargin
+    },
+
+    "q24_filter_points" -> {
+      val n = 1L << 6
+      val cell = s"(${6L * 288230376151711744L} + CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT) * 536870912" +
+        s" + CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT))"
+      s"""SELECT $cell AS cell, MIN(doc_id) AS keep_id, COUNT(*) AS n_points
+         |FROM $pagesSql GROUP BY 1""".stripMargin
+    },
+
+    "q25_geodist" -> {
+      def d(rx: Double, ry: Double, i: Int) =
+        s"SQRT((lon - ${OracleLit.d(rx)}) * (lon - ${OracleLit.d(rx)}) + (lat - ${OracleLit.d(ry)}) * (lat - ${OracleLit.d(ry)})) AS geodist_$i"
+      s"SELECT doc_id, ${d(0.0, 0.0, 0)}, ${d(-100.0, 40.0, 1)}, ${d(100.0, -40.0, 2)} FROM $pagesSql"
+    }
+  )
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/**
+ * Training-data pipeline queries (first-class engine components per the
+ * build brief): dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+ * embedding-cosine), ANN search, text analysis, multimodal plumbing —
+ * all over the `documents` / `embeddings` tables with planted
+ * duplicates derived identically in Spark and the SQL oracle.
+ */
+object PipelineQueries {
+
+  val Dim = 64
+
+  /** Corpus with planted EXACT duplicates (ids shifted by 100000). */
+  private def corpusExact(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    d.unionByName(d.where(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L))
+  }
+  private val corpusExactSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Corpus with planted NEAR duplicates (three extra tokens appended). */
+  private def corpusNear(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    d.unionByName(d.where(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" graft dup marker"))))
+  }
+  private val corpusNearSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 100000, text || ' graft dup marker' FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash group-by, keep smallest id.
+    "q30_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(corpusExact(s, dir), "doc_id", "text")),
+
+    // Text analysis: token counts (whitespace + BPE-ish regex),
+    // language-ID heuristic, quality score.
+    "q31_text_analysis" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        TextAnalysis.regexTokenCount(col("text")).cast("long").as("n_retok"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // Rolling polynomial document fingerprint.
+    "q32_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))),
+
+    // n-gram Jaccard near-dup pairs (prefix blocking + exact verify).
+    "q33_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(corpusNear(s, dir), "doc_id", "text", w = 3, threshold = 0.4)),
+
+    // MinHash-LSH near-dup candidates (banded signature join).
+    "q34_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(corpusNear(s, dir), "doc_id", "text")
+        .where(col("matches") >= 6)),
+
+    // SimHash document signatures.
+    "q35_simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))),
+
+    // ANN: exact brute-force cosine top-k.
+    "q36_ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(vecs(s, dir), "vec_id", "embedding",
+        col("vec_id") % 25 === 0, k = 10)),
+
+    // ANN: multi-table LSH-bucketed variant (the scale path).
+    "q37_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(vecs(s, dir), "vec_id", "embedding",
+        col("vec_id") % 25 === 0, k = 10, nPlanes = 4, dim = Dim, nTables = 3)),
+
+    // Embedding-cosine near-duplicate pairs.
+    "q38_near_dup_embed" -> ((s, dir) =>
+      Similarity.nearDupPairs(vecs(s, dir), "vec_id", "embedding",
+        threshold = 0.9, nPlanes = 4, dim = Dim)),
+
+    // Multimodal plumbing: binary payload frame stats; the batched
+    // frame-sampler (Dataset flatMap) feeds the per-doc frame count.
+    "q39_multimodal" -> ((s, dir) => {
+      val pages = graft.sources.Pages.fromDocuments(s, dir)
+      val stats = Multimodal.frameStats(pages, "html", 64)
+        .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+          md5(col("html")).as("html_md5"))
+      val mp = Multimodal.sampleFrames(pages, Seq("doc_id"), "html", 64)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_frames_mp"), sum(col("byte_sum")).as("byte_total"))
+      stats.join(mp, Seq("doc_id"))
+    })
+  )
+
+
+
+  val oracles: Map[String, String] = Map(
+
+    "q30_dedup_exact" ->
+      s"""SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+         |FROM $corpusExactSql GROUP BY 1""".stripMargin,
+
+    "q31_text_analysis" ->
+      s"""SELECT doc_id, ${TextAnalysis.tokenCountSql("text")} AS n_tok,
+         | CAST(${TextAnalysis.regexTokenCountSql("text")} AS BIGINT) AS n_retok,
+         | ${TextAnalysis.langIdSql("text")} AS lang_pred,
+         | ${TextAnalysis.qualityScoreSql("text")} AS quality
+         |FROM documents""".stripMargin,
+
+    "q32_fingerprint" ->
+      s"SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp FROM documents",
+
+    "q33_jaccard_pairs" -> {
+      s"""WITH c AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM $corpusNearSql),
+         | withsh AS (SELECT doc_id, substr(text, 1, 24) AS bucket,
+         |   ${Dedup.shinglesSql("ws", 3)} AS sh FROM c)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.sh, b.sh)) AS inter,
+         |  len(list_distinct(list_concat(a.sh, b.sh))) AS uni,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |FROM withsh a JOIN withsh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.4""".stripMargin
+    },
+
+    "q34_minhash_lsh" -> {
+      val sig = Dedup.minhashSignatureSql("string_split(text, ' ')", 3)
+      val bandEq = (0 until 4).map { bi =>
+        val ka = (1 to 4).map(r => s"CAST(a.sig[${bi * 4 + r}] AS VARCHAR)").mkString(" || ',' || ")
+        val kb = (1 to 4).map(r => s"CAST(b.sig[${bi * 4 + r}] AS VARCHAR)").mkString(" || ',' || ")
+        s"($ka) = ($kb)"
+      }.mkString(" OR ")
+      s"""WITH sigs AS (SELECT doc_id, $sig AS sig FROM $corpusNearSql)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END for i in range(1, 17)]) AS INT) AS matches
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandEq)
+         |WHERE list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END for i in range(1, 17)]) >= 6""".stripMargin
+    },
+
+    "q35_simhash" ->
+      s"SELECT doc_id, ${Dedup.simhashSql("text")} AS sh FROM documents",
+
+    "q36_ann_topk" -> {
+      val cos = Similarity.cosineSql("q.qv", "c.cv", Dim)
+      s"""SELECT query_id, rnk, nbr_id, cos FROM (
+         | SELECT q.query_id, c.nbr_id, $cos AS cos,
+         |   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY $cos DESC, c.nbr_id) AS rnk
+         | FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 25 = 0) q
+         | JOIN (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings) c
+         |   ON q.query_id <> c.nbr_id)
+         |WHERE rnk <= 10""".stripMargin
+    },
+
+    "q37_ann_lsh" -> {
+      val cos = Similarity.cosineSql("qe.embedding", "ce.embedding", Dim)
+      val bs = (0 until 3).map(t => s"${Similarity.tableBucketSql("embedding", t, 4, Dim)} AS b$t")
+      s"""WITH b AS (SELECT vec_id, ${bs.mkString(", ")} FROM embeddings),
+         | cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+         |   FROM b q JOIN b c ON (q.b0 = c.b0 OR q.b1 = c.b1 OR q.b2 = c.b2)
+         |   WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, rnk, nbr_id, cos FROM (
+         | SELECT cand.query_id, cand.nbr_id, $cos AS cos,
+         |   ROW_NUMBER() OVER (PARTITION BY cand.query_id ORDER BY $cos DESC, cand.nbr_id) AS rnk
+         | FROM cand
+         | JOIN embeddings qe ON qe.vec_id = cand.query_id
+         | JOIN embeddings ce ON ce.vec_id = cand.nbr_id)
+         |WHERE rnk <= 10""".stripMargin
+    },
+
+    "q38_near_dup_embed" -> {
+      val cos = Similarity.cosineSql("a.va", "b.vb", Dim)
+      val bq = Similarity.lshBucketSql("embedding", 4, Dim)
+      s"""WITH bk AS (SELECT vec_id, embedding, $bq AS bucket FROM embeddings)
+         |SELECT a.id_a, b.id_b, $cos AS cos
+         |FROM (SELECT bucket, vec_id AS id_a, embedding AS va FROM bk) a
+         |JOIN (SELECT bucket, vec_id AS id_b, embedding AS vb FROM bk) b
+         |  ON a.bucket = b.bucket AND a.id_a < b.id_b
+         |WHERE $cos >= 0.9""".stripMargin
+    },
+
+    "q39_multimodal" -> {
+      val html = "('<html><body>' || text || '</body></html>')"
+      s"""SELECT doc_id, CAST(octet_length(encode($html)) AS INT) AS n_bytes,
+         | CAST((octet_length(encode($html)) + 63) // 64 AS INT) AS n_frames,
+         | md5($html) AS html_md5,
+         | CAST((octet_length(encode($html)) + 63) // 64 AS INT) AS n_frames_mp,
+         | list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ord($html[i]) AS BIGINT) for i in range(1, len($html)+1)]), (acc, x) -> acc + x) AS byte_total
+         |FROM documents""".stripMargin
+    }
+  )
+}

@@ -7,4 +7,6 @@ package graft.sources
   * into oracle SQL goes through [[OracleLit.d]]. */
 object OracleLit {
   def d(v: Double): String = s"CAST('$v' AS DOUBLE)"
+  /** alias usable where `d` collides with local names */
+  def d2(v: Double): String = d(v)
 }

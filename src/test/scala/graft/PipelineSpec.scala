@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, KNN, Multimodal, Similarity, TextAnalysis, Warp}
+import graft.queries.{GeoQueries, StackQueries}
+import graft.sources.Pages
+
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  lazy val docs = spark.read.parquet(s"${sf("")}/documents.parquet").cache()
+  lazy val vecs = spark.read.parquet(s"${sf("")}/embeddings.parquet").cache()
+
+  test("kNN join equals brute force on every probe (exactness of ring expansion)") {
+    val pages = Pages.withIdPoint(Pages.fromDocuments(spark, sf("")), "doc_id")
+    val probes = pages.select(col("doc_id").as("pid"), col("lon").as("plon"), col("lat").as("plat"))
+    val train = pages.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("tid"), col("lon").as("tlon"), col("lat").as("tlat"))
+    val got = KNN.join(probes, "pid", "plon", "plat", train, "tlon", "tlat", "tid", 5, 4)
+      .select("pid", "__rank", "tid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))  -> r.getLong(2)).toMap
+    // scalar brute force
+    val ts = train.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val ps = probes.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.size === ps.length * 5)
+    ps.foreach { case (pid, plon, plat) =>
+      val top = ts.map { case (tid, tlon, tlat) =>
+        (math.sqrt((plon - tlon) * (plon - tlon) + (plat - tlat) * (plat - tlat)), tid)
+      }.sorted.take(5)
+      top.zipWithIndex.foreach { case ((_, tid), i) =>
+        assert(got((pid, i + 1)) === tid, s"probe $pid rank ${i + 1}")
+      }
+    }
+  }
+
+  test("kNN distance-weighted mean handles zero-distance coincident neighbors") {
+    import spark.implicits._
+    val probes = Seq((1L, 0.0, 0.0)).toDF("pid", "plon", "plat")
+    val train = Seq((10L, 0.0, 0.0, 5.0), (11L, 1.0, 0.0, 100.0), (12L, 0.0, 1.0, 200.0))
+      .toDF("tid", "tlon", "tlat", "y")
+    val knn = KNN.join(probes, "pid", "plon", "plat", train, "tlon", "tlat", "tid", 3, 4)
+    val m = KNN.meanFeature(knn, "pid", "y", "distance").collect()(0).getDouble(1)
+    assert(m === 5.0) // zero-distance neighbor short-circuits
+  }
+
+  test("kNN mode feature: majority vote, ties break to smallest category") {
+    import spark.implicits._
+    val probes = Seq((1L, 0.0, 0.0)).toDF("pid", "plon", "plat")
+    val train = Seq((10L, 0.1, 0.0, 7.0), (11L, 0.0, 0.1, 7.0), (12L, 0.1, 0.1, 3.0),
+      (13L, 0.2, 0.0, 3.0), (14L, 0.0, 0.2, 1.0)).toDF("tid", "tlon", "tlat", "y")
+    val knn = KNN.join(probes, "pid", "plon", "plat", train, "tlon", "tlat", "tid", 4, 4)
+    // top-4 = tids 10,11,12,13 -> y votes {7:2, 3:2} -> tie -> 3 (smallest)
+    val m = KNN.modeFeature(knn, "pid", "y").collect()(0).getDouble(1)
+    assert(m === 3.0)
+  }
+
+  test("exact dedup finds exactly the planted duplicates") {
+    val d = docs.select("doc_id", "text")
+    val planted = d.unionByName(
+      d.where(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 100000L))
+    val dups = Dedup.exact(planted, "doc_id", "text").where(col("dup_count") > 1)
+    assert(dups.count() === d.where(col("doc_id") % 10 === 0).count())
+    assert(dups.where(col("keep_id") >= 100000L).count() === 0) // keeps original ids
+  }
+
+  test("minhash LSH + jaccard both catch planted near-dups") {
+    val d = docs.select("doc_id", "text")
+    val near = d.unionByName(d.where(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" xx"))))
+    val expectedPairs = d.where(col("doc_id") % 50 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+    val lsh = Dedup.minhashLsh(near, "doc_id", "text").where(col("matches") >= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expectedPairs.subsetOf(lsh), s"missing ${expectedPairs -- lsh}")
+    val jac = Dedup.jaccardPairs(near, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expectedPairs.subsetOf(jac))
+  }
+
+  test("simhash: near-identical texts land within small hamming distance") {
+    import spark.implicits._
+    val t = docs.where(col("doc_id") === 1).select("text").collect()(0).getString(0)
+    val pair = Seq((1L, t), (2L, t + " zz"), (3L, "completely different words entirely unrelated"))
+      .toDF("id", "text")
+    val hs = pair.select(col("id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) <= 6)
+    assert(ham(hs(1L), hs(3L)) > ham(hs(1L), hs(2L)))
+  }
+
+  test("ANN LSH recall vs brute force is reasonable at 4 planes") {
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") % 25 === 0, 10)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding", col("vec_id") % 25 === 0, 10, 4, 64, 3)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall > 0.3, s"LSH recall $recall") // 3 tables x 4 planes
+    assert(lsh.subsetOf(brute) || lsh.nonEmpty)
+  }
+
+  test("multimodal stub: frame sums reconstruct the payload byte total") {
+    val pages = Pages.fromDocuments(spark, sf(""))
+    val mp = Multimodal.sampleFrames(pages, Seq("doc_id"), "html", 64)
+    val got = mp.groupBy("doc_id").agg(sum("byte_sum").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = pages.select(col("doc_id"), col("html")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).map(_ & 0xff).map(_.toLong).sum).toMap
+    assert(got === exp)
+  }
+
+  test("warp identity + same grid is a no-op on band values") {
+    val st = StackQueries.stack(spark)
+    val w = Warp.nearest(st, st.meta, Warp.Identity)
+    val diff = w.df.join(st.df.withColumnRenamed("b1", "ob1").select("row", "col", "ob1"),
+      Seq("row", "col"))
+      .where(!(col("b1") <=> col("ob1"))).count()
+    assert(diff === 0)
+  }
+
+  test("text analysis: language markers, quality in [0,1], fingerprint deterministic") {
+    import spark.implicits._
+    val t = Seq((1L, "the value of the key"), (2L, "der und das ist gut"), (3L, "zzz qqq"))
+      .toDF("id", "text")
+    val r = t.select(col("id"), TextAnalysis.langId(col("text")).as("l"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.fingerprint("text").as("fp")).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getDouble(2), x.getLong(3)))).toMap
+    assert(r(1L)._1 === "en")
+    assert(r(2L)._1 === "de")
+    assert(r(3L)._1 === "und")
+    assert(r.values.forall(v => v._2 >= 0.0 && v._2 <= 1.0))
+    // scalar twin of the fingerprint fold
+    def fp(s: String) = s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toInt) % 2147483648L)
+    assert(r(1L)._3 === fp("the value of the key"))
+  }
+}
