@@ -64,7 +64,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++
     graft.queries.StackQueries.queries ++ graft.queries.GeoQueries.queries ++
-    graft.queries.PipelineQueries.queries
+    graft.queries.PipelineQueries.queries ++ graft.queries.ScaleQueries.queries
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -132,5 +132,5 @@ object SparkEntry {
          |FROM $pagesSql p JOIN ${Fixtures.rectsValuesSql} r
          |  ON p.lon > r.xmin AND p.lon < r.xmax AND p.lat > r.ymin AND p.lat < r.ymax""".stripMargin
   ) ++ graft.queries.StackQueries.oracles ++ graft.queries.GeoQueries.oracles ++
-    graft.queries.PipelineQueries.oracles
+    graft.queries.PipelineQueries.oracles ++ graft.queries.ScaleQueries.oracles
 }

@@ -76,14 +76,14 @@ final case class PolygonSet(polys: IndexedSeq[Polygon]) extends Serializable {
     tree.query(x, y).filter(_.contains(x, y)).map(_.id).sorted
 
   /** True if any polygon contains the point (mask / semi-join predicate). */
-  def containsAny(x: Double, y: Double): Boolean =
-    tree.query(x, y).exists(_.contains(x, y))
+  def containsAny(x: Double, y: Double): Boolean = tree.winner(x, y) != -1
 
-  /** Last-wins winner: the MAX polygon id containing the point, or -1. */
-  def winner(x: Double, y: Double): Int = {
-    val ids = containingIds(x, y)
-    if (ids.isEmpty) -1 else ids.last
-  }
+  /**
+   * Last-wins winner: the MAX polygon id containing the point, or -1.
+   * Allocation-free tree walk — this runs once per ROW inside
+   * WholeStageCodegen on the 100TB path, so no per-call garbage.
+   */
+  def winner(x: Double, y: Double): Int = tree.winner(x, y)
 
   /** Exact refine for a specific candidate id. */
   def contains(id: Int, x: Double, y: Double): Boolean = polys(id).contains(x, y)
@@ -117,6 +117,23 @@ final class RTree private (nodes: Array[RTree.Node]) extends Serializable {
     }
     nodes.foreach(visit)
     out.result()
+  }
+
+  /** Allocation-free: max id of a containing polygon, or -1. */
+  def winner(x: Double, y: Double): Int = {
+    var best = -1
+    def visit(n: RTree.Node): Unit = {
+      if (x >= n.x0 && x <= n.x1 && y >= n.y0 && y <= n.y1) n match {
+        case l: RTree.Leaf =>
+          if (l.value.id > best && l.value.contains(x, y)) best = l.value.id
+        case b: RTree.Branch =>
+          var i = 0
+          while (i < b.children.length) { visit(b.children(i)); i += 1 }
+      }
+    }
+    var i = 0
+    while (i < nodes.length) { visit(nodes(i)); i += 1 }
+    best
   }
 }
 

@@ -30,6 +30,24 @@ object StablePoint {
     h
   }
 
+  /** Zero-allocation twin over Spark's UTF8String (hot codegen path). */
+  def fnv1a64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = s.numBytes()
+    var h = FnvOffset
+    var i = 0
+    while (i < n) { h ^= (s.getByte(i) & 0xffL); h *= FnvPrime; i += 1 }
+    h
+  }
+
+  def lonFromUrl(u: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val h = fnv1a64(u)
+    (h & 0x7fffffffL).toDouble / TwoPow31 * 360.0 - 180.0
+  }
+  def latFromUrl(u: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val h = fnv1a64(u)
+    ((h >>> 31) & 0x7fffffffL).toDouble / TwoPow31 * 180.0 - 90.0
+  }
+
   /** Stable point from a url: lon in [-180,180), lat in [-90,90). */
   def fromUrl(url: String): (Double, Double) = {
     val h = fnv1a64(url)

@@ -80,9 +80,9 @@ case class UrlLon(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(url: Any): Any =
-    StablePoint.lonFromUrl(url.asInstanceOf[UTF8String].toString)
+    StablePoint.lonFromUrl(url.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, url => s"graft.core.StablePoint.lonFromUrl($url.toString())")
+    defineCodeGen(ctx, ev, url => s"graft.core.StablePoint.lonFromUrl($url)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
@@ -90,8 +90,8 @@ case class UrlLat(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(url: Any): Any =
-    StablePoint.latFromUrl(url.asInstanceOf[UTF8String].toString)
+    StablePoint.latFromUrl(url.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, url => s"graft.core.StablePoint.latFromUrl($url.toString())")
+    defineCodeGen(ctx, ev, url => s"graft.core.StablePoint.latFromUrl($url)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

@@ -40,9 +40,12 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    w: Int = 3, threshold: Double = 0.5, prefixLen: Int = 24): DataFrame = {
+    // persist: otherwise CollapseProject inlines the shingle expression
+    // into the self-join and recomputes it PER CANDIDATE PAIR
     val withSh = df.select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("sh", shingles(col("t"), w))
       .withColumn("bucket", substring(col("t"), 1, prefixLen))
+      .persist()
     val a = withSh.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
@@ -62,13 +65,18 @@ object Dedup {
   private def shingleId(s: Column): Column = TextAnalysis.wordHash(s) % 2147483648L
   private def shingleIdSql(s: String): String = s"(${TextAnalysis.wordHashSql(s)} % 2147483648)"
 
-  /** MinHash signature (array of 16 longs) over word w-shingles. */
+  /**
+   * MinHash signature (array of 16 longs) over word w-shingles.
+   * The md5 shingle-ids are bound ONCE via a lambda variable
+   * (`transform` over a 1-element wrapper) so the 16 hash functions
+   * share them instead of re-hashing — 16x less md5 work.
+   */
   def minhashSignature(text: Column, w: Int = 3): Column = {
-    val sh = shingles(text, w)
-    val ids = transform(sh, s => shingleId(s))
-    array(MinhashParams.map { case (a, b) =>
-      array_min(transform(ids, x => (lit(a) * x + lit(b)) % 2147483648L))
-    }: _*)
+    val ids = transform(shingles(text, w), s => shingleId(s))
+    element_at(transform(array(ids), idsV =>
+      array(MinhashParams.map { case (a, b) =>
+        array_min(transform(idsV, x => (lit(a) * x + lit(b)) % 2147483648L))
+      }: _*)), 1)
   }
   /** SQL twin over a words-list expression (e.g. a CTE's `ws`). */
   def minhashSignatureSql(ws: String, w: Int = 3): String = {
@@ -86,7 +94,10 @@ object Dedup {
    * (band_idx, band_key), never pairwise.
    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
+    // persist: the 16-hash signature expression must materialize ONCE per
+    // doc, not re-inline into both sides of the band self-join
     val sig = df.select(col(idCol).as("id"), minhashSignature(col(textCol), w).as("sig"))
+      .persist()
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         bi => concat_ws(",", (1 to 4).map(r => element_at(col("sig"), bi * 4 + r)): _*))))

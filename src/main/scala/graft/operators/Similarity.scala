@@ -38,11 +38,16 @@ object Similarity {
    */
   def bruteForceTopK(vecs: DataFrame, idCol: String, vecCol: String,
                      isQuery: Column, k: Int): DataFrame = {
-    val q = vecs.where(isQuery).select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = vecs.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    // norms precomputed per VECTOR (persist blocks CollapseProject from
+    // re-inlining the fold into every pair) — cosine per pair is then one
+    // dot product and two multiplies, bit-identical to computing sqrt
+    // folds inline since the inputs are the same floats
+    val nv = vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm")).persist()
+    val q = nv.where(isQuery).select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
+    val c = nv.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
     q.join(broadcast(c), col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select("query_id", "rnk", "nbr_id", "cos")
@@ -89,17 +94,18 @@ object Similarity {
               isQuery: Column, k: Int, nPlanes: Int, dim: Int,
               nTables: Int = 3): DataFrame = {
     val bucketed = vecs.select(
-      col(idCol), col(vecCol),
+      col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
       posexplode(array((0 until nTables).map(t =>
         tableBucket(col(vecCol), t, nPlanes, dim)): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      .persist()
     val q = bucketed.where(isQuery)
-      .select(col("tbl"), col("bucket"), col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+      .select(col("tbl"), col("bucket"), col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
+    val c = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("nbr_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
     val pairs = q.join(c, Seq("tbl", "bucket")).where(col("query_id") =!= col("nbr_id"))
-      .select("query_id", "qv", "nbr_id", "cv").distinct()
+      .select("query_id", "qv", "qn", "nbr_id", "cv", "cn").distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
-    pairs.withColumn("cos", cosine(col("qv"), col("cv")))
+    pairs.withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select("query_id", "rnk", "nbr_id", "cos")
@@ -121,11 +127,13 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs above a threshold. */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
-    val with_b = vecs.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
-    val a = with_b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = with_b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val with_b = vecs.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), nPlanes, dim).as("bucket"),
+      norm(col(vecCol)).as("nrm")).persist()
+    val a = with_b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val b = with_b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

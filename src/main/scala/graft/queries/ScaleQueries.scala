@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.GridMeta
+import graft.functions._
+import graft.operators.SpatialJoin
+import graft.sources.{Fixtures, Pages}
+
+/**
+ * Scale-sensitive queries: the north-rule pipeline keyed off `lineitem`
+ * (the only driver table whose row count scales with sf — 6k/60k/600k),
+ * so the per-round BENCH tracks real volume, with the same bit-exact
+ * oracle discipline.
+ */
+object ScaleQueries {
+
+  val G: GridMeta = GridMeta.TestGrid
+  val Res = 12
+  val CoarseRes = 5
+
+  /** Unique 63-bit-safe key per lineitem row. */
+  private def key: org.apache.spark.sql.Column =
+    col("l_orderkey") * 8L + col("l_linenumber").cast("long")
+  private val keySql = "(l_orderkey * 8 + l_linenumber)"
+
+  private def points(s: SparkSession, dir: String): DataFrame =
+    Pages.withIdPoint(
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(key.as("k"), col("l_quantity")), "k")
+
+  private val pointsSql =
+    s"""(SELECT $keySql AS k, l_quantity,
+       |  ${Pages.lonSql(keySql)} AS lon, ${Pages.latSql(keySql)} AS lat
+       | FROM lineitem)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // North-rule pipeline at table scale: cell encode -> broadcast R-tree
+    // PIP -> coarse-cell rollup. Zero shuffle before the final partial agg.
+    "q26_lineitem_spatial" -> ((s, dir) => {
+      val p = SpatialJoin.assign(points(s, dir), col("lon"), col("lat"), Fixtures.Polys)
+        .withColumn("cell", cell_encode(col("lon"), col("lat"), Res))
+      p.groupBy(col("poly_id"), cell_parent(col("cell"), CoarseRes).as("coarse_cell"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_quantity") * 100.0).cast("long")).as("qty_c"))
+    }),
+
+    // extract_xy at table scale: 600k probes left-join the 216k-pixel stack.
+    "q27_lineitem_extract" -> ((s, dir) => {
+      val probes = Pages.withGrid(
+        s.read.parquet(s"$dir/lineitem.parquet").select(key.as("k")), "k", G)
+      val stack = graft.sources.RasterStack.stack(s, G)
+        .withColumnRenamed("row", "grow").withColumnRenamed("col", "gcol")
+        .select("grow", "gcol", "b1", "b4")
+      probes.select("k", "grow", "gcol").join(stack, Seq("grow", "gcol"), "left_outer")
+        .groupBy()
+        .agg(count(col("b1")).as("n_b1"), sum(col("b1")).as("sum_b1"),
+          count(col("b4")).as("n_b4"), sum(col("b4")).as("sum_b4"),
+          count(lit(1)).as("n"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q26_lineitem_spatial" -> {
+      val winner = Fixtures.winnerSql()
+      val n = 1L << Res
+      val cell = s"(${Res.toLong * 288230376151711744L} + CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT) * 536870912" +
+        s" + CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT))"
+      // parentAt(cell, 5): shift ix/iy right by (12-5)=7 bits
+      val ix = s"CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT)"
+      val iy = s"CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT)"
+      val coarse = s"(${CoarseRes.toLong * 288230376151711744L} + ($ix // 128) * 536870912 + ($iy // 128))"
+      s"""SELECT CAST($winner AS INT) AS poly_id, $coarse AS coarse_cell,
+         | COUNT(*) AS n, SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS qty_c
+         |FROM $pointsSql GROUP BY 1, 2""".stripMargin
+    },
+
+    "q27_lineitem_extract" -> {
+      val b1 = graft.sources.RasterStack.bandSql("row", "col", graft.sources.RasterStack.NcBands.head)
+      val b4 = graft.sources.RasterStack.bandSql("row", "col", graft.sources.RasterStack.NcBands(3))
+      s"""SELECT COUNT(b1) AS n_b1, SUM(b1) AS sum_b1, COUNT(b4) AS n_b4, SUM(b4) AS sum_b4, COUNT(*) AS n
+         |FROM (SELECT p.k, g.b1, g.b4
+         |      FROM (SELECT $keySql AS k, ${Pages.rowSql(G).replace("lat", Pages.latSql(keySql))} AS grow,
+         |                   ${Pages.colSql(G).replace("lon", Pages.lonSql(keySql))} AS gcol
+         |            FROM lineitem) p
+         |      LEFT JOIN (SELECT row, col, $b1 AS b1, $b4 AS b4
+         |                 FROM ${graft.sources.RasterStack.gridSql(G)}) g
+         |        ON g.row = p.grow AND g.col = p.gcol)""".stripMargin
+    }
+  )
+}

@@ -31,10 +31,10 @@ object Pages {
     "small", "filter", "the", "index", "cell", "tile", "point", "layer")
 
   /** Deterministic synthetic pages, `n` rows, no RNG, no external data. */
-  def synthesize(spark: SparkSession, n: Long): DataFrame = {
+  def synthesize(spark: SparkSession, n: Long, parts: Int = 0): DataFrame = {
     val langArr = array(Langs.map(lit): _*)
     val wordArr = array(Words.map(lit): _*)
-    spark.range(n)
+    (if (parts > 0) spark.range(0, n, 1, parts) else spark.range(n))
       .withColumn("url", concat(lit("https://host-"), col("id") % 997, lit(".example/p/"), col("id")))
       .withColumn("warc_ts", timestamp_seconds(lit(1577836800L) + col("id") % 31536000L))
       .withColumn("text", concat_ws(" ",
