@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Polygon, PolygonSet}
+
+/**
+ * Point utilities from the reference's vector module (vector.py).
+ */
+object Points {
+
+  /**
+   * Deterministic random point inside a polygon (vector.py:42-61):
+   * seeded LCG rejection sampling in the bbox, loop until contained.
+   * Runs driver-side per polygon (the reference's usage shape: one point
+   * per call).
+   */
+  def randomPointInPolygon(p: Polygon, seed: Long): (Double, Double) = {
+    val (x0, y0, x1, y1) = p.bbox
+    var s = seed
+    def next(): Double = {
+      s = (s * 6364136223846793005L + 1442695040888963407L)
+      ((s >>> 11).toDouble / (1L << 53).toDouble)
+    }
+    var tries = 0
+    while (tries < 100000) {
+      val x = x0 + next() * (x1 - x0)
+      val y = y0 + next() * (y1 - y0)
+      if (p.contains(x, y)) return (x, y)
+      tries += 1
+    }
+    throw new IllegalStateException(s"no interior point found for polygon ${p.id}")
+  }
+
+  /**
+   * filter_points (vector.py:7-39): drop points closer than `minDist`.
+   *
+   * Two implementations:
+   *  - [[filterPointsExact]]: complete-linkage hierarchical clustering
+   *    with the reference's exact semantics (keep first/last per
+   *    cluster). Inherently sequential -> driver-side, for small layers
+   *    (the reference's own scale: its fixtures have <= 1000 points).
+   *  - [[filterPointsCellSnap]]: the distributed approximation — snap to
+   *    cells of ~minDist and keep one point per cell (documented
+   *    divergence, SURVEY.md §2.3): scales to any size, may keep pairs
+   *    up to 2*minDist apart across cell borders and drops points the
+   *    exact algorithm would keep within dense clusters.
+   */
+  def filterPointsExact(points: Seq[(Long, Double, Double)], minDist: Double,
+                        keep: String = "first"): Seq[Long] = {
+    // complete-linkage agglomerative clustering, threshold = minDist
+    var clusters = points.map(p => Vector(p)).toBuffer
+    def linkDist(a: Vector[(Long, Double, Double)], b: Vector[(Long, Double, Double)]): Double =
+      (for { p <- a; q <- b } yield math.hypot(p._2 - q._2, p._3 - q._3)).max
+    var merged = true
+    while (merged) {
+      merged = false
+      var best = (Double.MaxValue, -1, -1)
+      for (i <- clusters.indices; j <- (i + 1) until clusters.size) {
+        val d = linkDist(clusters(i), clusters(j))
+        if (d < best._1) best = (d, i, j)
+      }
+      if (best._1 < minDist) {
+        val (_, i, j) = best
+        clusters(i) = clusters(i) ++ clusters(j)
+        clusters.remove(j)
+        merged = true
+      }
+    }
+    clusters.map { c =>
+      val sorted = c.sortBy(_._1)
+      if (keep == "first") sorted.head._1 else sorted.last._1
+    }.toSeq
+  }
+
+  /** Distributed cell-snap point thinning (one row kept per cell of ~minDist). */
+  def filterPointsCellSnap(df: DataFrame, idCol: String, lonCol: String, latCol: String,
+                           minDistDeg: Double): DataFrame = {
+    val res = math.max(0, math.min(28,
+      (math.log(360.0 / minDistDeg) / math.log(2.0)).floor.toInt))
+    df.withColumn("__cell", graft.functions.cell_encode(col(lonCol), col(latCol), res))
+      .groupBy(col("__cell").as("cell"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_points"))
+  }
+}

@@ -161,7 +161,17 @@ object StackQueries {
         dist_to(col("x"), col("y"), bx0, by0).as("d_sw"),
         dist_to(col("x"), col("y"), bx1, by1).as("d_ne")): _*)
         .where(col("row") % 13L === 0L && col("col") % 11L === 0L) // thin the output
-    })
+    }),
+
+    // scale(): exact two-phase standardization (raster.py:2532-2615) —
+    // the driver-side mean/std fold into literals, pointwise projection.
+    "q28_scale" -> ((s, _) => {
+      stack(s).select(Seq("b1", "b2")).scale().df
+    }),
+
+    // head(): first 10x20 window peek (raster.py:625-635).
+    "q29_head" -> ((s, _) =>
+      graft.operators.StackIO.head(stack(s)).select("row", "col", "b1", "b7"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -283,6 +293,18 @@ object StackQueries {
          | SQRT(($x - $bx0) * ($x - $bx0) + ($y - $by0) * ($y - $by0)) AS d_sw,
          | SQRT(($x - $bx1) * ($x - $bx1) + ($y - $by1) * ($y - $by1)) AS d_ne
          |FROM $pixSql WHERE row % 13 = 0 AND col % 11 = 0""".stripMargin
-    }
+    },
+
+    "q28_scale" -> {
+      def z(n: String) =
+        s"($n - st.${n}_s / st.${n}_c) / SQRT((st.${n}_ss - st.${n}_s * st.${n}_s / st.${n}_c) / st.${n}_c) AS $n"
+      s"""SELECT row, col, ${z("b1")}, ${z("b2")}
+         |FROM $pixSql, (SELECT SUM(b1) AS b1_s, COUNT(b1) AS b1_c, SUM(b1*b1) AS b1_ss,
+         |                      SUM(b2) AS b2_s, COUNT(b2) AS b2_c, SUM(b2*b2) AS b2_ss
+         |               FROM $pixSql) st""".stripMargin
+    },
+
+    "q29_head" ->
+      s"SELECT row, col, b1, b7 FROM $pixSql WHERE row < 10 AND col < 20"
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Polygon, PolygonSet}
+import graft.operators.{Points, StackIO}
+import graft.queries.StackQueries
+
+class IOSpec extends AnyFunSuite with SparkSpec {
+
+  lazy val st = StackQueries.stack(spark).select(Seq("b1", "b2"))
+
+  test("write/read round-trip: nodata sentinel materializes and re-masks (tests/test_write.py analogue)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_write").toString + "/stack"
+    StackIO.write(st, path, dtype = "int")
+    val back = StackIO.read(spark, path, st.meta, st.layers, StackIO.nodataFor("int"))
+    // identical valid counts and values after round trip
+    val before = st.df.agg(count(col("b1")), sum(col("b1")), count(col("b2"))).collect()(0)
+    val after = back.df.agg(count(col("b1")), sum(col("b1")), count(col("b2"))).collect()(0)
+    assert(before === after)
+    // layout is tile-partitioned (partition pruning surface)
+    assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("tile=")))
+  }
+
+  test("head/tail windows (raster.py:625-635)") {
+    assert(StackIO.head(st).count() === 200)
+    assert(StackIO.tail(st).count() === 200)
+    val h = StackIO.head(st).select("row", "col").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(h.head === ((0L, 0L)))
+    assert(h.forall { case (r, c) => r < 10 && c < 20 })
+  }
+
+  test("toLocal caps at maxPixels via strided decimation (raster.py:2104-2160)") {
+    val rows = StackIO.toLocal(st, maxPixels = 5000)
+    assert(rows.length <= 5000 && rows.length > 1000)
+  }
+
+  test("random point in polygon: deterministic, contained (vector.py:42-61)") {
+    val p = Polygon(0, Array((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (5.0, 5.0), (0.0, 10.0)))
+    val (x, y) = Points.randomPointInPolygon(p, seed = 42)
+    assert(p.contains(x, y))
+    assert(Points.randomPointInPolygon(p, 42) === ((x, y)))
+    assert(Points.randomPointInPolygon(p, 43) !== ((x, y)))
+  }
+
+  test("filter_points exact: complete-linkage semantics (vector.py:7-39)") {
+    // two tight clusters + one loner
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 0.1, 0.0), (3L, 0.0, 0.1), // cluster A
+      (10L, 5.0, 5.0), (11L, 5.1, 5.0),               // cluster B
+      (20L, 9.0, 9.0))                                 // loner
+    val keptFirst = Points.filterPointsExact(pts, minDist = 0.5, keep = "first")
+    assert(keptFirst.sorted === Seq(1L, 10L, 20L))
+    val keptLast = Points.filterPointsExact(pts, minDist = 0.5, keep = "last")
+    assert(keptLast.sorted === Seq(3L, 11L, 20L))
+    // complete linkage: chain 0 -.4- .4 -.4- .8: max pairwise 0.8 > 0.5 -> NOT merged into one
+    val chain = Seq((1L, 0.0, 0.0), (2L, 0.4, 0.0), (3L, 0.8, 0.0))
+    assert(Points.filterPointsExact(chain, minDist = 0.5).size === 2)
+  }
+
+  test("filter_points cell-snap keeps min id per cell, never two points in one cell") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0, 10.0), (2L, 10.001, 10.001), (3L, 50.0, -20.0))
+      .toDF("id", "lon", "lat")
+    val kept = Points.filterPointsCellSnap(df, "id", "lon", "lat", minDistDeg = 0.1)
+      .collect().map(r => r.getLong(1)).sorted
+    assert(kept === Array(1L, 3L))
+  }
+}
