@@ -73,6 +73,7 @@ object Bench {
 
     // ---- per-query timings on the driver's sf dir -----------------------
     val s0 = session(cpus)
+    SparkEntry.entry(s0).count() // session warm-up (codegen, parquet reader)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = time { try fn(s0, sfDir).count() catch { case _: Throwable => -1L } }
       name -> t

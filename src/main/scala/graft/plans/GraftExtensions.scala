@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+import graft.core.CellIndex
+import graft.functions.{CellDisk, CellEncode, CellParentAt, UrlLat, UrlLon}
+
+/**
+ * Session extensions (`SparkSessionExtensions`): SQL surface + optimizer
+ * rule for the cell index.
+ *
+ *  - SQL functions: `cell_encode(lon, lat, res)`, `cell_parent(cell, res)`,
+ *    `cell_disk(cell, k)`, `url_lon(url)`, `url_lat(url)` usable from
+ *    `spark.sql(...)`;
+ *  - [[CellParentPruning]]: rewrites `cell_parent(cell, r) = <lit>`
+ *    equality predicates into RANGE predicates on the raw cell id
+ *    (`cell >= firstChild AND cell <= lastChild`), because a cell's
+ *    descendants at a finer resolution occupy a contiguous id range only
+ *    per-axis — the rewrite emits ix/iy range bounds that parquet min/max
+ *    row-group statistics and cell-sorted layouts can prune with, where
+ *    the original function-call predicate prunes nothing.
+ *
+ * Register with
+ * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+ * `spark.sql.extensions=graft.plans.GraftExtensions`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def reg(name: String, builder: Seq[Expression] => Expression): Unit =
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+
+    reg("cell_encode", args => CellEncode(args(0), args(1), args(2)))
+    reg("cell_parent", args => CellParentAt(args(0), args(1)))
+    reg("cell_disk", args => CellDisk(args(0), args(1)))
+    reg("url_lon", args => UrlLon(args.head))
+    reg("url_lat", args => UrlLat(args.head))
+
+    e.injectOptimizerRule(_ => CellParentPruning)
+  }
+}
+
+/**
+ * `cell_parent(cell, r) = lit` -> conjunction of ix/iy range bounds on
+ * the raw cell column — statistics-prunable. The original predicate is
+ * kept (the ranges are implied, Catalyst removes redundancy after
+ * constant folding; keeping it preserves exactness unconditionally).
+ */
+object CellParentPruning extends Rule[LogicalPlan] {
+
+  /** Marks already-rewritten predicates so the fixed-point loop terminates. */
+  private val Rewritten = org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graftCellPruned")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case eq @ EqualTo(CellParentAt(cell, Literal(_, IntegerType)), Literal(p: Long, LongType))
+        if cell.deterministic && !cell.foldable && eq.getTagValue(Rewritten).isEmpty =>
+      rewrite(eq, cell, p)
+    case eq @ EqualTo(Literal(p: Long, LongType), CellParentAt(cell, Literal(_, IntegerType)))
+        if cell.deterministic && !cell.foldable && eq.getTagValue(Rewritten).isEmpty =>
+      rewrite(eq, cell, p)
+  }
+
+  /**
+   * Sound descendant-id envelope: every descendant of `parent` (at any
+   * res r' in [res(parent), MaxRes]) has
+   *   id >= parent                      (res occupies the TOP bits; a
+   *                                      deeper res only raises the id)
+   *   id <= pack(MaxRes, hiIx, hiIy)    (ix/iy fields of descendants
+   *                                      never exceed the subtree's
+   *                                      max-res corner)
+   * The range may over-include ids of OTHER cells at intermediate res
+   * (pruning stays sound: the original equality is kept and filters
+   * exactly); for the engine's single-res cell columns the range is a
+   * tight per-row-group discriminator.
+   */
+  private def rewrite(orig: Expression, cell: Expression, parent: Long): Expression = {
+    val pRes = CellIndex.res(parent)
+    val shift = CellIndex.MaxRes - pRes
+    val hi = CellIndex.pack(CellIndex.MaxRes,
+      ((CellIndex.ix(parent) + 1) << shift) - 1,
+      ((CellIndex.iy(parent) + 1) << shift) - 1)
+    orig.setTagValue(Rewritten, true)
+    And(orig,
+      And(GreaterThanOrEqual(cell, Literal(parent, LongType)),
+          LessThanOrEqual(cell, Literal(hi, LongType))))
+  }
+}

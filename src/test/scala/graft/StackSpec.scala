@@ -127,6 +127,22 @@ class StackSpec extends AnyFunSuite with SparkSpec {
     assert(fill.join(lines, Seq("row", "col"), "left_anti").count() === 0)
   }
 
+  test("extract_vector(polygons) golden: frozen row count + per-band means (extracted_pixels.txt analogue)") {
+    // the reference asserts GRASS-extracted row counts and per-band means
+    // (tests/test_extract.py:63-87); ours are frozen from the
+    // deterministic fixture the same way
+    val ex = Extract.vector(st, Fixtures.Polys)
+    val r = ex.agg(
+      count(lit(1)).as("n"),
+      sum(col("b1")).as("s1"), count(col("b1")).as("c1"),
+      sum(col("b7")).as("s7"), count(col("b7")).as("c7")).collect()(0)
+    assert(r.getLong(0) === 130735L, "row count drifted")
+    val meanB1 = r.getDouble(1) / r.getLong(2)
+    val meanB7 = r.getDouble(3) / r.getLong(4)
+    assert(math.abs(meanB1 - 127.50250205215634) < 1e-9, s"b1 mean drifted: $meanB1")
+    assert(math.abs(meanB7 - 113.00512245751675) < 1e-9, s"b7 mean drifted: $meanB7")
+  }
+
   test("rasterize matches scalar center-in-polygon for a concave polygon") {
     val p = Polygon(0, Array((-50.0, -20.0), (10.0, -20.0), (10.0, 30.0), (-20.0, 5.0), (-50.0, 30.0)))
     val set = PolygonSet(IndexedSeq(p))
