@@ -96,7 +96,11 @@ object SparkEntry {
       val stack = RasterStack.stack(s, G)
         .withColumnRenamed("row", "grow").withColumnRenamed("col", "gcol")
         .drop("x", "y")
-      probes.join(stack, Seq("grow", "gcol"), "left_outer")
+      // probe side broadcast (right_outer keeps probe-outer semantics);
+      // streaming side = the big pixel table (see Extract.xy)
+      stack.join(broadcast(probes), Seq("grow", "gcol"), "right_outer")
+        .select(col("doc_id"), col("grow"), col("gcol"),
+          col("b1"), col("b2"), col("b3"), col("b4"), col("b5"), col("b7"))
     }),
 
     // Cover-cells PIP join (the scale path): one row per (page, polygon).

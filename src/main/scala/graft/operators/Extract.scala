@@ -20,11 +20,20 @@ object Extract {
    * extract_by_chunk raster.py:2510-2530). Spark's hash join replaces
    * the reference's hand-rolled block-partitioned chunk loop.
    */
-  def xy(stack: Stack, probes: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def xy(stack: Stack, probes: DataFrame, xCol: String, yCol: String,
+         broadcastProbes: Boolean = true): DataFrame = {
     val p = probes
       .withColumn("row", grid_row(col(xCol), col(yCol), stack.meta))
       .withColumn("col", grid_col(col(xCol), col(yCol), stack.meta))
-    p.join(stack.df, Seq("row", "col"), "left_outer")
+    // Build side = the PROBES (usually the small side): stream the pixel
+    // table, broadcast the probes, keep probe-outer semantics via
+    // right_outer. With broadcastProbes=false (both sides big) Spark
+    // plans a shuffle join on (row, col) — co-partitioned when the stack
+    // is tile-bucketed.
+    if (broadcastProbes)
+      stack.df.join(broadcast(p), Seq("row", "col"), "right_outer")
+        .select(p.columns.map(col) ++ stack.layers.map(col): _*)
+    else p.join(stack.df, Seq("row", "col"), "left_outer")
   }
 
   /**

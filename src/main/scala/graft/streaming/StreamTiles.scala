@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.GridMeta
+import graft.functions._
+
+/**
+ * Streaming tile assignment. The reference is a pure batch library
+ * (SURVEY.md §2.9), so this is an ENGINE EXTENSION, not a ported
+ * operator: the same cell/tile Catalyst expressions applied to a
+ * Structured Streaming source — arriving pages/events get point
+ * geometry, cell and tile ids, and flow into watermarked event-time
+ * windows. State is bounded by the watermark; the aggregation key
+ * (window, tile/cell) is exactly the batch rollup key, so streaming and
+ * batch results are union-compatible (lambda-free architecture).
+ */
+object StreamTiles {
+
+  /**
+   * Assign cell + tile to a (possibly streaming) DataFrame carrying an
+   * id column; pure projections — works identically on batch and
+   * streaming frames.
+   */
+  def assign(df: DataFrame, idCol: String, g: GridMeta, res: Int,
+             th: Int = 64, tw: Int = 64): DataFrame = {
+    val withPoint = graft.sources.Pages.withIdPoint(df, idCol)
+    withPoint
+      .withColumn("cell", cell_encode(col("lon"), col("lat"), res))
+      .withColumn("grow", grid_row(col("lon"), col("lat"), g))
+      .withColumn("gcol", grid_col(col("lon"), col("lat"), g))
+      .withColumn("tile",
+        when(in_bounds(col("grow"), col("gcol"), g), tile_id(col("grow"), col("gcol"), g, th, tw))
+          .otherwise(-1L))
+      .drop("grow", "gcol")
+  }
+
+  /**
+   * Watermarked sliding-window rollup per tile: late data beyond
+   * `watermark` is dropped, state expires with the watermark.
+   */
+  def windowedTileCounts(events: DataFrame, tsCol: String, idCol: String,
+                         g: GridMeta, res: Int,
+                         windowLen: String = "10 minutes",
+                         slide: String = "10 minutes",
+                         watermark: String = "30 minutes"): DataFrame =
+    assign(events, idCol, g, res)
+      .withColumn(tsCol, col(tsCol).cast("timestamp")) // NTZ -> event-time type
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col("tile"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("value_sum"))
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GridMeta
+import graft.streaming.StreamTiles
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  val G: GridMeta = GridMeta.TestGrid
+
+  test("streaming tile rollup over the events table == the same rollup run in batch") {
+    val dir = sf("")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    spark.read.parquet(s"$dir/events.parquet").write.parquet(s"$tmp/in")
+
+    val streaming = StreamTiles.windowedTileCounts(
+      spark.readStream.schema(schema).parquet(s"$tmp/in"),
+      "ts", "event_id", G, res = 8)
+    val q = streaming.writeStream.outputMode("complete")
+      .format("memory").queryName("tiles_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window.start").cast("long").as("ws"), col("tile"),
+        col("n_events"), col("value_sum"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+
+    val got = keyed(spark.table("tiles_out"))
+    val batch = keyed(StreamTiles.windowedTileCounts(
+      spark.read.parquet(s"$tmp/in"), "ts", "event_id", G, res = 8))
+
+    assert(got.nonEmpty)
+    assert(got.keySet === batch.keySet)
+    // counts identical; double sums agree to fp tolerance (agg order differs)
+    got.foreach { case (k, (n, s)) =>
+      assert(batch(k)._1 === n)
+      assert(math.abs(batch(k)._2 - s) < 1e-6)
+    }
+  }
+
+  test("assign is stream-safe: pure projection; every event gets a cell, oob points tile=-1") {
+    val dir = sf("")
+    val assigned = StreamTiles.assign(
+      spark.read.parquet(s"$dir/events.parquet"), "event_id", G, res = 8)
+    assert(assigned.columns.contains("cell") && assigned.columns.contains("tile"))
+    assert(assigned.where(col("cell").isNull).count() === 0)
+    assert(assigned.where(col("tile") === -1L).count() > 0)
+  }
+}
