@@ -100,13 +100,19 @@ final case class Stack(df: DataFrame, meta: GridMeta, layers: Seq[String]) {
    * broadcast R-tree PIP predicate over pixel centers — the semi/anti
    * join of SURVEY.md §2.2 expressed as a projection.
    */
-  def mask(shapes: PolygonSet, invert: Boolean = false): Stack = {
+  def mask(shapes: PolygonSet, invert: Boolean = false, cropToShapes: Boolean = false): Stack = {
     val x = grid_x(col("row"), col("col"), meta)
     val y = grid_y(col("row"), col("col"), meta)
     val inside = SpatialJoin.containsAny(x, y, shapes)
     val keep = if (invert) !inside else inside
     val masked = layers.foldLeft(df)((d, n) => d.withColumn(n, when(keep, col(n))))
-    Stack(masked, meta, layers)
+    val out = Stack(masked, meta, layers)
+    // reference default crop=True trims to the union extent (forced off
+    // when invert, raster.py:1411-1413)
+    if (cropToShapes && !invert) {
+      val boxes = shapes.polys.map(_.bbox)
+      out.crop(boxes.map(_._1).min, boxes.map(_._2).min, boxes.map(_._3).max, boxes.map(_._4).max)
+    } else out
   }
 
   /**
@@ -148,6 +154,10 @@ final case class Stack(df: DataFrame, meta: GridMeta, layers: Seq[String]) {
       case "max" => max
       case "sum" => sum
       case "count" => c => count(c).cast("double")
+      case "median" => c => percentile_approx(c, lit(0.5), lit(10000))
+      case "mode" => mode
+      case "q1" => c => percentile_approx(c, lit(0.25), lit(10000))
+      case "q3" => c => percentile_approx(c, lit(0.75), lit(10000))
     }
     val out = df.groupBy(orow.as("row"), ocol.as("col"))
       .agg(fn(L(layers.head)).as(layers.head),

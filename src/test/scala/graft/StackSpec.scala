@@ -143,6 +143,24 @@ class StackSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(meanB7 - 113.00512245751675) < 1e-9, s"b7 mean drifted: $meanB7")
   }
 
+  test("mask(cropToShapes) trims the grid to the union extent (reference crop=True)") {
+    val m = st.mask(Fixtures.Polys, cropToShapes = true)
+    assert(m.meta.width < G.width && m.meta.height < G.height)
+    assert(m.df.count() === m.meta.cells)
+    // valid count unchanged by the crop (all inside-pixels are within the union bbox)
+    val cropped = m.df.agg(count(col("b1"))).collect()(0).getLong(0)
+    val uncropped = st.mask(Fixtures.Polys).df.agg(count(col("b1"))).collect()(0).getLong(0)
+    assert(cropped === uncropped)
+  }
+
+  test("aggregate median/mode resampling modes") {
+    val med = st.aggregate(16, 20, "median")
+    assert(med.df.count() === 320)
+    val mo = st.aggregate(16, 20, "mode")
+    assert(mo.df.count() === 320)
+    assert(mo.df.where(col("b1").isNotNull).count() > 0)
+  }
+
   test("rasterize matches scalar center-in-polygon for a concave polygon") {
     val p = Polygon(0, Array((-50.0, -20.0), (10.0, -20.0), (10.0, 30.0), (-20.0, 5.0), (-50.0, 30.0)))
     val set = PolygonSet(IndexedSeq(p))
