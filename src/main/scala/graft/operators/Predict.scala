@@ -101,6 +101,39 @@ object Predict {
     df.withColumn("pred_raw_0", when(anyNull(cols), lit(null)).otherwise(scored).cast("double"))
   }
 
+  /** Multi-target scorer (reference multioutput regression, raster.py:1112-1130). */
+  trait MultiPredictor extends Serializable {
+    def numTargets: Int
+    def predictMulti(features: Array[Double]): Array[Double]
+  }
+
+  /** One linear head per target — deterministic multi-target fixture. */
+  final case class MultiLinearModel(heads: Array[LinearModel]) extends MultiPredictor {
+    override def numTargets: Int = heads.length
+    override def predictMulti(x: Array[Double]): Array[Double] = heads.map(_.predict(x))
+  }
+
+  /**
+   * predict() with a multi-target estimator: n output layers
+   * `pred_raw_0..n-1` (naming raster.py:1209-1211), same masking rule.
+   */
+  def predictMulti(df: DataFrame, features: Seq[String], model: MultiPredictor,
+                   constantsList: Seq[Double] = Nil,
+                   constantsMap: Map[String, Double] = Map.empty): DataFrame = {
+    val (_, cols) = applyConstants(features, constantsList, constantsMap)
+    val scored: Seq[Column] = model match {
+      case MultiLinearModel(heads) => // codegen fast path: one Column per head
+        heads.toSeq.map(_.column(cols))
+      case m =>
+        val u = udf((xs: Seq[Double]) => m.predictMulti(xs.toArray).toSeq)
+        val arr = u(array(cols.map(c => coalesce(c, lit(0.0))): _*))
+        (0 until m.numTargets).map(i => element_at(arr, i + 1))
+    }
+    scored.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"pred_raw_$i", when(anyNull(cols), lit(null)).otherwise(c).cast("double"))
+    }
+  }
+
   /** predict_proba(): k probability layers `prob_0..k-1` (raster.py:1015-1025). */
   def predictProba(df: DataFrame, features: Seq[String], model: ProbPredictor,
                    indexes: Seq[Int] = Nil): DataFrame = {

@@ -171,7 +171,16 @@ object StackQueries {
 
     // head(): first 10x20 window peek (raster.py:625-635).
     "q29_head" -> ((s, _) =>
-      graft.operators.StackIO.head(stack(s)).select("row", "col", "b1", "b7"))
+      graft.operators.StackIO.head(stack(s)).select("row", "col", "b1", "b7")),
+
+    // multi-target predict: n output layers pred_raw_0..n-1 (raster.py:1112-1130).
+    "q40_predict_multi" -> ((s, _) => {
+      val m = Predict.MultiLinearModel(Array(
+        Predict.LinearModel(Array(0.3, -0.2, 0.1, 0.05, -0.15, 0.25), 10.0),
+        Predict.LinearModel(Array(-0.1, 0.4, -0.05, 0.2, 0.1, -0.3), -5.0)))
+      Predict.predictMulti(stack(s).df, NcBands.map(_.name), m)
+        .select("row", "col", "pred_raw_0", "pred_raw_1")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -305,6 +314,20 @@ object StackQueries {
     },
 
     "q29_head" ->
-      s"SELECT row, col, b1, b7 FROM $pixSql WHERE row < 10 AND col < 20"
+      s"SELECT row, col, b1, b7 FROM $pixSql WHERE row < 10 AND col < 20",
+
+    "q40_predict_multi" -> {
+      def acc(ws: Seq[Double], bias: Double) = {
+        val a = NcBands.zip(ws).foldLeft("0.0") { case (a, (b, w)) =>
+          s"($a + ${graft.sources.OracleLit.d(w)} * ${b.name})"
+        }
+        s"($a + ${graft.sources.OracleLit.d(bias)})"
+      }
+      val anyNull = NcBands.map(_.name + " IS NULL").mkString(" OR ")
+      s"""SELECT row, col,
+         | CASE WHEN $anyNull THEN NULL ELSE ${acc(Seq(0.3, -0.2, 0.1, 0.05, -0.15, 0.25), 10.0)} END AS pred_raw_0,
+         | CASE WHEN $anyNull THEN NULL ELSE ${acc(Seq(-0.1, 0.4, -0.05, 0.2, 0.1, -0.3), -5.0)} END AS pred_raw_1
+         |FROM $pixSql""".stripMargin
+    }
   )
 }
