@@ -96,9 +96,10 @@ object SparkEntry {
       val stack = RasterStack.stack(s, G)
         .withColumnRenamed("row", "grow").withColumnRenamed("col", "gcol")
         .drop("x", "y")
-      // probe side broadcast (right_outer keeps probe-outer semantics);
-      // streaming side = the big pixel table (see Extract.xy)
-      stack.join(broadcast(probes), Seq("grow", "gcol"), "right_outer")
+      // outer-preserving probe broadcast: inner BHJ (build = probes,
+      // stream = pixel table) ∪ anti-join remainder with null layers
+      val layers = Seq("b1", "b2", "b3", "b4", "b5", "b7")
+      graft.operators.Extract.probeOuterBroadcast(stack, probes, Seq("grow", "gcol"), layers)
         .select(col("doc_id"), col("grow"), col("gcol"),
           col("b1"), col("b2"), col("b3"), col("b4"), col("b5"), col("b7"))
     }),

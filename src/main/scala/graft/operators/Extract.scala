@@ -26,14 +26,34 @@ object Extract {
       .withColumn("row", grid_row(col(xCol), col(yCol), stack.meta))
       .withColumn("col", grid_col(col(xCol), col(yCol), stack.meta))
     // Build side = the PROBES (usually the small side): stream the pixel
-    // table, broadcast the probes, keep probe-outer semantics via
-    // right_outer. With broadcastProbes=false (both sides big) Spark
-    // plans a shuffle join on (row, col) — co-partitioned when the stack
-    // is tile-bucketed.
+    // table once via the outer-preserving broadcast union below. With
+    // broadcastProbes=false (both sides big) Spark plans a shuffle join
+    // on (row, col) — co-partitioned when the stack is tile-bucketed.
     if (broadcastProbes)
-      stack.df.join(broadcast(p), Seq("row", "col"), "right_outer")
-        .select(p.columns.map(col) ++ stack.layers.map(col): _*)
+      probeOuterBroadcast(stack.df, p, Seq("row", "col"), stack.layers)
     else p.join(stack.df, Seq("row", "col"), "left_outer")
+  }
+
+  /**
+   * Probe-outer join that actually broadcasts the probes. Spark cannot
+   * build the PRESERVED (probe) side of an outer join — a broadcast hint
+   * on `probes` in a right/left-outer join is silently dropped
+   * (HintErrorLogger) and degrades to a shuffle of the big side. The
+   * outer-preserving plan is: INNER `big ⋈ broadcast(probes)` (streams
+   * the big table, zero shuffle) unioned with the unmatched probes
+   * carrying typed null layers. The inner result is probe-sized (grid
+   * keys are unique in the pixel table), so it is persisted and the
+   * matched-key set for the anti join is derived from it — the big table
+   * is scanned exactly once.
+   */
+  def probeOuterBroadcast(big: DataFrame, probes: DataFrame, keys: Seq[String],
+                          layerCols: Seq[String]): DataFrame = {
+    val inner = big.join(broadcast(probes), keys).persist()
+    val matched = inner.select(keys.map(col): _*).distinct()
+    val nulls = layerCols.map(n => lit(null).cast(big.schema(n).dataType).as(n))
+    val remainder = probes.join(broadcast(matched), keys, "left_anti")
+    inner.select(probes.columns.map(col) ++ layerCols.map(col): _*)
+      .unionByName(remainder.select(probes.columns.map(col) ++ nulls: _*))
   }
 
   /**

@@ -8,18 +8,23 @@ import graft.core.CellIndex
 import graft.functions._
 
 /**
- * Exact k-nearest-neighbor join with the north star's two-stage
- * cell-neighbor expansion (reference KNNTransformer,
- * transformers.py:10-283):
+ * Exact k-nearest-neighbor join with the north star's cell-neighbor
+ * ring-expansion (reference KNNTransformer, transformers.py:10-283):
  *
- *  stage 1 — probes explode their 3x3 cell disk at `res` and equi-join
- *  training points on cell id (shuffle on cell id; broadcast if train is
- *  small). Per probe, rank candidates by (dist, trainId).
+ *  each LEVEL — pending probes explode their 3x3 cell disk at the
+ *  current resolution and equi-join training points on cell id (shuffle
+ *  keyed by cell id — the training set is never broadcast or
+ *  cross-joined). Per probe, rank candidates by (dist, trainId).
  *
- *  stage 2 — a probe's top-k is EXACT iff its kth distance fits inside
- *  the disk's planar safety margin (distance from the probe to the disk
- *  edge). The (typically tiny) remainder re-runs against the full
- *  training set (broadcast nested-loop), guaranteeing exactness.
+ *  a probe's top-k is EXACT iff it found >= k candidates AND its kth
+ *  distance fits inside the disk's planar safety margin (distance from
+ *  the probe to the disk edge). Unresolved probes retry TWO resolution
+ *  levels coarser (cell side x4, disk span x4) — the ring-widening the
+ *  SURVEY §2.3 plan calls for. At res 0 the disk is the whole world, so
+ *  every probe resolves: exactness is guaranteed in <= ceil(res/2)+1
+ *  rounds with only cell-keyed shuffles, no matter how large the
+ *  training table is (the round-1 full-train broadcast fallback OOMs a
+ *  real cluster once train exceeds executor memory).
  *
  * Metric: planar Euclidean on (lon, lat) — matches the reference's
  * minkowski(p=2) on projected coordinates. Ranking ties break by
@@ -34,59 +39,68 @@ object KNN {
   def join(probes: DataFrame, probeId: String, pLon: String, pLat: String,
            train: DataFrame, tLon: String, tLat: String, tId: String,
            k: Int, res: Int): DataFrame = {
-    val cw = CellIndex.cellWidthDeg(res)
-    val ch = CellIndex.cellHeightDeg(res)
-
-    val t = train.withColumn("__tcell", cell_encode(col(tLon), col(tLat), res))
-    val p = probes
-      .withColumn("__cell", cell_encode(col(pLon), col(pLat), res))
-      .withColumn("__tcell", explode(cell_disk(col("__cell"), 1)))
-
     val dist = sqrt(
       (col(pLon) - col(tLon)) * (col(pLon) - col(tLon)) +
       (col(pLat) - col(tLat)) * (col(pLat) - col(tLat)))
-
-    val cand = p.join(t, Seq("__tcell")).withColumn("__dist", dist)
     val w = Window.partitionBy(col(probeId)).orderBy(col("__dist"), col(tId))
-    val ranked = cand
-      .withColumn("__rank", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(probeId))))
-      .where(col("__rank") <= k)
+    val wp = Window.partitionBy(col(probeId))
 
-    // planar distance from the probe to the edge of its 3x3 disk: the
-    // disk spans [ (ix-1)*cw, (ix+2)*cw ) x [ (iy-1)*ch, (iy+2)*ch )
-    val ix = fdiv(floor((col(pLon) + 180.0) / cw), 1L) // floor as long
-    val iy = fdiv(floor((col(pLat) + 90.0) / ch), 1L)
-    val lonIn = col(pLon) + 180.0
-    val latIn = col(pLat) + 90.0
-    val n = 1L << res
-    val margin = least(
-      when(ix - 1 < 0, lit(Double.PositiveInfinity)).otherwise(lonIn - (ix - 1).cast("double") * cw),
-      when(ix + 2 > n, lit(Double.PositiveInfinity)).otherwise((ix + 2).cast("double") * cw - lonIn),
-      when(iy - 1 < 0, lit(Double.PositiveInfinity)).otherwise(latIn - (iy - 1).cast("double") * ch),
-      when(iy + 2 > n, lit(Double.PositiveInfinity)).otherwise((iy + 2).cast("double") * ch - latIn))
+    /** One level: ranked 3x3-disk candidates at `resL` + exactness flag. */
+    def stage(pending: DataFrame, resL: Int): DataFrame = {
+      val cw = CellIndex.cellWidthDeg(resL)
+      val ch = CellIndex.cellHeightDeg(resL)
+      val n = 1L << resL
+      val t = train.withColumn("__tcell", cell_encode(col(tLon), col(tLat), resL))
+      val p = pending
+        .withColumn("__cell", cell_encode(col(pLon), col(pLat), resL))
+        // array_distinct: gridDisk wraps in lon, so at coarse levels
+        // (n <= 3 cells across) the 3x3 disk repeats cells — duplicates
+        // would double-count candidates and corrupt row_number ranks
+        .withColumn("__tcell", explode(array_distinct(cell_disk(col("__cell"), 1))))
+      val cand = p.join(t, Seq("__tcell")).withColumn("__dist", dist)
+      // planar distance from the probe to the edge of its 3x3 disk: the
+      // disk spans [ (ix-1)*cw, (ix+2)*cw ) x [ (iy-1)*ch, (iy+2)*ch );
+      // world-clipped edges are unbounded (no training point lies beyond)
+      val ix = fdiv(floor((col(pLon) + 180.0) / cw), 1L) // floor as long
+      val iy = fdiv(floor((col(pLat) + 90.0) / ch), 1L)
+      val lonIn = col(pLon) + 180.0
+      val latIn = col(pLat) + 90.0
+      val margin = least(
+        when(ix - 1 < 0, lit(Double.PositiveInfinity)).otherwise(lonIn - (ix - 1).cast("double") * cw),
+        when(ix + 2 > n, lit(Double.PositiveInfinity)).otherwise((ix + 2).cast("double") * cw - lonIn),
+        when(iy - 1 < 0, lit(Double.PositiveInfinity)).otherwise(latIn - (iy - 1).cast("double") * ch),
+        when(iy + 2 > n, lit(Double.PositiveInfinity)).otherwise((iy + 2).cast("double") * ch - latIn))
+      cand
+        .withColumn("__rank", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wp))
+        .where(col("__rank") <= k)
+        .withColumn("__kth", max(col("__dist")).over(wp))
+        .withColumn("__safe",
+          // at res 0 the single world cell IS the disk -> always exact
+          if (resL == 0) lit(true) else col("__n") >= k && col("__kth") <= margin)
+    }
 
-    val kth = Window.partitionBy(col(probeId))
-    val marked = ranked
-      .withColumn("__kth", max(col("__dist")).over(kth))
-      .withColumn("__safe", col("__n") >= k && col("__kth") <= margin)
-
-    val safeRows = marked.where(col("__safe"))
-      .drop("__tcell", "__cell", "__n", "__kth", "__safe")
-
-    // stage 2: unresolved probes -> exact brute force vs broadcast train
-    val unsafeProbes = probes.join(
-      marked.where(!col("__safe")).select(col(probeId)).distinct()
-        .union(probes.select(col(probeId))
-          .except(marked.select(col(probeId)).distinct())), // probes with ZERO stage-1 candidates
-      Seq(probeId), "left_semi")
-
-    val brute = unsafeProbes.crossJoin(broadcast(t.drop("__tcell")))
-      .withColumn("__dist", dist)
-      .withColumn("__rank", row_number().over(w))
-      .where(col("__rank") <= k)
-
-    safeRows.unionByName(brute)
+    var pending = probes
+    var resL = res
+    val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var done = false
+    while (!done) {
+      // persisted: the level's candidate window feeds BOTH the output
+      // branch and the next level's pending derivation — the same size
+      // class the window sort materializes anyway
+      val marked = stage(pending, resL).persist()
+      acc += marked.where(col("__safe"))
+        .drop("__tcell", "__cell", "__n", "__kth", "__safe")
+      if (resL == 0) done = true
+      else {
+        val safeIds = marked.where(col("__safe")).select(col(probeId)).distinct()
+        // probes with ZERO candidates at this level have no marked rows
+        // and stay pending via the anti join
+        pending = pending.join(safeIds, Seq(probeId), "left_anti").persist()
+        if (pending.isEmpty) done = true else resL = math.max(0, resL - 2)
+      }
+    }
+    acc.reduce(_ unionByName _)
   }
 
   /**

@@ -82,7 +82,14 @@ object Predict {
     (features ++ extraNames, base ++ constantsList.map(lit))
   }
 
-  private def anyNull(cols: Seq[Column]): Column = cols.map(_.isNull).reduce(_ || _)
+  /**
+   * The reference copies flat_pixels_mask BEFORE constants are stacked
+   * (_prediction.py:94-104): the mask always comes from the ORIGINAL
+   * raster features — a feature overridden by `constants` still masks
+   * pixels where that raster layer was null.
+   */
+  private def maskAnyNull(features: Seq[String]): Column =
+    features.map(col(_).isNull).reduce(_ || _)
 
   /**
    * predict(): one output layer `pred_raw_0` (naming: raster.py:1209-1211),
@@ -98,7 +105,7 @@ object Predict {
         val u = udf((xs: Seq[Double]) => m.predict(xs.toArray))
         u(array(cols.map(c => coalesce(c, lit(0.0))): _*)) // masked inputs fill 0 like the reference (_prediction.py:94-104)
     }
-    df.withColumn("pred_raw_0", when(anyNull(cols), lit(null)).otherwise(scored).cast("double"))
+    df.withColumn("pred_raw_0", when(maskAnyNull(features), lit(null)).otherwise(scored).cast("double"))
   }
 
   /** Multi-target scorer (reference multioutput regression, raster.py:1112-1130). */
@@ -130,7 +137,7 @@ object Predict {
         (0 until m.numTargets).map(i => element_at(arr, i + 1))
     }
     scored.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      d.withColumn(s"pred_raw_$i", when(anyNull(cols), lit(null)).otherwise(c).cast("double"))
+      d.withColumn(s"pred_raw_$i", when(maskAnyNull(features), lit(null)).otherwise(c).cast("double"))
     }
   }
 
@@ -139,7 +146,7 @@ object Predict {
                    indexes: Seq[Int] = Nil): DataFrame = {
     val (_, cols) = applyConstants(features)
     val u = udf((xs: Seq[Double]) => m2(model, xs))
-    val withArr = df.withColumn("__p", when(anyNull(cols), lit(null))
+    val withArr = df.withColumn("__p", when(maskAnyNull(features), lit(null))
       .otherwise(u(array(cols.map(c => coalesce(c, lit(0.0))): _*))))
     val classes = if (indexes.nonEmpty) indexes else 0 until model.numClasses
     classes.foldLeft(withArr) { (d, i) =>
@@ -156,7 +163,7 @@ object Predict {
    * the codegen-friendly analogue of the reference's schema-probing.
    */
   def applyColumns(df: DataFrame, outputs: Seq[(String, Column)], maskOn: Seq[String]): DataFrame = {
-    val m = anyNull(maskOn.map(col))
+    val m = maskAnyNull(maskOn)
     outputs.foldLeft(df) { case (d, (n, c)) =>
       d.withColumn(n, when(m, lit(null)).otherwise(c).cast("double"))
     }

@@ -158,6 +158,8 @@ final case class Stack(df: DataFrame, meta: GridMeta, layers: Seq[String]) {
       case "mode" => mode
       case "q1" => c => percentile_approx(c, lit(0.25), lit(10000))
       case "q3" => c => percentile_approx(c, lit(0.75), lit(10000))
+      case other => throw new IllegalArgumentException(
+        s"unsupported aggregation '$other' (expected avg|min|max|sum|count|median|mode|q1|q3)")
     }
     val out = df.groupBy(orow.as("row"), ocol.as("col"))
       .agg(fn(L(layers.head)).as(layers.head),

@@ -73,8 +73,11 @@ object ScaleQueries {
       val ix = s"CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT)"
       val iy = s"CAST(FLOOR((lat + 90.0) / 180.0 * $n) AS BIGINT)"
       val coarse = s"(${CoarseRes.toLong * 288230376151711744L} + ($ix // 128) * 536870912 + ($iy // 128))"
+      // CAST .. AS BIGINT: DuckDB SUM(BIGINT) yields HUGEINT (int128) —
+      // same values as Spark's BIGINT sum, different physical type, and
+      // the driver compare hashes bytes.
       s"""SELECT CAST($winner AS INT) AS poly_id, $coarse AS coarse_cell,
-         | COUNT(*) AS n, SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS qty_c
+         | COUNT(*) AS n, CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_c
          |FROM $pointsSql GROUP BY 1, 2""".stripMargin
     },
 

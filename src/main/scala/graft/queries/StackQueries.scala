@@ -140,7 +140,10 @@ object StackQueries {
         (col("b1") + col("b2")).as("b_add"),
         (col("b1") * 2.0 - col("b3")).as("mul_sub"),
         (col("b1") / when(col("b2") =!= 0.0, col("b2"))).as("b_ratio"),
-        abs(-col("b4")).as("abs_neg"),
+        // + 0.0 normalizes IEEE -0.0 to +0.0 on BOTH sides of the twin:
+        // DuckDB's ABS(-x) keeps the sign bit of a negated zero, Spark's
+        // abs clears it — the driver compare is bytewise, so -0.0 != +0.0.
+        (abs(-col("b4")) + lit(0.0)).as("abs_neg"),
         floor(col("b5") / 7.0).as("floor7"),
         mask_and(col("b1"), col("b2")).as("m_and"),
         mask_or(col("b1"), col("b2")).as("m_or"),
@@ -283,7 +286,7 @@ object StackQueries {
       s"""SELECT row, col,
          | b1 + b2 AS b_add, b1 * 2.0 - b3 AS mul_sub,
          | b1 / (CASE WHEN b2 <> 0.0 THEN b2 END) AS b_ratio,
-         | ABS(-b4) AS abs_neg, CAST(FLOOR(b5 / 7.0) AS BIGINT) AS floor7,
+         | ABS(-b4) + 0.0 AS abs_neg, CAST(FLOOR(b5 / 7.0) AS BIGINT) AS floor7,
          | CASE WHEN b1 IS NULL OR b2 IS NULL THEN NULL ELSE b1 END AS m_and,
          | COALESCE(b1, b2) AS m_or,
          | CASE WHEN b1 IS NOT NULL AND b2 IS NOT NULL THEN NULL ELSE COALESCE(b1, b2) END AS m_xor

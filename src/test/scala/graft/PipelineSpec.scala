@@ -34,6 +34,33 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("kNN ring widening: sparse train (stage 1 empty) resolves exactly with NO crossJoin/broadcast of train") {
+    import spark.implicits._
+    // 3 train points, far from most probes: every probe's 3x3 disk at
+    // res 8 is empty -> the join must widen levels until it certifies
+    // exact top-2, never falling back to a train-side cross join
+    val probes = Seq((1L, -170.0, -80.0), (2L, 10.0, 5.0), (3L, 169.0, 79.0))
+      .toDF("pid", "plon", "plat")
+    val train = Seq((10L, 0.31, 0.17), (11L, 0.32, 0.18), (12L, 150.0, -60.0))
+      .toDF("tid", "tlon", "tlat")
+    val knn = KNN.join(probes, "pid", "plon", "plat", train, "tlon", "tlat", "tid", 2, 8)
+    val plan = knn.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(600))
+    val got = knn.select("pid", "__rank", "tid").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.size === 6) // 3 probes x top-2
+    val ts = Seq((10L, 0.31, 0.17), (11L, 0.32, 0.18), (12L, 150.0, -60.0))
+    for ((pid, plon, plat) <- Seq((1L, -170.0, -80.0), (2L, 10.0, 5.0), (3L, 169.0, 79.0))) {
+      val top = ts.map { case (tid, tlon, tlat) =>
+        (math.sqrt((plon - tlon) * (plon - tlon) + (plat - tlat) * (plat - tlat)), tid)
+      }.sorted.take(2)
+      top.zipWithIndex.foreach { case ((_, tid), i) =>
+        assert(got((pid, i + 1)) === tid, s"probe $pid rank ${i + 1}")
+      }
+    }
+  }
+
   test("kNN distance-weighted mean handles zero-distance coincident neighbors") {
     import spark.implicits._
     val probes = Seq((1L, 0.0, 0.0)).toDF("pid", "plon", "plat")

@@ -79,4 +79,24 @@ class SpatialJoinSpec extends AnyFunSuite with SparkSpec {
       .select(col("doc_id"), md5(col("text").cast("binary")).as("m2"))
     assert(raw.join(piped, "doc_id").where(col("m") =!= col("m2")).count() === 0)
   }
+
+  test("probeOuterBroadcast: broadcast-only plan (no shuffle join), probe-outer semantics") {
+    import graft.operators.{Extract, Stack}
+    val st = Stack(graft.sources.RasterStack.stack(spark, SparkEntry.G).drop("x", "y"),
+      SparkEntry.G, graft.sources.RasterStack.NcBands.map(_.name))
+    // probes: some in-bounds, some out-of-bounds (must survive with null layers)
+    val probes = pages.select(col("doc_id"), col("lon"), col("lat"))
+    val out = Extract.xy(st, probes, "lon", "lat")
+    val expected = Extract.xy(st, probes, "lon", "lat", broadcastProbes = false)
+    // identical result to the plain left-outer shuffle join (Row equality
+    // handles the null layers an anti-join would mis-compare)
+    val cols = (Seq("doc_id", "row", "col") ++ st.layers).map(col)
+    assert(out.select(cols: _*).collect().toSet === expected.select(cols: _*).collect().toSet)
+    // plan: the pixel side streams through BroadcastHashJoins only —
+    // Spark cannot build the preserved side of an outer join, so the
+    // round-1 broadcast hint on right_outer silently degraded to shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan.take(800))
+  }
 }
