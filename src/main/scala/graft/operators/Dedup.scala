@@ -34,21 +34,34 @@ object Dedup {
   }
 
   /**
-   * n-gram Jaccard near-dup pairs: candidates bucketed by text prefix
-   * (cheap blocking), verified with exact shingle-set Jaccard.
+   * n-gram Jaccard near-dup pairs: candidate pairs come from the MinHash
+   * LSH BANDS (the same banded equi-join as [[minhashLsh]] — shuffle key
+   * is (band, band_key), never pairwise), each candidate then VERIFIED
+   * with the exact shingle-set Jaccard. Round-1 used prefix-of-text
+   * blocking, which goes quadratic on web boilerplate (shared "<html>…"
+   * prefixes) and misses near-dups differing in the first bytes; MinHash
+   * bands are the standard corpus-scale blocking key. Candidates are
+   * deduped as BARE ID PAIRS before the shingle arrays are re-attached,
+   * so shingles cross the wire once, not once per matching band.
    * Returns (id_a, id_b, inter, uni, jaccard) for pairs over `threshold`.
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   w: Int = 3, threshold: Double = 0.5, prefixLen: Int = 24): DataFrame = {
-    // persist: otherwise CollapseProject inlines the shingle expression
-    // into the self-join and recomputes it PER CANDIDATE PAIR
-    val withSh = df.select(col(idCol).as("id"), col(textCol).as("t"))
-      .withColumn("sh", shingles(col("t"), w))
-      .withColumn("bucket", substring(col("t"), 1, prefixLen))
-      .persist()
-    val a = withSh.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withSh.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+                   w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // persist: otherwise CollapseProject inlines the shingle/signature
+    // expressions into both sides of the self-join — recomputed per pair
+    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh")).persist()
+    val sig = withSh.select(col("id"), minhashFromShingles(col("sh")).as("sig")).persist()
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        bi => concat_ws(",", (1 to 4).map(r => element_at(col("sig"), bi * 4 + r)): _*))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "band_key")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
@@ -71,8 +84,12 @@ object Dedup {
    * (`transform` over a 1-element wrapper) so the 16 hash functions
    * share them instead of re-hashing — 16x less md5 work.
    */
-  def minhashSignature(text: Column, w: Int = 3): Column = {
-    val ids = transform(shingles(text, w), s => shingleId(s))
+  def minhashSignature(text: Column, w: Int = 3): Column =
+    minhashFromShingles(shingles(text, w))
+
+  /** Signature from a precomputed shingle-array column. */
+  def minhashFromShingles(sh: Column): Column = {
+    val ids = transform(sh, s => shingleId(s))
     element_at(transform(array(ids), idsV =>
       array(MinhashParams.map { case (a, b) =>
         array_min(transform(idsV, x => (lit(a) * x + lit(b)) % 2147483648L))

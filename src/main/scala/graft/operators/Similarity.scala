@@ -93,19 +93,26 @@ object Similarity {
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String,
               isQuery: Column, k: Int, nPlanes: Int, dim: Int,
               nTables: Int = 3): DataFrame = {
-    val bucketed = vecs.select(
-      col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
+    // base holds the vectors + norms ONCE (persisted: the norm fold must
+    // not re-inline); everything that shuffles — the (table, bucket)
+    // self-join and the candidate-pair distinct — carries BARE IDS only.
+    // Vectors are re-attached to the deduped pairs afterwards, so each
+    // embedding crosses the wire once, not once per matching table.
+    val base = vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
+      isQuery.as("__isq")).persist()
+    val bucketed = base.select(col(idCol), col("__isq"),
       posexplode(array((0 until nTables).map(t =>
         tableBucket(col(vecCol), t, nPlanes, dim)): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-      .persist()
-    val q = bucketed.where(isQuery)
-      .select(col("tbl"), col("bucket"), col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
-    val c = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("nbr_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
+    val q = bucketed.where(col("__isq")).select(col("tbl"), col("bucket"), col(idCol).as("query_id"))
+    val c = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("nbr_id"))
     val pairs = q.join(c, Seq("tbl", "bucket")).where(col("query_id") =!= col("nbr_id"))
-      .select("query_id", "qv", "qn", "nbr_id", "cv", "cn").distinct()
+      .select("query_id", "nbr_id").distinct()
+    val qv = base.select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
+    val cv = base.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
-    pairs.withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    pairs.join(qv, Seq("query_id")).join(cv, Seq("nbr_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select("query_id", "rnk", "nbr_id", "cos")

@@ -204,14 +204,68 @@ final case class Stack(df: DataFrame, meta: GridMeta, layers: Seq[String]) {
 
   /**
    * Stratified sample: `size` pixels PER category of the strata layer
-   * (raster.py:2244-2287) — per-stratum ranking window.
+   * (raster.py:2244-2287, without replacement).
+   *
+   * Scale path: a bare `Window.partitionBy(stratum).orderBy(hash)` sorts
+   * each stratum in ONE task — a straggler at 10^12 rows. Instead, an
+   * adaptive per-stratum hash THRESHOLD pre-filters to ~8·size survivors
+   * (the sample hash is uniform on [0, 2^31)); because the filter keeps a
+   * PREFIX of the (hash, key) order, whenever >= size rows survive the
+   * survivor top-`size` IS the global top-`size` bit-for-bit, and the
+   * window only ever sorts O(size) rows per stratum. Strata where the
+   * threshold under-selected (probability ~ e^-size·ln2·…, astronomically
+   * small — but the contract is exactness) re-rank over the full data.
    */
   def sampleStrata(strata: DataFrame, size: Int, seed: Long): DataFrame = {
     val key = col("row") * meta.width.toLong + col("col")
     val noNull = layers.map(L(_).isNotNull).reduce(_ && _)
     val joined = df.where(noNull).join(strata, Seq("row", "col"))
+    val h = sample_hash(key, seed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("__h"), key)
+    val counts = joined.groupBy(col("stratum")).agg(count(lit(1)).as("__cnt"))
+    // keep ~8x the needed rows per stratum; cnt <= 8·size => keep all
+    val thresh = least(lit(2147483648L),
+      idiv(lit(size.toLong * 8L * 2147483648L), col("__cnt")) + lit(1L))
+    val survivors = joined.join(broadcast(counts), Seq("stratum"))
+      .withColumn("__h", h).where(col("__h") < thresh).drop("__cnt")
+      .persist()
+    val ranked = survivors.withColumn("__rn", row_number().over(w))
+    val deficient = survivors.groupBy(col("stratum")).agg(count(lit(1)).as("__got"))
+      .where(col("__got") < size).select("stratum")
+    val fallback = joined.join(broadcast(deficient), Seq("stratum"), "left_semi")
+      .withColumn("__h", h).withColumn("__rn", row_number().over(w))
+    ranked.join(broadcast(deficient), Seq("stratum"), "left_anti")
+      .unionByName(fallback)
+      .where(col("__rn") <= size).drop("__rn", "__h")
+  }
+
+  /**
+   * Stratified sample WITH replacement — the reference's actual draw
+   * semantics (raster.py:2244-2287 uses np.random with replacement):
+   * `size` independent seeded draws per stratum; draw `i` of stratum `s`
+   * selects the row ranked `lcg(s·1000003 + i, seed) mod cnt` in the
+   * stratum's (hash, key) order. Output carries `draw_idx`; a row drawn
+   * twice appears twice. The picks relation is `n_strata × size` rows
+   * (tiny, broadcast); rank selection needs a per-stratum ordering — at
+   * 10^12 rows a distributed selection (per-partition histograms) would
+   * replace the window, the join shape stays the same.
+   */
+  def sampleStrataWithReplacement(strata: DataFrame, size: Int, seed: Long): DataFrame = {
+    val key = col("row") * meta.width.toLong + col("col")
+    val noNull = layers.map(L(_).isNotNull).reduce(_ && _)
+    val joined = df.where(noNull).join(strata, Seq("row", "col"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("stratum")).orderBy(sample_hash(key, seed), key)
-    joined.withColumn("__rn", row_number().over(w)).where(col("__rn") <= size).drop("__rn")
+    val counts = joined.groupBy(col("stratum")).agg(count(lit(1)).as("__cnt"))
+    val picks = counts
+      .withColumn("draw_idx", explode(sequence(lit(0), lit(size - 1))))
+      .withColumn("__target",
+        sample_hash(col("stratum").cast("long") * lit(1000003L) + col("draw_idx"), seed)
+          % col("__cnt") + lit(1L))
+      .select(col("stratum").as("__ps"), col("draw_idx"), col("__target"))
+    joined.withColumn("__rn", row_number().over(w).cast("long"))
+      .join(broadcast(picks), col("stratum") === col("__ps") && col("__rn") === col("__target"))
+      .drop("__ps", "__rn", "__target")
   }
 }

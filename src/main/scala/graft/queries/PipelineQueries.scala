@@ -42,6 +42,29 @@ object PipelineQueries {
   private def vecs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /**
+   * Embeddings with planted NEAR-DUPLICATE vectors: every 10th vector is
+   * copied (id + 1000000) with its first component scaled by 1.25 —
+   * cosine stays ~1 (>> the 0.9 threshold) so q38 verifies real rows
+   * (round 1's q38 was vacuously green: 0 rows on both sides). The
+   * perturbation is exact in both engines: float -> double is exact,
+   * x * 1.25 adds 2 mantissa bits (24+2 <= 53), and the cast back to
+   * float rounds-to-nearest identically.
+   */
+  private def vecsNear(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    v.unionByName(v.where(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding", transform(col("embedding"),
+        (x, i) => when(i === 0, (x.cast("double") * lit(1.25)).cast("float")).otherwise(x))))
+  }
+  private val vecsNearSql =
+    """(SELECT vec_id, embedding FROM embeddings
+      | UNION ALL SELECT vec_id + 1000000,
+      |   [CASE WHEN i = 1 THEN CAST(CAST(embedding[i] AS DOUBLE) * CAST('1.25' AS DOUBLE) AS FLOAT)
+      |         ELSE embedding[i] END for i in range(1, 65)]
+      | FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash group-by, keep smallest id.
@@ -84,9 +107,9 @@ object PipelineQueries {
       Similarity.lshTopK(vecs(s, dir), "vec_id", "embedding",
         col("vec_id") % 25 === 0, k = 10, nPlanes = 4, dim = Dim, nTables = 3)),
 
-    // Embedding-cosine near-duplicate pairs.
+    // Embedding-cosine near-duplicate pairs (planted near-dups above).
     "q38_near_dup_embed" -> ((s, dir) =>
-      Similarity.nearDupPairs(vecs(s, dir), "vec_id", "embedding",
+      Similarity.nearDupPairs(vecsNear(s, dir), "vec_id", "embedding",
         threshold = 0.9, nPlanes = 4, dim = Dim)),
 
     // Multimodal plumbing: binary payload frame stats; the batched
@@ -122,14 +145,24 @@ object PipelineQueries {
       s"SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp FROM documents",
 
     "q33_jaccard_pairs" -> {
-      s"""WITH c AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM $corpusNearSql),
-         | withsh AS (SELECT doc_id, substr(text, 1, 24) AS bucket,
-         |   ${Dedup.shinglesSql("ws", 3)} AS sh FROM c)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      // candidates = MinHash band collisions (mirrors Dedup.jaccardPairs'
+      // banded blocking), verified by exact shingle Jaccard
+      val sig = Dedup.minhashSignatureSql("ws", 3)
+      val bandEq = (0 until 4).map { bi =>
+        val ka = (1 to 4).map(r => s"CAST(sa.sig[${bi * 4 + r}] AS VARCHAR)").mkString(" || ',' || ")
+        val kb = (1 to 4).map(r => s"CAST(sb.sig[${bi * 4 + r}] AS VARCHAR)").mkString(" || ',' || ")
+        s"($ka) = ($kb)"
+      }.mkString(" OR ")
+      s"""WITH c AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $corpusNearSql),
+         | withsh AS (SELECT doc_id, ${Dedup.shinglesSql("ws", 3)} AS sh FROM c),
+         | sigs AS (SELECT doc_id, $sig AS sig FROM c)
+         |SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
          |  len(list_intersect(a.sh, b.sh)) AS inter,
          |  len(list_distinct(list_concat(a.sh, b.sh))) AS uni,
          |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-         |FROM withsh a JOIN withsh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id AND ($bandEq)
+         |JOIN withsh a ON a.doc_id = sa.doc_id
+         |JOIN withsh b ON b.doc_id = sb.doc_id
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.4""".stripMargin
     },
 
@@ -180,7 +213,7 @@ object PipelineQueries {
     "q38_near_dup_embed" -> {
       val cos = Similarity.cosineSql("a.va", "b.vb", Dim)
       val bq = Similarity.lshBucketSql("embedding", 4, Dim)
-      s"""WITH bk AS (SELECT vec_id, embedding, $bq AS bucket FROM embeddings)
+      s"""WITH bk AS (SELECT vec_id, embedding, $bq AS bucket FROM $vecsNearSql)
          |SELECT a.id_a, b.id_b, $cos AS cos
          |FROM (SELECT bucket, vec_id AS id_a, embedding AS va FROM bk) a
          |JOIN (SELECT bucket, vec_id AS id_b, embedding AS vb FROM bk) b

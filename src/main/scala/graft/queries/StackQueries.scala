@@ -97,6 +97,13 @@ object StackQueries {
         .select("row", "col", "stratum", "b1")
     }),
 
+    // Stratified sample WITH replacement (raster.py:2244-2287 draws with
+    // replacement; q13 covers the without-replacement contract).
+    "q43_sample_replacement" -> ((s, _) => {
+      stack(s).sampleStrataWithReplacement(RasterStack.strata(s, G), 25, seed = 13)
+        .select("row", "col", "stratum", "draw_idx", "b1")
+    }),
+
     // predict(): linear model, null where any input null (_prediction.py:101-112).
     "q14_predict" -> ((s, _) => {
       val m = Predict.LinearModel(Array(0.3, -0.2, 0.1, 0.05, -0.15, 0.25), 10.0)
@@ -241,6 +248,23 @@ object StackQueries {
          |   ROW_NUMBER() OVER (PARTITION BY (col * 6 // ${G.width}) ORDER BY $h, $key) AS rn
          | FROM $pixSql WHERE ${NcBands.map(_.name + " IS NOT NULL").mkString(" AND ")}
          |) WHERE rn <= 20""".stripMargin
+    },
+
+    "q43_sample_replacement" -> {
+      val key = s"(row * ${G.width} + col)"
+      val h = s"((($key * 1103515245 + 13) % 2147483648) * 69069 + 12345) % 2147483648"
+      val pick = "(((((stratum * 1000003 + i) * 1103515245 + 13) % 2147483648) * 69069 + 12345) % 2147483648)"
+      s"""WITH v AS (
+         | SELECT row, col, CAST(col * 6 // ${G.width} AS INT) AS stratum, b1,
+         |   ROW_NUMBER() OVER (PARTITION BY (col * 6 // ${G.width}) ORDER BY $h, $key) AS rn,
+         |   COUNT(*) OVER (PARTITION BY (col * 6 // ${G.width})) AS cnt
+         | FROM $pixSql WHERE ${NcBands.map(_.name + " IS NOT NULL").mkString(" AND ")}),
+         |picks AS (
+         | SELECT s.stratum, CAST(t.i AS INT) AS draw_idx,
+         |   $pick % s.cnt + 1 AS target
+         | FROM (SELECT DISTINCT stratum, cnt FROM v) s, range(0, 25) t(i))
+         |SELECT v.row, v.col, v.stratum, p.draw_idx, v.b1
+         |FROM v JOIN picks p ON p.stratum = v.stratum AND v.rn = p.target""".stripMargin
     },
 
     "q14_predict" -> {

@@ -104,6 +104,19 @@ class StackSpec extends AnyFunSuite with SparkSpec {
     assert(counts.values.forall(_ === 10L))
   }
 
+  test("stratified sample with replacement: `size` draws per stratum, deterministic, valid pixels only") {
+    val s = st.sampleStrataWithReplacement(RasterStack.strata(spark, G), 15, seed = 3)
+    val counts = s.groupBy("stratum").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set(0, 1, 2, 3, 4, 5))
+    assert(counts.values.forall(_ === 15L)) // draws, not distinct rows
+    // deterministic across plans
+    val again = st.sampleStrataWithReplacement(RasterStack.strata(spark, G), 15, seed = 3)
+    assert(s.select("row", "col", "stratum", "draw_idx").collect().toSet ===
+      again.select("row", "col", "stratum", "draw_idx").collect().toSet)
+    // all drawn pixels have every layer valid
+    assert(s.where(st.layers.map(col(_).isNull).reduce(_ || _)).count() === 0)
+  }
+
   test("predict constants: dict overrides a feature, unknown key errors (_prediction.py:5-58)") {
     val m = Predict.LinearModel(Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0), 0.0)
     val d = Predict.predict(st.df, st.layers, m, constantsMap = Map("b1" -> 99.0))
