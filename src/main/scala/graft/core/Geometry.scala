@@ -61,6 +61,20 @@ object Polygon {
 }
 
 /**
+ * Open polyline (LineString) — the reference's line-geometry extraction
+ * input (raster.py:2435-2455 rasterizes LineStrings with
+ * all_touched=True; golden shape tests/test_extract.py:97). Unlike a
+ * Polygon ring, the vertex chain is NOT closed: segments run between
+ * consecutive points only.
+ */
+final case class Polyline(id: Int, pts: IndexedSeq[(Double, Double)]) {
+  require(pts.length >= 2, "a polyline needs at least 2 points")
+  /** Consecutive (x0, y0, x1, y1) segments — no closing edge. */
+  def segments: Iterator[(Double, Double, Double, Double)] =
+    pts.iterator.sliding(2).withPartial(false).map { s => (s(0)._1, s(0)._2, s(1)._1, s(1)._2) }
+}
+
+/**
  * Immutable broadcastable polygon layer with a lazily-built STR-packed
  * R-tree — the "broadcast R-tree per partition" of the north star: the
  * set ships with the serialized plan, and the tree is built once per

@@ -65,14 +65,28 @@ object Extract {
     labels.where(col("value").isNotNull).join(stack.df, Seq("row", "col"))
 
   /**
-   * extract_vector(polygons/lines): rasterize-then-join (reference
-   * raster.py:2435-2455) — geometries burn onto the grid (pixel-CENTER
-   * rule for fills, supercover `all_touched` for boundaries), overlap
+   * extract_vector(polygons): rasterize-then-join (reference
+   * raster.py:2435-2455) — geometries burn onto the grid, overlap
    * tie-break LAST-GEOMETRY-WINS, then an inner join gathers the layer
    * values. Output carries (row, col, poly_id, layers...).
+   *
+   * Default allTouched = true matches the reference: its rasterize call
+   * ALWAYS passes all_touched=True (raster.py:2442-2448), i.e. center
+   * fill PLUS every pixel the boundary passes through. allTouched=false
+   * gives the bare pixel-center rule (rasterio's default burn).
    */
-  def vector(stack: Stack, polys: PolygonSet, allTouched: Boolean = false): DataFrame =
+  def vector(stack: Stack, polys: PolygonSet, allTouched: Boolean = true): DataFrame =
     Rasterize(stack.df.sparkSession, polys, stack.meta, allTouched).join(stack.df, Seq("row", "col"))
+
+  /**
+   * extract_vector(LineStrings): supercover-rasterize each open polyline
+   * (the reference rasterizes lines with all_touched=True,
+   * raster.py:2442-2448; golden tests/test_extract.py:97), last-wins on
+   * overlap, inner-join the stack. Output carries (row, col, line_id,
+   * layers...).
+   */
+  def lines(stack: Stack, ls: Seq[graft.core.Polyline]): DataFrame =
+    Rasterize.lines(stack.df.sparkSession, ls, stack.meta).join(stack.df, Seq("row", "col"))
 }
 
 /**
@@ -98,6 +112,23 @@ object Rasterize {
       (fill ++ touched).map { case (r, c) => (r, c, id) }
     }.toDF("row", "col", "poly_id")
     burned.groupBy("row", "col").agg(max(col("poly_id")).as("poly_id"))
+  }
+
+  /**
+   * Supercover rasterization of open polylines — one task per line,
+   * Amanatides-Woo walk per segment (all-touched), last-wins max(id).
+   */
+  def lines(spark: SparkSession, ls: Seq[graft.core.Polyline], meta: GridMeta): DataFrame = {
+    import spark.implicits._
+    require(meta.b == 0.0 && meta.d == 0.0, "rasterize requires a north-up grid")
+    val ids = spark.createDataset(ls.map(_.id))
+      .repartition(math.min(math.max(ls.size, 1), 32))
+    val burned = ids.flatMap { id =>
+      val l = ls.find(_.id == id).get
+      l.segments.flatMap { case (x0, y0, x1, y1) => segment(x0, y0, x1, y1, meta) }
+        .map { case (r, c) => (r, c, id) }
+    }.toDF("row", "col", "line_id")
+    burned.groupBy("row", "col").agg(max(col("line_id")).as("line_id"))
   }
 
   /** Pixels whose CENTER is inside the polygon (even-odd over all rings). */

@@ -52,6 +52,57 @@ object Warp {
    * the target grid. The join is a plain equi-join on source (row, col)
    * — shuffle-free probe side when the source stack is bucketed by tile.
    */
+  /**
+   * Bilinear warp (raster.py:1711-1866 exposes rasterio's resamplers;
+   * nearest stays the default — q23). Each target pixel samples the 4
+   * source pixel CENTERS around its back-projected position; the output
+   * is the fixed-order weighted sum, NULL when any contributing neighbor
+   * is missing or masked (edge pixels and nodata holes propagate — the
+   * engine's nodata rule for interpolating resamplers).
+   *
+   * Physical shape: explode the 4 corner keys per target pixel (tags
+   * 0..3), ONE left-outer equi-join against the source stack, then a
+   * conditional-aggregation gather back to one row per target pixel —
+   * the source is scanned once (vs. 4 separate corner joins), and both
+   * shuffles are plain hash partitionings that tile-bucketed storage
+   * co-locates.
+   */
+  def bilinear(stack: Stack, target: GridMeta, crs: CrsTransform): Stack = {
+    val m = stack.meta
+    val spark = stack.df.sparkSession
+    val tgt = graft.sources.RasterStack.grid(spark, target)
+      .withColumn("__tx", grid_x(col("row"), col("col"), target))
+      .withColumn("__ty", grid_y(col("row"), col("col"), target))
+      .withColumn("__sx", crs.sourceX(col("__tx"), col("__ty")))
+      .withColumn("__sy", crs.sourceY(col("__tx"), col("__ty")))
+      .withColumn("__gx", (col("__sx") - lit(m.c)) / lit(m.a) - lit(0.5))
+      .withColumn("__gy", (col("__sy") - lit(m.f)) / lit(m.e) - lit(0.5))
+      .withColumn("__c0", floor(col("__gx")).cast("long"))
+      .withColumn("__r0", floor(col("__gy")).cast("long"))
+      .withColumn("__wx", col("__gx") - col("__c0").cast("double"))
+      .withColumn("__wy", col("__gy") - col("__r0").cast("double"))
+    val exploded = tgt
+      .withColumn("__tag", explode(array((0 to 3).map(t => lit(t)): _*)))
+      .withColumn("__srow", col("__r0") + idiv(col("__tag").cast("long"), lit(2L)))
+      .withColumn("__scol", col("__c0") + col("__tag").cast("long") % lit(2L))
+    val src = stack.df.select(
+      (Seq(col("row").as("__srow"), col("col").as("__scol")) ++ stack.layers.map(col)): _*)
+    val joined = exploded.join(src, Seq("__srow", "__scol"), "left_outer")
+    val gathers = stack.layers.flatMap(n => (0 to 3).map(t =>
+      max(when(col("__tag") === t, col(n))).as(s"__${n}_$t")))
+    val agg = joined.groupBy(col("row"), col("col"), col("__wx"), col("__wy"))
+      .agg(gathers.head, gathers.tail: _*)
+    val out = stack.layers.foldLeft(agg) { (d, n) =>
+      val v = (0 to 3).map(t => col(s"__${n}_$t"))
+      val anyNull = v.map(_.isNull).reduce(_ || _)
+      val wx = col("__wx"); val wy = col("__wy")
+      val interp = (lit(1.0) - wy) * ((lit(1.0) - wx) * v(0) + wx * v(1)) +
+        wy * ((lit(1.0) - wx) * v(2) + wx * v(3))
+      d.withColumn(n, when(anyNull, lit(null)).otherwise(interp).cast("double"))
+    }
+    Stack(out.select((Seq("row", "col") ++ stack.layers).map(col): _*), target, stack.layers)
+  }
+
   def nearest(stack: Stack, target: GridMeta, crs: CrsTransform): Stack = {
     val spark = stack.df.sparkSession
     val tgt = graft.sources.RasterStack.grid(spark, target)

@@ -73,6 +73,13 @@ object GeoQueries {
       Warp.nearest(st, TargetG, Crs).df.select("row", "col", "b1", "b7")
     }),
 
+    // to_crs bilinear resampling: 4-corner gather, fixed-order weighted
+    // sum (raster.py:1711-1866, Resampling.bilinear).
+    "q42_warp_bilinear" -> ((s, _) => {
+      val st = StackQueries.stack(s).select(Seq("b1", "b4"))
+      Warp.bilinear(st, TargetG, Crs).df.select("row", "col", "b1", "b4")
+    }),
+
     // filter_points: min-distance dedup via cell-snap (vector.py:7-39;
     // divergence from complete-linkage documented in SURVEY.md §2.3).
     "q24_filter_points" -> ((s, dir) => {
@@ -113,6 +120,31 @@ object GeoQueries {
          |    ${RasterStack.NcBands.filter(b => Set("b1", "b7")(b.name)).map(b => RasterStack.bandSql("row", "col", b) + s" AS ${b.name}").mkString(", ")}
          |  FROM ${RasterStack.gridSql(G)}) g
          |ON g.row = t.srow AND g.col = t.scol""".stripMargin
+    },
+
+    "q42_warp_bilinear" -> {
+      import OracleLit.d
+      val tx = RasterStack.xSql(TargetG, "tcol"); val ty = RasterStack.ySql(TargetG, "trow")
+      val sx = Crs.sxSql(tx, ty); val sy = Crs.sySql(tx, ty)
+      val gx = s"(($sx - ${d(G.c)}) / ${d(G.a)} - 0.5)"
+      val gy = s"(($sy - ${d(G.f)}) / ${d(G.e)} - 0.5)"
+      def band(b: RasterStack.BandDef, r: String, c: String) = RasterStack.bandSql(r, c, b)
+      val pix = s"(SELECT row, col, ${Seq("b1", "b4").map(n => band(RasterStack.NcBands.find(_.name == n).get, "row", "col") + s" AS $n").mkString(", ")} FROM ${RasterStack.gridSql(G)})"
+      def interp(n: String) =
+        s"""CASE WHEN g00.$n IS NULL OR g01.$n IS NULL OR g10.$n IS NULL OR g11.$n IS NULL THEN NULL
+           |     ELSE (1.0 - wy) * ((1.0 - wx) * g00.$n + wx * g01.$n) + wy * ((1.0 - wx) * g10.$n + wx * g11.$n)
+           |END AS $n""".stripMargin
+      s"""SELECT t.trow AS row, t.tcol AS col, ${interp("b1")}, ${interp("b4")}
+         |FROM (SELECT trow, tcol, c0, r0, gx - CAST(c0 AS DOUBLE) AS wx, gy - CAST(r0 AS DOUBLE) AS wy
+         |      FROM (SELECT CAST(range // ${TargetG.width} AS BIGINT) AS trow,
+         |                   CAST(range % ${TargetG.width} AS BIGINT) AS tcol,
+         |                   $gx AS gx, $gy AS gy,
+         |                   CAST(FLOOR($gx) AS BIGINT) AS c0, CAST(FLOOR($gy) AS BIGINT) AS r0
+         |            FROM range(${TargetG.cells}))) t
+         |LEFT JOIN $pix g00 ON g00.row = t.r0 AND g00.col = t.c0
+         |LEFT JOIN $pix g01 ON g01.row = t.r0 AND g01.col = t.c0 + 1
+         |LEFT JOIN $pix g10 ON g10.row = t.r0 + 1 AND g10.col = t.c0
+         |LEFT JOIN $pix g11 ON g11.row = t.r0 + 1 AND g11.col = t.c0 + 1""".stripMargin
     },
 
     "q24_filter_points" -> {

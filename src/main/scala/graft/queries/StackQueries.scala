@@ -97,6 +97,11 @@ object StackQueries {
         .select("row", "col", "stratum", "b1")
     }),
 
+    // extract_vector(LineStrings): all-touched supercover walk + join
+    // (raster.py:2435-2455; golden shape tests/test_extract.py:97).
+    "q41_extract_lines" -> ((s, _) =>
+      Extract.lines(stack(s), Fixtures.Lines).select("row", "col", "line_id", "b1", "b4")),
+
     // Stratified sample WITH replacement (raster.py:2244-2287 draws with
     // replacement; q13 covers the without-replacement contract).
     "q43_sample_replacement" -> ((s, _) => {
@@ -133,8 +138,8 @@ object StackQueries {
         .select("row", "col", "value", "b1", "b2", "b7")
     }),
 
-    // extract_vector(polygons): rasterize (pixel-center, last-wins) + join
-    // (raster.py:2435-2455).
+    // extract_vector(polygons): rasterize (all_touched=True like the
+    // reference's rasterize call, last-wins) + join (raster.py:2435-2455).
     "q18_extract_polygons" -> ((s, _) => {
       Extract.vector(stack(s), Fixtures.Polys)
         .select("row", "col", "poly_id", "b1", "b4")
@@ -250,6 +255,58 @@ object StackQueries {
          |) WHERE rn <= 20""".stripMargin
     },
 
+    "q41_extract_lines" -> {
+      // The oracle REPLAYS the Amanatides-Woo supercover walk as a
+      // recursive CTE: identical IEEE doubles step-for-step (init tMax,
+      // += tDelta accumulation, < comparison), so the visited-cell set is
+      // bit-identical to Rasterize.segment's. Integer cells then burn
+      // last-wins and join the pixel relation.
+      import graft.sources.OracleLit.{d => dl}
+      val inf = "CAST('infinity' AS DOUBLE)"
+      s"""WITH RECURSIVE c1 AS (
+         | SELECT line_id,
+         |   (x0 - ${dl(G.c)}) / ${dl(G.a)} AS gx0, (y0 - ${dl(G.f)}) / ${dl(G.e)} AS gy0,
+         |   (x1 - ${dl(G.c)}) / ${dl(G.a)} AS gx1, (y1 - ${dl(G.f)}) / ${dl(G.e)} AS gy1
+         | FROM ${Fixtures.lineSegmentsValuesSql}),
+         |c2 AS (
+         | SELECT line_id, gx0, gy0, gx1 - gx0 AS dx, gy1 - gy0 AS dy,
+         |   CAST(FLOOR(gx0) AS BIGINT) AS cx0, CAST(FLOOR(gy0) AS BIGINT) AS cy0,
+         |   CAST(FLOOR(gx1) AS BIGINT) AS ex, CAST(FLOOR(gy1) AS BIGINT) AS ey
+         | FROM c1),
+         |c3 AS (
+         | SELECT line_id, cx0, cy0, ex, ey,
+         |   CASE WHEN dx > 0 THEN 1 WHEN dx < 0 THEN -1 ELSE 0 END AS stepx,
+         |   CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1 ELSE 0 END AS stepy,
+         |   CASE WHEN dx = 0 THEN $inf
+         |        ELSE (CAST(CASE WHEN dx > 0 THEN cx0 + 1 ELSE cx0 END AS DOUBLE) - gx0) / dx END AS tmx0,
+         |   CASE WHEN dy = 0 THEN $inf
+         |        ELSE (CAST(CASE WHEN dy > 0 THEN cy0 + 1 ELSE cy0 END AS DOUBLE) - gy0) / dy END AS tmy0,
+         |   CASE WHEN dx = 0 THEN $inf ELSE ABS(1.0 / dx) END AS tdx,
+         |   CASE WHEN dy = 0 THEN $inf ELSE ABS(1.0 / dy) END AS tdy,
+         |   ABS(ex - cx0) + ABS(ey - cy0) + 2 AS msteps
+         | FROM c2),
+         |walk AS (
+         | SELECT line_id, cx0 AS cx, cy0 AS cy, tmx0 AS tmx, tmy0 AS tmy,
+         |   CAST(0 AS BIGINT) AS steps, stepx, stepy, tdx, tdy, ex, ey, msteps
+         | FROM c3
+         | UNION ALL
+         | SELECT line_id,
+         |   CASE WHEN tmx < tmy THEN cx + stepx ELSE cx END,
+         |   CASE WHEN tmx < tmy THEN cy ELSE cy + stepy END,
+         |   CASE WHEN tmx < tmy THEN tmx + tdx ELSE tmx END,
+         |   CASE WHEN tmx < tmy THEN tmy ELSE tmy + tdy END,
+         |   steps + 1, stepx, stepy, tdx, tdy, ex, ey, msteps
+         | FROM walk
+         | WHERE NOT ((cx = ex AND cy = ey) OR steps > msteps)),
+         |burn AS (
+         | SELECT cy AS row, cx AS col, MAX(line_id) AS line_id
+         | FROM walk
+         | WHERE cy >= 0 AND cy < ${G.height} AND cx >= 0 AND cx < ${G.width}
+         | GROUP BY 1, 2)
+         |SELECT b.row, b.col, b.line_id, g.b1, g.b4
+         |FROM burn b JOIN $pixSql g ON g.row = b.row AND g.col = b.col""".stripMargin
+    },
+
     "q43_sample_replacement" -> {
       val key = s"(row * ${G.width} + col)"
       val h = s"((($key * 1103515245 + 13) % 2147483648) * 69069 + 12345) % 2147483648"
@@ -299,8 +356,22 @@ object StackQueries {
          |WHERE ${RasterStack.labelsSqlWhere("l.row", "l.col")}""".stripMargin,
 
     "q18_extract_polygons" -> {
+      // all_touched = center-inside OR boundary supercover. For the
+      // axis-aligned rect fixtures the Amanatides-Woo boundary walk
+      // reduces to the cell-space OUTLINE rectangle, whose corner cells
+      // are computed with the SAME (x - c)/a floor floats as the walker.
+      def boundarySql(r: Fixtures.Rect): String = {
+        val cx0 = math.floor((r.xmin - G.c) / G.a).toLong
+        val cx1 = math.floor((r.xmax - G.c) / G.a).toLong
+        val ry0 = math.floor((r.ymax - G.f) / G.e).toLong
+        val ry1 = math.floor((r.ymin - G.f) / G.e).toLong
+        val (cL, cR) = (math.min(cx0, cx1), math.max(cx0, cx1))
+        val (rT, rB) = (math.min(ry0, ry1), math.max(ry0, ry1))
+        s"(((row = $rT OR row = $rB) AND col BETWEEN $cL AND $cR)" +
+          s" OR ((col = $cL OR col = $cR) AND row BETWEEN $rT AND $rB))"
+      }
       val winner = Fixtures.Rects
-        .map(r => s"CASE WHEN ${Fixtures.rectSql(r, "x", "y")} THEN ${r.id} ELSE -1 END")
+        .map(r => s"CASE WHEN ${Fixtures.rectSql(r, "x", "y")} OR ${boundarySql(r)} THEN ${r.id} ELSE -1 END")
         .mkString("GREATEST(", ", ", ")")
       s"""SELECT row, col, $winner AS poly_id, b1, b4 FROM $pixXySql
          |WHERE $winner >= 0""".stripMargin

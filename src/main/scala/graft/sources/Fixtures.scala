@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.core.{Polygon, PolygonSet}
+import graft.core.{Polygon, PolygonSet, Polyline}
 
 /**
  * Deterministic vector fixtures (FIXTURES.md §2): a small polygon layer
@@ -39,6 +39,30 @@ object Fixtures {
   def winnerSql(lon: String = "lon", lat: String = "lat"): String =
     Rects.map(r => s"CASE WHEN ${rectSql(r, lon, lat)} THEN ${r.id} ELSE -1 END")
       .mkString("GREATEST(", ", ", ")")
+
+  /**
+   * Deterministic open-polyline layer for line extraction (reference
+   * tests/test_extract.py:97 extracts along nc LineStrings): mixed
+   * slopes — diagonal, multi-vertex bend, horizontal, vertical, one
+   * exiting the grid (out-of-bounds cells must be clipped), one steep.
+   * "Generic" decimals keep endpoints off exact cell boundaries.
+   */
+  val Lines: IndexedSeq[Polyline] = IndexedSeq(
+    Polyline(0, IndexedSeq((-100.3, -50.7), (-20.1, 10.3))),
+    Polyline(1, IndexedSeq((-10.7, 55.1), (30.3, -20.9), (80.1, 5.3))),
+    Polyline(2, IndexedSeq((-60.3, 22.7), (40.9, 22.7))),
+    Polyline(3, IndexedSeq((95.1, -58.3), (95.1, 40.7))),
+    Polyline(4, IndexedSeq((100.3, 30.1), (140.7, 55.9))),
+    Polyline(5, IndexedSeq((-115.9, 58.3), (-110.1, -59.1))))
+
+  /** Inline VALUES relation of the line SEGMENTS (consecutive pairs). */
+  def lineSegmentsValuesSql: String = {
+    import OracleLit.d
+    val rows = Lines.flatMap(l => l.segments.map { case (x0, y0, x1, y1) =>
+      s"(${l.id}, ${d(x0)}, ${d(y0)}, ${d(x1)}, ${d(y1)})"
+    })
+    rows.mkString("(SELECT * FROM (VALUES ", ", ", ") AS t(line_id, x0, y0, x1, y1))")
+  }
 
   /** Inline VALUES relation of the rect layer for join-shaped oracles. */
   def rectsValuesSql: String =

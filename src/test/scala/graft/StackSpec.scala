@@ -144,7 +144,7 @@ class StackSpec extends AnyFunSuite with SparkSpec {
     // the reference asserts GRASS-extracted row counts and per-band means
     // (tests/test_extract.py:63-87); ours are frozen from the
     // deterministic fixture the same way
-    val ex = Extract.vector(st, Fixtures.Polys)
+    val ex = Extract.vector(st, Fixtures.Polys, allTouched = false) // frozen center-fill kernel; default (all-touched) is oracle-checked by q18
     val r = ex.agg(
       count(lit(1)).as("n"),
       sum(col("b1")).as("s1"), count(col("b1")).as("c1"),
@@ -154,6 +154,18 @@ class StackSpec extends AnyFunSuite with SparkSpec {
     val meanB7 = r.getDouble(3) / r.getLong(4)
     assert(math.abs(meanB1 - 127.50250205215634) < 1e-9, s"b1 mean drifted: $meanB1")
     assert(math.abs(meanB7 - 113.00512245751675) < 1e-9, s"b7 mean drifted: $meanB7")
+  }
+
+  test("extract lines: supercover along open polylines, oob cells clipped, axis-aligned shapes") {
+    val ex = Extract.lines(st, Fixtures.Lines)
+    assert(ex.count() > 0)
+    assert(ex.where(col("row") < 0 || col("row") >= G.height ||
+      col("col") < 0 || col("col") >= G.width).count() === 0)
+    // horizontal L2 walks exactly one row; vertical L3 exactly one col
+    assert(ex.where(col("line_id") === 2).select("row").distinct().count() === 1L)
+    assert(ex.where(col("line_id") === 3).select("col").distinct().count() === 1L)
+    // L4 exits the grid at x=120: its cells stop at the right edge
+    assert(ex.where(col("line_id") === 4).count() > 0)
   }
 
   test("mask(cropToShapes) trims the grid to the union extent (reference crop=True)") {
