@@ -121,6 +121,19 @@ package object functions {
       when(c.isNull, lit(null)).otherwise(when(c === lit(v), 1).otherwise(0))
         .as(s"${name}_cat_$v"))
 
+  /**
+   * one_hot with AUTO category discovery — the reference's np.unique over
+   * the layer (preprocessing.py:35-38): one distinct() aggregation
+   * (map-side partial, tiny result) collected to the driver, then the
+   * plain [[one_hot]] projection. Null categories are excluded (the
+   * reference one-hots the valid data).
+   */
+  def one_hot_auto(df: org.apache.spark.sql.DataFrame, column: String, name: String): Seq[Column] = {
+    val cats = df.select(col(column)).where(col(column).isNotNull).distinct()
+      .collect().map(_.getAs[Number](0).longValue).sorted.toSeq
+    one_hot(col(column), name, cats)
+  }
+
   /** Rotated coordinate features x + tan(theta)*y for n angles in [0, 180) (preprocessing.py:114-157). */
   def rotated_coords(x: Column, y: Column, nAngles: Int): Seq[Column] = {
     (0 until nAngles).map { i =>

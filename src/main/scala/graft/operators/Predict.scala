@@ -168,4 +168,79 @@ object Predict {
       d.withColumn(n, when(m, lit(null)).otherwise(c).cast("double"))
     }
   }
+
+  /**
+   * A materialized batch of pixels for BLACK-BOX batch models — the Spark
+   * analogue of the reference's flattened (bands, h·w) block array
+   * (raster.py:1981-2102): parallel arrays, one inner array per feature,
+   * masked (null) inputs as NaN (the reference's masked fill).
+   */
+  final case class PixelBatch(rows: Array[Long], cols: Array[Long],
+                              features: Array[Array[Double]]) {
+    def size: Int = rows.length
+  }
+
+  /**
+   * apply(fn) over batch iterators — the black-box form of the
+   * reference's Raster.apply block function: per partition, pixels pack
+   * into PixelBatches of `batchSize` rows and the user function emits
+   * Encoder-typed results. One mapPartitions pass, no shuffle, batch
+   * shape independent of partitioning. Prefer [[applyColumns]] whenever
+   * the outputs are expressible as Columns (whole-stage codegen).
+   */
+  def applyBatch[T](df: DataFrame, features: Seq[String], batchSize: Int)
+                   (fn: PixelBatch => Iterator[T])
+                   (implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
+    val sel = df.select((Seq("row", "col") ++ features).map(col): _*)
+    val nf = features.length
+    sel.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { chunk =>
+        val n = chunk.size
+        val rows = new Array[Long](n); val cols = new Array[Long](n)
+        val feats = Array.ofDim[Double](nf, n)
+        var i = 0
+        chunk.foreach { r =>
+          rows(i) = r.getLong(0); cols(i) = r.getLong(1)
+          var j = 0
+          while (j < nf) {
+            feats(j)(i) = if (r.isNullAt(j + 2)) Double.NaN else r.getDouble(j + 2)
+            j += 1
+          }
+          i += 1
+        }
+        fn(PixelBatch(rows, cols, feats))
+      }
+    }
+  }
+
+  /**
+   * Fitted feature transformer for `alter` (reference raster.py:2617-2676
+   * applies a FITTED sklearn transformer to the layer matrix): maps the
+   * ordered layer columns to transformed Columns — the declared-Column
+   * (codegen) shape. Black-box transformers go through [[applyBatch]].
+   */
+  trait FittedTransformer extends Serializable {
+    def columns(layers: Seq[Column]): Seq[Column]
+  }
+
+  /** Fitted standard scaler: (x - mean_i) / std_i per layer. */
+  final case class FittedStandardScaler(means: Array[Double], stds: Array[Double])
+      extends FittedTransformer {
+    override def columns(layers: Seq[Column]): Seq[Column] =
+      layers.zipWithIndex.map { case (c, i) => (c - lit(means(i))) / lit(stds(i)) }
+  }
+
+  /**
+   * alter(transformer): every layer rewritten in place, names preserved
+   * (raster.py:2617-2676). A single select so cross-referencing
+   * transformers always read the ORIGINAL layer values.
+   */
+  def alter(stack: Stack, t: FittedTransformer): Stack = {
+    val outs = t.columns(stack.layers.map(col))
+    require(outs.length == stack.layers.length,
+      s"transformer returned ${outs.length} columns for ${stack.layers.length} layers")
+    val proj = Seq(col("row"), col("col")) ++
+      stack.layers.zip(outs).map { case (n, c) => c.cast("double").as(n) }
+    stack.copy(df = stack.df.select(proj: _*))
+  }
 }

@@ -103,6 +103,41 @@ object Warp {
     Stack(out.select((Seq("row", "col") ++ stack.layers).map(col): _*), target, stack.layers)
   }
 
+  /**
+   * Average-resampling warp (rasterio Resampling.average): every SOURCE
+   * pixel center forward-projects onto the target grid (`srcToTarget`)
+   * and pools into the target pixel it lands in; output = sum/count per
+   * target pixel, null where no valid source pixel landed. ONE hash-agg
+   * shuffle keyed by target (row, col) with map-side partial aggregation
+   * — the general-downscale path Stack.aggregate covers only for nested
+   * integer factors.
+   *
+   * Exactness: integral band values make the partial sums exact in any
+   * combine order; the single final division is then bit-reproducible
+   * (the engine-wide oracle rule for averages).
+   */
+  def average(stack: Stack, target: GridMeta, srcToTarget: CrsTransform): Stack = {
+    val m = stack.meta
+    val spark = stack.df.sparkSession
+    val proj = stack.df
+      .withColumn("__x", grid_x(col("row"), col("col"), m))
+      .withColumn("__y", grid_y(col("row"), col("col"), m))
+      .withColumn("__tx", srcToTarget.sourceX(col("__x"), col("__y")))
+      .withColumn("__ty", srcToTarget.sourceY(col("__x"), col("__y")))
+      .withColumn("__trow", grid_row(col("__tx"), col("__ty"), target))
+      .withColumn("__tcol", grid_col(col("__tx"), col("__ty"), target))
+      .where(in_bounds(col("__trow"), col("__tcol"), target))
+    val aggs = stack.layers.flatMap(n =>
+      Seq(sum(col(n)).as(s"__s_$n"), count(col(n)).as(s"__c_$n")))
+    val pooled = proj.groupBy(col("__trow").as("row"), col("__tcol").as("col"))
+      .agg(aggs.head, aggs.tail: _*)
+    val tgt = graft.sources.RasterStack.grid(spark, target)
+    val out = stack.layers.foldLeft(tgt.join(pooled, Seq("row", "col"), "left_outer")) { (d, n) =>
+      d.withColumn(n, when(col(s"__c_$n") > 0, col(s"__s_$n") / col(s"__c_$n")))
+    }
+    Stack(out.select((Seq("row", "col") ++ stack.layers).map(col): _*), target, stack.layers)
+  }
+
   def nearest(stack: Stack, target: GridMeta, crs: CrsTransform): Stack = {
     val spark = stack.df.sparkSession
     val tgt = graft.sources.RasterStack.grid(spark, target)

@@ -80,6 +80,13 @@ object GeoQueries {
       Warp.bilinear(st, TargetG, Crs).df.select("row", "col", "b1", "b4")
     }),
 
+    // to_crs average resampling (Resampling.average): source pixels pool
+    // into the target cell they land in; exact sums, single division.
+    "q44_warp_average" -> ((s, _) => {
+      val st = StackQueries.stack(s).select(Seq("b1", "b4"))
+      Warp.average(st, TargetG, Warp.Identity).df.select("row", "col", "b1", "b4")
+    }),
+
     // filter_points: min-distance dedup via cell-snap (vector.py:7-39;
     // divergence from complete-linkage documented in SURVEY.md §2.3).
     "q24_filter_points" -> ((s, dir) => {
@@ -145,6 +152,24 @@ object GeoQueries {
          |LEFT JOIN $pix g01 ON g01.row = t.r0 AND g01.col = t.c0 + 1
          |LEFT JOIN $pix g10 ON g10.row = t.r0 + 1 AND g10.col = t.c0
          |LEFT JOIN $pix g11 ON g11.row = t.r0 + 1 AND g11.col = t.c0 + 1""".stripMargin
+    },
+
+    "q44_warp_average" -> {
+      import OracleLit.d
+      val x = RasterStack.xSql(G); val y = RasterStack.ySql(G)
+      val trow = s"CAST(FLOOR(($y - ${d(TargetG.f)}) / (${d(TargetG.e)})) AS BIGINT)"
+      val tcol = s"CAST(FLOOR(($x - ${d(TargetG.c)}) / (${d(TargetG.a)})) AS BIGINT)"
+      val pix = s"(SELECT row, col, ${Seq("b1", "b4").map(n => RasterStack.bandSql("row", "col", RasterStack.NcBands.find(_.name == n).get) + s" AS $n").mkString(", ")} FROM ${RasterStack.gridSql(G)})"
+      s"""SELECT t.row, t.col,
+         | CASE WHEN s.c1 > 0 THEN s.s1 / s.c1 END AS b1,
+         | CASE WHEN s.c4 > 0 THEN s.s4 / s.c4 END AS b4
+         |FROM ${RasterStack.gridSql(TargetG)} t
+         |LEFT JOIN (
+         | SELECT trow, tcol, SUM(b1) AS s1, COUNT(b1) AS c1, SUM(b4) AS s4, COUNT(b4) AS c4
+         | FROM (SELECT $trow AS trow, $tcol AS tcol, b1, b4 FROM $pix)
+         | WHERE trow >= 0 AND trow < ${TargetG.height} AND tcol >= 0 AND tcol < ${TargetG.width}
+         | GROUP BY 1, 2) s
+         |ON s.trow = t.row AND s.tcol = t.col""".stripMargin
     },
 
     "q24_filter_points" -> {

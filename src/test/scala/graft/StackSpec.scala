@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.functions.{one_hot, one_hot_auto}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.{GridMeta, Polygon, PolygonSet}
@@ -166,6 +167,46 @@ class StackSpec extends AnyFunSuite with SparkSpec {
     assert(ex.where(col("line_id") === 3).select("col").distinct().count() === 1L)
     // L4 exits the grid at x=120: its cells stop at the right edge
     assert(ex.where(col("line_id") === 4).count() > 0)
+  }
+
+  test("applyBatch: black-box batch iterator equals the declared-Column apply (NDVI)") {
+    import spark.implicits._
+    val declared = Predict.applyColumns(st.df,
+      Seq("ndvi" -> when(col("b4") + col("b3") =!= 0.0, (col("b4") - col("b3")) / (col("b4") + col("b3")))),
+      maskOn = Seq("b3", "b4"))
+      .select("row", "col", "ndvi").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val batched = Predict.applyBatch(st.df, Seq("b3", "b4"), batchSize = 1000) { b =>
+      (0 until b.size).iterator.map { i =>
+        val b3 = b.features(0)(i); val b4 = b.features(1)(i)
+        val v = if (b3.isNaN || b4.isNaN || b4 + b3 == 0.0) None else Some((b4 - b3) / (b4 + b3))
+        (b.rows(i), b.cols(i), v)
+      }
+    }.collect().map { case (r, c, v) => (r, c) -> v }.toMap
+    assert(batched === declared)
+  }
+
+  test("alter(fitted standard scaler) equals scale() bit-for-bit") {
+    val st2 = st.select(Seq("b1", "b2"))
+    val stats = st2.stats.collect()(0)
+    def ms(n: String) = {
+      val c = stats.getAs[Long](s"${n}_count").toDouble
+      val s = stats.getAs[Double](s"${n}_sum"); val ss = stats.getAs[Double](s"${n}_sumsq")
+      (s / c, math.sqrt((ss - s * s / c) / c))
+    }
+    val (m1, d1) = ms("b1"); val (m2, d2) = ms("b2")
+    val alt = Predict.alter(st2, Predict.FittedStandardScaler(Array(m1, m2), Array(d1, d2)))
+    val cols = Seq("row", "col", "b1", "b2").map(col)
+    assert(alt.df.select(cols: _*).collect().toSet === st2.scale().df.select(cols: _*).collect().toSet)
+  }
+
+  test("one_hot_auto discovers categories like np.unique (preprocessing.py:35-38)") {
+    val d = RasterStack.strata(spark, G)
+    val auto = d.select(Seq(col("row"), col("col")) ++ one_hot_auto(d, "stratum", "stratum"): _*)
+    val exp = d.select(Seq(col("row"), col("col")) ++
+      one_hot(col("stratum"), "stratum", Seq(0L, 1L, 2L, 3L, 4L, 5L)): _*)
+    assert(auto.columns.toSeq === exp.columns.toSeq)
+    assert(auto.exceptAll(exp).count() === 0 && exp.exceptAll(auto).count() === 0)
   }
 
   test("mask(cropToShapes) trims the grid to the union extent (reference crop=True)") {
