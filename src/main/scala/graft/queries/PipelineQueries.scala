@@ -222,6 +222,10 @@ object PipelineQueries {
     },
 
     "q39_multimodal" -> {
+      // byte_total below frames the string via per-CHARACTER ord(), which
+      // equals the Spark side's per-UTF-8-BYTE sum only for pure-ASCII
+      // text. The fixture is ASCII by construction; PipelineSpec's
+      // "q39 fixture invariant" test fails loudly if that ever drifts.
       val html = "('<html><body>' || text || '</body></html>')"
       s"""SELECT doc_id, CAST(octet_length(encode($html)) AS INT) AS n_bytes,
          | CAST((octet_length(encode($html)) + 63) // 64 AS INT) AS n_frames,

@@ -82,6 +82,13 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(m === 3.0)
   }
 
+  test("q39 fixture invariant: documents text is pure ASCII (oracle frames bytes via ord())") {
+    import spark.implicits._
+    // the q39 oracle sums ord() per character; Spark sums UTF-8 bytes —
+    // identical only while the fixture stays ASCII
+    assert(docs.select("text").as[String].filter(t => t.exists(_ > 127)).count() === 0L)
+  }
+
   test("exact dedup finds exactly the planted duplicates") {
     val d = docs.select("doc_id", "text")
     val planted = d.unionByName(
