@@ -251,11 +251,31 @@ object Bench {
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def effNow: Double = median(lows.toSeq) / highs.min / 4.0
-    var extras = 0
-    while (effNow < 0.8 && extras < 4) {
-      Thread.sleep(45000)
-      highs += runIsolated(cHigh, path)
-      extras += 1
+    // Contention-episode rider: a full high sample costs 60-80 s, and an
+    // episode can last minutes — blind retries burn the budget sampling
+    // garbage (one observed run: highs 12, 45, 43, 64, 11, 56 s). A MINI
+    // high run (30M rows, ~1 s clean, >5x that contended; same
+    // bandwidth-bound profile as the real job) detects the episode for
+    // ~a tenth the cost; the full sample is taken only when two
+    // consecutive minis look clean.
+    if (effNow < 0.8) {
+      val miniPath = prepPages(30000000L)
+      var miniBest = Double.MaxValue
+      var minis = 0; var fulls = 0
+      while (effNow < 0.8 && minis < 6 && fulls < 2) {
+        Thread.sleep(25000)
+        minis += 1
+        val m1 = runIsolated(cHigh, miniPath)
+        miniBest = math.min(miniBest, m1)
+        if (m1 <= 1.3 * miniBest) {
+          val m2 = runIsolated(cHigh, miniPath)
+          miniBest = math.min(miniBest, m2)
+          if (m2 <= 1.3 * miniBest) {
+            highs += runIsolated(cHigh, path)
+            fulls += 1
+          }
+        }
+      }
     }
     val tLow = median(lows.toSeq)
     val tHigh = highs.min
