@@ -37,6 +37,22 @@ object StreamTiles {
   }
 
   /**
+   * Streaming EXACT dedup at ingest — the streaming counterpart of
+   * Dedup.exact (q30): keep the first arrival per content hash, drop
+   * later duplicates. State is the set of hashes seen within the
+   * watermark horizon, expired by the engine (RocksDB/HDFS state store
+   * at scale; the shuffle key is the 16-byte md5, never the text).
+   * A 100-TB ingest dedups per-horizon here and exactly in the batch
+   * compaction pass (Dedup.exact) — the standard lambda split.
+   */
+  def dedupText(df: DataFrame, tsCol: String, textCol: String,
+                watermark: String = "1 hour"): DataFrame =
+    df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withColumn("text_md5", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
+
+  /**
    * Watermarked sliding-window rollup per tile: late data beyond
    * `watermark` is dropped, state expires with the watermark.
    */

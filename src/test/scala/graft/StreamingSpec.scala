@@ -45,6 +45,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming dedup: planted duplicate texts collapse to first arrival (q30's streaming twin)") {
+    val dir = sf("")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        org.apache.spark.sql.functions.timestamp_seconds(lit(1577836800L) + col("doc_id")).as("ts"))
+    // plant duplicates: every 10th doc appears twice with a later id
+    val planted = docs.unionByName(docs.where(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L))
+    planted.write.parquet(s"$tmp/in")
+
+    val deduped = StreamTiles.dedupText(
+      spark.readStream.schema(planted.schema).parquet(s"$tmp/in"), "ts", "text")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("dedup_out")
+    val nDistinct = docs.select(md5(col("text").cast("binary"))).distinct().count()
+    assert(out.count() === nDistinct)
+    assert(out.select("text_md5").distinct().count() === nDistinct)
+  }
+
   test("assign is stream-safe: pure projection; every event gets a cell, oob points tile=-1") {
     val dir = sf("")
     val assigned = StreamTiles.assign(
