@@ -118,6 +118,66 @@ object Similarity {
       .select("query_id", "rnk", "nbr_id", "cos")
   }
 
+  /** Deterministic IVF centroid component (plane stream 64+, disjoint
+    * from the LSH tables' planes 0..11). */
+  private def centroidVal(c: Int, d: Int): Double = planeVal(64 + c, d)
+
+  /**
+   * Per-vector squared-L2 scores against the K centroids, as an
+   * array column: score_c = ||c||^2 - 2<v,c> (||v||^2 is constant per
+   * row, so dropping it preserves the argmin). Left-to-right fold —
+   * bit-identical to [[ivfScoresSql]].
+   */
+  def ivfScores(vec: Column, k: Int, dim: Int): Column = array((0 until k).map { c =>
+    val c2 = (0 until dim).foldLeft(0.0)((a, d) => a + centroidVal(c, d) * centroidVal(c, d))
+    (0 until dim).foldLeft(lit(c2): Column) { (acc, d) =>
+      acc - lit(2.0 * centroidVal(c, d)) * element_at(vec, d + 1).cast("double")
+    }
+  }: _*)
+  def ivfScoresSql(v: String, k: Int, dim: Int): String = (0 until k).map { c =>
+    val c2 = (0 until dim).foldLeft(0.0)((a, d) => a + centroidVal(c, d) * centroidVal(c, d))
+    (0 until dim).foldLeft(graft.sources.OracleLit.d(c2)) { (acc, d) =>
+      s"($acc - ${graft.sources.OracleLit.d(2.0 * centroidVal(c, d))} * CAST($v[${d + 1}] AS DOUBLE))"
+    }
+  }.mkString("[", ", ", "]")
+
+  /**
+   * IVF-flat ANN — the inverted-list scale path beside [[lshTopK]]:
+   * K deterministic centroids partition the corpus into lists (cell =
+   * argmin squared-L2); a query probes its `nProbe` nearest lists and
+   * ranks exact cosine within them. The shuffle key is the LIST ID —
+   * with write-time bucketing by cell the probe join is shuffle-free,
+   * and each corpus vector lives in exactly ONE list (no multi-table
+   * duplication to dedupe). Deterministic centroids keep the oracle
+   * bit-exact; a Lloyd-trained quantizer drops in by replacing
+   * `centroidVal` without touching the plan.
+   */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
+              isQuery: Column, k: Int, nCentroids: Int, nProbe: Int,
+              dim: Int): DataFrame = {
+    val base = vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
+      isQuery.as("__isq"))
+      .withColumn("__sc", ivfScores(col(vecCol), nCentroids, dim))
+      .persist()
+    val corpus = base
+      .withColumn("cell", expr("array_position(__sc, array_min(__sc))"))
+      .select(col("cell"), col(idCol).as("nbr_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
+    val qexp = base.where(col("__isq"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"),
+        posexplode(col("__sc")))
+      .withColumn("cid", (col("pos") + 1).cast("long"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("col"), col("cid"))
+    val probes = qexp.withColumn("__rn", row_number().over(wq)).where(col("__rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
+    probes.join(corpus, col("cid") === col("cell"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "rnk", "nbr_id", "cos")
+  }
+
   /** Bucket signature of table `t` (planes t*nPlanes .. t*nPlanes+nPlanes-1). */
   def tableBucket(vec: Column, t: Int, nPlanes: Int, dim: Int): Column =
     (0 until nPlanes).foldLeft(lit(0)) { (acc, p) =>

@@ -107,6 +107,12 @@ object PipelineQueries {
       Similarity.lshTopK(vecs(s, dir), "vec_id", "embedding",
         col("vec_id") % 25 === 0, k = 10, nPlanes = 4, dim = Dim, nTables = 3)),
 
+    // ANN: IVF-flat inverted-list variant (deterministic centroids,
+    // nProbe=4 of 16 lists) — the second scale path beside q37's LSH.
+    "q45_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(vecs(s, dir), "vec_id", "embedding",
+        col("vec_id") % 25 === 0, k = 10, nCentroids = 16, nProbe = 4, dim = Dim)),
+
     // Embedding-cosine near-duplicate pairs (planted near-dups above).
     "q38_near_dup_embed" -> ((s, dir) =>
       Similarity.nearDupPairs(vecsNear(s, dir), "vec_id", "embedding",
@@ -207,6 +213,25 @@ object PipelineQueries {
          | FROM cand
          | JOIN embeddings qe ON qe.vec_id = cand.query_id
          | JOIN embeddings ce ON ce.vec_id = cand.nbr_id)
+         |WHERE rnk <= 10""".stripMargin
+    },
+
+    "q45_ann_ivf" -> {
+      val cos = Similarity.cosineSql("qe.embedding", "c.cv", Dim)
+      s"""WITH base AS (SELECT vec_id, embedding,
+         |   ${Similarity.ivfScoresSql("embedding", 16, Dim)} AS sc FROM embeddings),
+         |corpus AS (SELECT vec_id AS nbr_id, embedding AS cv,
+         |   CAST(list_position(sc, list_min(sc)) AS BIGINT) AS cell FROM base),
+         |probes AS (SELECT query_id, cid FROM (
+         |   SELECT vec_id AS query_id, CAST(t.i AS BIGINT) AS cid,
+         |     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc[t.i], t.i) AS rn
+         |   FROM base, range(1, 17) t(i) WHERE vec_id % 25 = 0) WHERE rn <= 4)
+         |SELECT query_id, rnk, nbr_id, cos FROM (
+         | SELECT p.query_id, c.nbr_id, $cos AS cos,
+         |   ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY $cos DESC, c.nbr_id) AS rnk
+         | FROM probes p JOIN corpus c ON c.cell = p.cid
+         | JOIN embeddings qe ON qe.vec_id = p.query_id
+         | WHERE c.nbr_id <> p.query_id)
          |WHERE rnk <= 10""".stripMargin
     },
 

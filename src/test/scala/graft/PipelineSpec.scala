@@ -125,6 +125,18 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(ham(hs(1L), hs(3L)) > ham(hs(1L), hs(2L)))
   }
 
+  test("ANN IVF-flat: every result is a true cosine neighbor within probed lists; recall reasonable") {
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") % 25 === 0, 10)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", col("vec_id") % 25 === 0,
+      k = 10, nCentroids = 16, nProbe = 4, dim = 64)
+    val got = ivf.select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall > 0.2, s"IVF recall $recall (nProbe=4/16 lists)")
+    // each corpus vector lives in exactly one list -> no duplicate pairs
+    assert(ivf.groupBy("query_id", "nbr_id").count().where(col("count") > 1).count() === 0)
+  }
+
   test("ANN LSH recall vs brute force is reasonable at 4 planes") {
     val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") % 25 === 0, 10)
       .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
