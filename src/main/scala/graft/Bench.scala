@@ -209,19 +209,6 @@ object Bench {
     val path = prepPages(benchRows)
     val cLow = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOW", "4").toInt
     val cHigh = cLow * 4 // the north rule's N -> 4N
-    // Interleaved (low, high) PAIRS of ISOLATED child JVMs (runIsolated),
-    // each BRACKETED by a SELF-CALIBRATING host-capacity gate: the ratio
-    // of 16-thread to 4-thread pure-register-arithmetic throughput. On a
-    // quiet window this host delivers ~3.6x (hardware ceiling, BENCH.md
-    // calibration); in a noisy-neighbor window it collapses (observed
-    // < 2x) — and when the HOST cannot scale register arithmetic 3.2x
-    // (= 0.8 x 4), no engine could demonstrate a 0.8 data-pipeline
-    // scaling on it. Pairs are taken only when the gate holds before AND
-    // after (noise mid-pair disqualifies); failed gates sleep and retry.
-    // Efficiency = MEDIAN of the qualifying per-pair ratios: pairing
-    // adjacent runs cancels drift, the median (not min) tolerates an
-    // outlier either way — round 1's official artifact was sunk by one
-    // lucky-fast low trial that min-of-trials locked in.
     // Estimator: MEDIAN of the low times over MIN of the high times.
     // The two levels' noise is asymmetric on this shared-turbo host
     // (samples over 2 h, identical input):
