@@ -77,6 +77,27 @@ object SpatialJoin {
              out: String = "poly_id"): DataFrame =
     points.withColumn(out, c(PipWinner(e(lon), e(lat), polys)))
 
+  /**
+   * [[assign]] as a WHOLE-OPERATOR custom plan — same semantics through
+   * the third rung of the extension ladder (LogicalPlan + Strategy +
+   * physical exec, `plans.PipAssignPlan`). Self-registers its strategy
+   * on the session (also injectable via `GraftExtensions`). The
+   * expression path remains the default (it stays inside codegen); this
+   * path is the template for operators that DON'T decompose into
+   * expressions.
+   */
+  def assignPlan(points: DataFrame, lonCol: String, latCol: String, polys: PolygonSet,
+                 out: String = "poly_id"): DataFrame = {
+    val exp = points.sparkSession.experimental
+    if (!exp.extraStrategies.contains(graft.plans.PipAssignStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.PipAssignStrategy
+    val lp = points.queryExecution.analyzed
+    def attr(n: String) = lp.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column '$n' in ${lp.output.map(_.name)}"))
+    GraftBridge.ofRows(points.sparkSession,
+      graft.plans.PipAssignPlan(lp, attr(lonCol), attr(latCol), polys, out))
+  }
+
   /** Boolean containment column (for mask / semi / anti). */
   def containsAny(lon: Column, lat: Column, polys: PolygonSet): Column =
     c(PipWinner(e(lon), e(lat), polys)) =!= lit(-1)

@@ -44,6 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("url_lat", args => UrlLat(args.head))
 
     e.injectOptimizerRule(_ => CellParentPruning)
+    e.injectPlannerStrategy(_ => PipAssignStrategy)
   }
 }
 
