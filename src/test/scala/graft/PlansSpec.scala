@@ -44,6 +44,42 @@ class CheckpointSpec extends AnyFunSuite with SparkSpec {
 
 class SkewSpec extends AnyFunSuite with SparkSpec {
 
+  test("north pipeline kill-resume: completed stage reused from snapshot (compute NOT re-run), lost stage recomputed") {
+    import graft.functions._
+    import graft.operators.SpatialJoin
+    import graft.sources.{Fixtures, Pages}
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt_e2e").toString
+    val pages = Pages.withIdPoint(Pages.fromDocuments(spark, sf("")), "doc_id")
+    def stage1 = SpatialJoin.assign(pages, col("lon"), col("lat"), Fixtures.Polys)
+      .withColumn("cell", cell_encode(col("lon"), col("lat"), 12))
+      .select("doc_id", "poly_id", "cell")
+    def stage2(in: org.apache.spark.sql.DataFrame) =
+      in.groupBy("poly_id").agg(count(lit(1)).as("n"))
+    val fp1 = Checkpoint.fingerprint("assign", sf(""), "v1")
+    val fp2 = Checkpoint.fingerprint("rollup", fp1, "v1")
+
+    val s1 = Checkpoint.stage(spark, root, "assign", fp1)(stage1)
+    val s2 = Checkpoint.stage(spark, root, "rollup", fp2)(stage2(s1.df))
+    assert(!s1.resumed && !s2.resumed)
+    val expected = s2.df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    // simulated crash between the stages: the rollup snapshot is lost
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(root, "rollup"))
+
+    // stage 1 must resume from its snapshot WITHOUT invoking compute
+    val s1b = Checkpoint.stage(spark, root, "assign", fp1)(
+      fail("resume must not recompute a completed stage"))
+    assert(s1b.resumed)
+    val s2b = Checkpoint.stage(spark, root, "rollup", fp2)(stage2(s1b.df))
+    assert(!s2b.resumed)
+    assert(s2b.df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap === expected)
+  }
+
   test("saltJoin matches plain join exactly while spreading hot keys") {
     import spark.implicits._
     // hot key 1 (10k rows), cold keys
