@@ -1,10 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.core.GridMeta
 import graft.functions._
+
+/** Event routed to a tile (input row of [[StreamTiles.firstKPerTile]]). */
+final case class TileEvent(tile: Long, id: Long, tsMillis: Long)
+/** Custom state: how many arrivals a tile has already admitted. */
+final case class TileSeen(seen: Long)
+/** Output: the `arrival_rank`-th admitted event of `tile`. */
+final case class TileArrival(tile: Long, id: Long, arrival_rank: Long)
 
 /**
  * Streaming tile assignment. The reference is a pure batch library
@@ -34,6 +42,40 @@ object StreamTiles {
         when(in_bounds(col("grow"), col("gcol"), g), tile_id(col("grow"), col("gcol"), g, th, tw))
           .otherwise(-1L))
       .drop("grow", "gcol")
+  }
+
+  /**
+   * CUSTOM-STATE streaming operator (flatMapGroupsWithState): admit the
+   * FIRST `k` events per tile and drop the rest — the streaming
+   * "reservoir head" used to cap per-tile sampling at ingest. State per
+   * tile is a single counter (bounded by the live-tile count, not the
+   * stream); within a micro-batch, arrivals order by (event time, id)
+   * so admission is deterministic per batch. Emits (tile, id,
+   * arrival_rank) in Append mode. Works identically on a batch Dataset
+   * (state starts empty) — asserted in StreamingSpec.
+   */
+  def firstKPerTile(events: DataFrame, tsCol: String, idCol: String,
+                    g: GridMeta, res: Int, k: Int): Dataset[TileArrival] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val assigned = assign(events, idCol, g, res)
+      .select(col("tile"), col(idCol).cast("long").as("id"),
+        (col(tsCol).cast("timestamp").cast("double") * 1000.0).cast("long").as("tsMillis"))
+      .as[TileEvent]
+    assigned.groupByKey(_.tile)
+      .flatMapGroupsWithState[TileSeen, TileArrival](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tile: Long, it: Iterator[TileEvent], state: GroupState[TileSeen]) =>
+          val seen = if (state.exists) state.get.seen else 0L
+          val room = math.max(0L, k - seen)
+          val picked =
+            if (room == 0L) Seq.empty
+            else it.toSeq.sortBy(e => (e.tsMillis, e.id)).take(room.toInt)
+          if (picked.nonEmpty) state.update(TileSeen(seen + picked.size))
+          picked.iterator.zipWithIndex.map { case (e, i) =>
+            TileArrival(tile, e.id, seen + i + 1)
+          }
+      }
   }
 
   /**

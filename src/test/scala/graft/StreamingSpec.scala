@@ -69,6 +69,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out.select("text_md5").distinct().count() === nDistinct)
   }
 
+  test("flatMapGroupsWithState firstKPerTile: at most k per tile, ranks contiguous, batch == stream tiles") {
+    val dir = sf("")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val k = 5
+
+    // batch semantics (state starts empty)
+    val batch = StreamTiles.firstKPerTile(events, "ts", "event_id", G, res = 6, k = k)
+      .collect()
+    val perTile = batch.groupBy(_.tile)
+    assert(perTile.nonEmpty)
+    perTile.foreach { case (t, rows) =>
+      assert(rows.length <= k, s"tile $t overflowed: ${rows.length}")
+      assert(rows.map(_.arrival_rank).sorted.toSeq === (1L to rows.length).toSeq, s"tile $t ranks")
+    }
+
+    // streaming run emits the same tiles with the same admitted counts
+    val tmp = java.nio.file.Files.createTempDirectory("graft_firstk").toString
+    events.write.parquet(s"$tmp/in")
+    val sDf = StreamTiles.firstKPerTile(
+      spark.readStream.schema(events.schema).parquet(s"$tmp/in"), "ts", "event_id", G, res = 6, k = k)
+    val q = sDf.writeStream.outputMode("append")
+      .format("memory").queryName("firstk_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("firstk_out").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val sPerTile = streamed.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(sPerTile === perTile.view.mapValues(_.length).toMap)
+    sPerTile.foreach { case (t, n) => assert(n <= k, s"tile $t") }
+  }
+
   test("assign is stream-safe: pure projection; every event gets a cell, oob points tile=-1") {
     val dir = sf("")
     val assigned = StreamTiles.assign(
