@@ -44,6 +44,25 @@ object StackIO {
   }
 
   /**
+   * BUCKETED sink — the co-location layout behind every "shuffle-free
+   * when tile-bucketed" claim in this engine: rows hash-bucket by
+   * (row, col) — the equi-join key of append / extract_raster /
+   * extract_xy — and sort within buckets, so joins between two such
+   * tables plan with ZERO Exchange on either side (asserted in IOSpec).
+   * `bucketBy` requires a catalog table; at 100 TB this is the
+   * Iceberg-bucketed-table analogue of the same layout contract.
+   */
+  def writeBucketed(stack: Stack, table: String, buckets: Int = 64): Unit =
+    stack.df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "row", "col").sortBy("row", "col")
+      .format("parquet").saveAsTable(table)
+
+  /** Read a bucketed stack back (bucket metadata comes from the catalog). */
+  def readBucketed(spark: SparkSession, table: String, meta: GridMeta,
+                   layers: Seq[String]): Stack =
+    Stack(spark.table(table), meta, layers)
+
+  /**
    * Source: read a written stack back, converting nodata sentinels to
    * NULL (mask) — the reference's masked read (raster.py:758-775).
    */

@@ -23,6 +23,29 @@ class IOSpec extends AnyFunSuite with SparkSpec {
     assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("tile=")))
   }
 
+  test("bucketed layout: append join of two bucketed stacks plans with ZERO Exchange") {
+    val G = StackQueries.G
+    val full = StackQueries.stack(spark)
+    val a = full.select(Seq("b1", "b2"))
+    val b = full.select(Seq("b4", "b7"))
+    StackIO.writeBucketed(a, "graft_bucket_a", buckets = 8)
+    StackIO.writeBucketed(b, "graft_bucket_b", buckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-join path
+      val ra = StackIO.readBucketed(spark, "graft_bucket_a", G, a.layers)
+      val rb = StackIO.readBucketed(spark, "graft_bucket_b", G, b.layers)
+      val joined = ra.append(rb)
+      val plan = joined.df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(600))
+      assert(joined.df.count() === G.cells)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
   test("head/tail windows (raster.py:625-635)") {
     assert(StackIO.head(st).count() === 200)
     assert(StackIO.tail(st).count() === 200)
