@@ -52,8 +52,9 @@ object Extract {
     val matched = inner.select(keys.map(col): _*).distinct()
     val nulls = layerCols.map(n => lit(null).cast(big.schema(n).dataType).as(n))
     val remainder = probes.join(broadcast(matched), keys, "left_anti")
-    inner.select(probes.columns.map(col) ++ layerCols.map(col): _*)
-      .unionByName(remainder.select(probes.columns.map(col) ++ nulls: _*))
+    val probeCols = probes.columns.toIndexedSeq.map(col)
+    inner.select(probeCols ++ layerCols.map(col): _*)
+      .unionByName(remainder.select(probeCols ++ nulls: _*))
   }
 
   /**
