@@ -97,6 +97,14 @@ object StackQueries {
         .select("row", "col", "stratum", "b1")
     }),
 
+    // append(): width-concat of aligned stacks, name dedup _1 suffixes
+    // (raster.py:1220-1265) — the (row,col) zip join.
+    "q46_append" -> ((s, _) => {
+      val st = stack(s)
+      st.select(Seq("b1")).append(st.select(Seq("b1", "b2"))).df
+        .select("row", "col", "b1", "b1_1", "b2")
+    }),
+
     // extract_vector(LineStrings): all-touched supercover walk + join
     // (raster.py:2435-2455; golden shape tests/test_extract.py:97).
     "q41_extract_lines" -> ((s, _) =>
@@ -254,6 +262,9 @@ object StackQueries {
          | FROM $pixSql WHERE ${NcBands.map(_.name + " IS NOT NULL").mkString(" AND ")}
          |) WHERE rn <= 20""".stripMargin
     },
+
+    "q46_append" ->
+      s"SELECT row, col, b1, b1 AS b1_1, b2 FROM $pixSql",
 
     "q41_extract_lines" -> {
       // The oracle REPLAYS the Amanatides-Woo supercover walk as a
