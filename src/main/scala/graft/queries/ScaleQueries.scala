@@ -47,6 +47,16 @@ object ScaleQueries {
           sum((col("l_quantity") * 100.0).cast("long")).as("qty_c"))
     }),
 
+    // Windowed tile rollup (the streaming operator's BATCH semantics —
+    // StreamingSpec proves stream ≡ batch; this pins batch to the oracle):
+    // tumbling 10-min event-time windows x tile, counts only (value sums
+    // are order-dependent doubles, excluded by the oracle rule).
+    "q47_window_tiles" -> ((s, dir) => {
+      graft.streaming.StreamTiles.windowedTileCounts(
+          s.read.parquet(s"$dir/events.parquet"), "ts", "event_id", G, res = 8)
+        .select(col("window.start").cast("long").as("ws"), col("tile"), col("n_events"))
+    }),
+
     // extract_xy at table scale: 600k probes left-join the 216k-pixel stack.
     "q27_lineitem_extract" -> ((s, dir) => {
       val probes = Pages.withGrid(
@@ -79,6 +89,18 @@ object ScaleQueries {
       s"""SELECT CAST($winner AS INT) AS poly_id, $coarse AS coarse_cell,
          | COUNT(*) AS n, CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_c
          |FROM $pointsSql GROUP BY 1, 2""".stripMargin
+    },
+
+    "q47_window_tiles" -> {
+      val tpr = graft.core.Tiles.tilesPerRow(G.width, 64)
+      s"""SELECT (epoch_us(ts) // 600000000) * 600 AS ws, tile, COUNT(*) AS n_events
+         |FROM (SELECT ts,
+         |        CASE WHEN grow >= 0 AND grow < ${G.height} AND gcol >= 0 AND gcol < ${G.width}
+         |             THEN (grow // 64) * $tpr + (gcol // 64) ELSE -1 END AS tile
+         |      FROM (SELECT ts, ${Pages.rowSql(G)} AS grow, ${Pages.colSql(G)} AS gcol
+         |            FROM (SELECT ts, ${Pages.lonSql("event_id")} AS lon,
+         |                         ${Pages.latSql("event_id")} AS lat FROM events)))
+         |GROUP BY 1, 2""".stripMargin
     },
 
     "q27_lineitem_extract" -> {
