@@ -99,8 +99,13 @@ final case class PolygonSet(polys: IndexedSeq[Polygon]) extends Serializable {
    */
   def winner(x: Double, y: Double): Int = tree.winner(x, y)
 
+  // id -> position map: polygon ids need NOT be 0..n-1 positions — a user
+  // layer with non-contiguous ids must refine against the right polygon
+  @transient private lazy val byId: Map[Int, Polygon] =
+    polys.map(p => p.id -> p).toMap
+
   /** Exact refine for a specific candidate id. */
-  def contains(id: Int, x: Double, y: Double): Boolean = polys(id).contains(x, y)
+  def contains(id: Int, x: Double, y: Double): Boolean = byId(id).contains(x, y)
 
   /**
    * (cellId, polyId) covering pairs at a resolution — the equi-join

@@ -86,6 +86,23 @@ case class UrlLon(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/**
+ * `TextFingerprint(text)` — rolling polynomial document fingerprint over
+ * UTF-8 bytes (see [[graft.core.TextHash.fingerprint]]). Native codegen'd
+ * expression: one linear byte scan per document, replacing the O(len^2)
+ * `aggregate(transform(sequence(1, length(t)), i -> ascii(substring(t, i,
+ * 1))), ...)` SQL formulation (each substring re-seeks the UTF-8 string).
+ */
+case class TextFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(t: Any): Any =
+    graft.core.TextHash.fingerprint(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.core.TextHash.fingerprint($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class UrlLat(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true

@@ -53,6 +53,9 @@ package object functions {
   def url_lon(url: Column): Column = col2(UrlLon(expr0(url)))
   def url_lat(url: Column): Column = col2(UrlLat(expr0(url)))
 
+  /** Rolling polynomial document fingerprint (codegen'd single byte scan). */
+  def text_fingerprint(text: Column): Column = col2(TextFingerprint(expr0(text)))
+
   // ---------------------------------------------------------------------
   // Affine grid arithmetic — pure built-in functions (already codegen'd),
   // floor semantics of rasterio.transform.rowcol (reference raster.py:2351).

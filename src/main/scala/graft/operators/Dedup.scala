@@ -3,12 +3,29 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.plans.Caches
+
 /**
  * Deduplication suite for web-text corpora (training-data pipeline
  * components): exact (content hash), n-gram Jaccard, MinHash+LSH and
  * SimHash. All Column-expression based — the heavy lifting is hash
  * group-bys and band-bucket equi-joins, which shuffle only on the hash
  * keys (never on document text).
+ *
+ * Scale discipline shared by the near-dup paths:
+ *  1. EXACT duplicates collapse first ([[representatives]]): n
+ *     byte-identical boilerplate docs would otherwise land in every LSH
+ *     band bucket together and materialize O(n^2) candidate pairs in one
+ *     reducer — after the collapse they are ONE representative row.
+ *  2. Candidate pairs are generated and deduplicated as BARE ID PAIRS
+ *     ([[bandCandidates]]); shingle arrays / signatures are re-attached
+ *     once per surviving pair, never carried through the band self-join.
+ *  3. Band buckets larger than `maxBucket` are EXCLUDED from pairing —
+ *     an explicit, documented safety valve (not a silent cap): a
+ *     post-collapse bucket that big is a degenerate near-boilerplate
+ *     cluster whose O(bucket^2) pairs would stall one task. Audit the
+ *     exclusions with [[hotBands]]; pass `maxBucket = Int.MaxValue` to
+ *     disable.
  */
 object Dedup {
 
@@ -20,6 +37,22 @@ object Dedup {
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /**
+   * Exact-dup collapse to representatives: one (id, text) row per
+   * DISTINCT text, id = smallest id of the group (min over identical
+   * texts makes the carried text deterministic). One md5-keyed shuffle
+   * with map-side partial aggregation — the pre-pass that keeps
+   * boilerplate clusters out of the LSH band buckets.
+   */
+  def representatives(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("__md5"))
+      .agg(min(col(idCol)).as("id"), min(col(textCol)).as("text"))
+      .drop("__md5")
+
+  /** SQL twin of [[representatives]] over a corpus relation. */
+  def representativesSql(corpus: String): String =
+    s"(SELECT MIN(doc_id) AS doc_id, MIN(text) AS text FROM $corpus GROUP BY md5(text))"
 
   /** Word w-shingles (space-joined runs of `w` tokens). */
   def shingles(text: Column, w: Int): Column = {
@@ -34,31 +67,68 @@ object Dedup {
   }
 
   /**
-   * n-gram Jaccard near-dup pairs: candidate pairs come from the MinHash
-   * LSH BANDS (the same banded equi-join as [[minhashLsh]] — shuffle key
-   * is (band, band_key), never pairwise), each candidate then VERIFIED
-   * with the exact shingle-set Jaccard. Round-1 used prefix-of-text
-   * blocking, which goes quadratic on web boilerplate (shared "<html>…"
-   * prefixes) and misses near-dups differing in the first bytes; MinHash
-   * bands are the standard corpus-scale blocking key. Candidates are
-   * deduped as BARE ID PAIRS before the shingle arrays are re-attached,
-   * so shingles cross the wire once, not once per matching band.
-   * Returns (id_a, id_b, inter, uni, jaccard) for pairs over `threshold`.
+   * Distinct candidate id pairs from the 4x4 MinHash band join over a
+   * persisted (id, sig) frame. The shuffle key is (band, band_key) and
+   * the join carries BARE IDS; bucket sizes are counted on the same key
+   * (the aggregation reuses the band shuffle) and buckets over
+   * `maxBucket` rows are excluded — see the class doc for why that is an
+   * explicit safety valve, not a silent cap.
    */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   w: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // persist: otherwise CollapseProject inlines the shingle/signature
-    // expressions into both sides of the self-join — recomputed per pair
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), w).as("sh")).persist()
-    val sig = withSh.select(col("id"), minhashFromShingles(col("sh")).as("sig")).persist()
+  private[graft] def bandCandidates(sig: DataFrame, maxBucket: Int): DataFrame = {
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(3)),
         bi => concat_ws(",", (1 to 4).map(r => element_at(col("sig"), bi * 4 + r)): _*))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
-    val cand = a.join(b, Seq("band", "band_key")).where(col("id_a") < col("id_b"))
+    val sizes = banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("__bn"))
+    val ok = banded.join(sizes.where(col("__bn") <= maxBucket), Seq("band", "band_key"))
+    val a = ok.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = ok.select(col("band"), col("band_key"), col("id").as("id_b"))
+    a.join(b, Seq("band", "band_key")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /**
+   * Band buckets EXCLUDED by a `maxBucket` cap, for auditing: one row
+   * (band, band_key, n_docs) per oversized bucket over the
+   * representatives of `df`. Run this beside [[jaccardPairs]] /
+   * [[minhashLsh]] when the cap might bite — no silent truncation.
+   */
+  def hotBands(df: DataFrame, idCol: String, textCol: String,
+               w: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val sig = representatives(df, idCol, textCol)
+      .select(col("id"), minhashSignature(col("text"), w).as("sig"))
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        bi => concat_ws(",", (1 to 4).map(r => element_at(col("sig"), bi * 4 + r)): _*))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    banded.groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > maxBucket)
+  }
+
+  /** Default band-bucket safety cap (2^16 reps per bucket = ~2G pairs). */
+  val DefaultMaxBucket: Int = 65536
+
+  /**
+   * n-gram Jaccard near-dup pairs over exact-dup REPRESENTATIVES:
+   * candidates come from the MinHash LSH bands (the same banded
+   * equi-join as [[minhashLsh]] — shuffle key is (band, band_key), never
+   * pairwise), each candidate then VERIFIED with the exact shingle-set
+   * Jaccard. Returns (id_a, id_b, inter, uni, jaccard) for representative
+   * pairs over `threshold`; expand to full duplicate groups by joining
+   * [[exact]]'s (keep_id -> text_md5) mapping when group members matter.
+   */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   w: Int = 3, threshold: Double = 0.5,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // persist barriers: otherwise CollapseProject inlines the shingle /
+    // signature expressions into both sides of the band self-join —
+    // recomputed per candidate row (tracked for release via Caches)
+    val withSh = Caches.track(representatives(df, idCol, textCol)
+      .select(col("id"), shingles(col("text"), w).as("sh")))
+    val sig = Caches.track(
+      withSh.select(col("id"), minhashFromShingles(col("sh")).as("sig")))
+    val cand = bandCandidates(sig, maxBucket)
     val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
@@ -76,7 +146,6 @@ object Dedup {
 
   /** 60-bit shingle id -> 31-bit space (md5-based, engine-identical). */
   private def shingleId(s: Column): Column = TextAnalysis.wordHash(s) % 2147483648L
-  private def shingleIdSql(s: String): String = s"(${TextAnalysis.wordHashSql(s)} % 2147483648)"
 
   /**
    * MinHash signature (array of 16 longs) over word w-shingles.
@@ -97,7 +166,7 @@ object Dedup {
   }
   /** SQL twin over a words-list expression (e.g. a CTE's `ws`). */
   def minhashSignatureSql(ws: String, w: Int = 3): String = {
-    val ids = s"[${shingleIdSql("s")} for s in ${shinglesSql(ws, w)}]"
+    val ids = s"[(${TextAnalysis.wordHashSql("s")} % 2147483648) for s in ${shinglesSql(ws, w)}]"
     val sigs = MinhashParams.map { case (a, b) =>
       s"list_min([($a * x + $b) % 2147483648 for x in $ids])"
     }
@@ -105,26 +174,25 @@ object Dedup {
   }
 
   /**
-   * MinHash LSH candidate pairs: 4 bands x 4 rows — documents sharing any
-   * full band collide; pairs scored by matching-minhash count (est.
-   * Jaccard = matches/16). The band join is the scale path: shuffle on
-   * (band_idx, band_key), never pairwise.
+   * MinHash LSH candidate pairs over exact-dup REPRESENTATIVES: 4 bands
+   * x 4 rows — documents sharing any full band collide; pairs scored by
+   * matching-minhash count (est. Jaccard = matches/16). The band join is
+   * the scale path: shuffle on (band, band_key) with bare ids, the
+   * signatures re-attached once per deduped pair.
    */
-  def minhashLsh(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame = {
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String, w: Int = 3,
+                 maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // persist: the 16-hash signature expression must materialize ONCE per
-    // doc, not re-inline into both sides of the band self-join
-    val sig = df.select(col(idCol).as("id"), minhashSignature(col(textCol), w).as("sig"))
-      .persist()
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        bi => concat_ws(",", (1 to 4).map(r => element_at(col("sig"), bi * 4 + r)): _*))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key")).where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(first(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)))
-        .as("matches"))
+    // doc, not re-inline into the band explode and both pair re-attaches
+    val sig = Caches.track(representatives(df, idCol, textCol)
+      .select(col("id"), minhashSignature(col("text"), w).as("sig")))
+    val cand = bandCandidates(sig, maxBucket)
+    val sa = sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sig.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .as("matches"))
   }
 
   /**

@@ -48,7 +48,7 @@ object Extract {
    */
   def probeOuterBroadcast(big: DataFrame, probes: DataFrame, keys: Seq[String],
                           layerCols: Seq[String]): DataFrame = {
-    val inner = big.join(broadcast(probes), keys).persist()
+    val inner = graft.plans.Caches.track(big.join(broadcast(probes), keys))
     val matched = inner.select(keys.map(col): _*).distinct()
     val nulls = layerCols.map(n => lit(null).cast(big.schema(n).dataType).as(n))
     val remainder = probes.join(broadcast(matched), keys, "left_anti")
@@ -104,10 +104,15 @@ object Rasterize {
             allTouched: Boolean): DataFrame = {
     import spark.implicits._
     require(meta.b == 0.0 && meta.d == 0.0, "rasterize requires a north-up grid")
+    require(polys.polys.map(_.id).distinct.size == polys.polys.size,
+      "duplicate polygon ids: later burns would silently be dropped")
+    // O(1) id lookup in the task closure (the whole layer ships with the
+    // serialized closure either way — layers are small relative to pixels)
+    val byId = polys.polys.map(p => p.id -> p).toMap
     val ids = spark.createDataset(polys.polys.map(_.id))
       .repartition(math.min(polys.polys.size, 32))
     val burned = ids.flatMap { id =>
-      val p = polys.polys.find(_.id == id).get
+      val p = byId(id)
       val fill = scanlineFill(p, meta)
       val touched = if (allTouched) boundary(p, meta) else Iterator.empty
       (fill ++ touched).map { case (r, c) => (r, c, id) }
@@ -122,10 +127,13 @@ object Rasterize {
   def lines(spark: SparkSession, ls: Seq[graft.core.Polyline], meta: GridMeta): DataFrame = {
     import spark.implicits._
     require(meta.b == 0.0 && meta.d == 0.0, "rasterize requires a north-up grid")
+    require(ls.map(_.id).distinct.size == ls.size,
+      "duplicate polyline ids: later burns would silently be dropped")
+    val byId = ls.map(l => l.id -> l).toMap
     val ids = spark.createDataset(ls.map(_.id))
       .repartition(math.min(math.max(ls.size, 1), 32))
     val burned = ids.flatMap { id =>
-      val l = ls.find(_.id == id).get
+      val l = byId(id)
       l.segments.flatMap { case (x0, y0, x1, y1) => segment(x0, y0, x1, y1, meta) }
         .map { case (r, c) => (r, c, id) }
     }.toDF("row", "col", "line_id")

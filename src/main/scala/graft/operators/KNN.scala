@@ -87,8 +87,9 @@ object KNN {
     while (!done) {
       // persisted: the level's candidate window feeds BOTH the output
       // branch and the next level's pending derivation — the same size
-      // class the window sort materializes anyway
-      val marked = stage(pending, resL).persist()
+      // class the window sort materializes anyway. Tracked in Caches so
+      // a long-lived session releases the level frames between jobs.
+      val marked = graft.plans.Caches.track(stage(pending, resL))
       acc += marked.where(col("__safe"))
         .drop("__tcell", "__cell", "__n", "__kth", "__safe")
       if (resL == 0) done = true
@@ -96,7 +97,7 @@ object KNN {
         val safeIds = marked.where(col("__safe")).select(col(probeId)).distinct()
         // probes with ZERO candidates at this level have no marked rows
         // and stay pending via the anti join
-        pending = pending.join(safeIds, Seq(probeId), "left_anti").persist()
+        pending = graft.plans.Caches.track(pending.join(safeIds, Seq(probeId), "left_anti"))
         if (pending.isEmpty) done = true else resL = math.max(0, resL - 2)
       }
     }

@@ -42,7 +42,8 @@ object Similarity {
     // re-inlining the fold into every pair) — cosine per pair is then one
     // dot product and two multiplies, bit-identical to computing sqrt
     // folds inline since the inputs are the same floats
-    val nv = vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm")).persist()
+    val nv = graft.plans.Caches.track(
+      vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm")))
     val q = nv.where(isQuery).select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
     val c = nv.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
@@ -98,8 +99,9 @@ object Similarity {
     // self-join and the candidate-pair distinct — carries BARE IDS only.
     // Vectors are re-attached to the deduped pairs afterwards, so each
     // embedding crosses the wire once, not once per matching table.
-    val base = vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
-      isQuery.as("__isq")).persist()
+    val base = graft.plans.Caches.track(
+      vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
+        isQuery.as("__isq")))
     val bucketed = base.select(col(idCol), col("__isq"),
       posexplode(array((0 until nTables).map(t =>
         tableBucket(col(vecCol), t, nPlanes, dim)): _*)))
@@ -155,10 +157,10 @@ object Similarity {
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
               isQuery: Column, k: Int, nCentroids: Int, nProbe: Int,
               dim: Int): DataFrame = {
-    val base = vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
-      isQuery.as("__isq"))
-      .withColumn("__sc", ivfScores(col(vecCol), nCentroids, dim))
-      .persist()
+    val base = graft.plans.Caches.track(
+      vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
+        isQuery.as("__isq"))
+        .withColumn("__sc", ivfScores(col(vecCol), nCentroids, dim)))
     val corpus = base
       .withColumn("cell", expr("array_position(__sc, array_min(__sc))"))
       .select(col("cell"), col(idCol).as("nbr_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
@@ -191,15 +193,24 @@ object Similarity {
       s"(CASE WHEN $s >= 0.0 THEN 1 ELSE 0 END * ${1 << p})"
     }.mkString("(", " + ", ")")
 
-  /** Embedding-cosine near-duplicate pairs above a threshold. */
+  /**
+   * Embedding-cosine near-duplicate pairs above a threshold. Same
+   * bare-id discipline as [[lshTopK]]: the bucket self-join carries only
+   * (bucket, id) — the deduped pairs re-attach each vector ONCE per side
+   * afterwards, so embeddings never cross the wire per bucket row.
+   */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
-    val with_b = vecs.select(col(idCol), col(vecCol),
+    val base = graft.plans.Caches.track(vecs.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), nPlanes, dim).as("bucket"),
-      norm(col(vecCol)).as("nrm")).persist()
-    val a = with_b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
-    val b = with_b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+      norm(col(vecCol)).as("nrm")))
+    val a = base.select(col("bucket"), col(idCol).as("id_a"))
+    val b = base.select(col("bucket"), col(idCol).as("id_b"))
+    val pairs = a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = base.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val vb = base.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    pairs.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

@@ -227,9 +227,9 @@ final case class Stack(df: DataFrame, meta: GridMeta, layers: Seq[String]) {
     // keep ~8x the needed rows per stratum; cnt <= 8·size => keep all
     val thresh = least(lit(2147483648L),
       idiv(lit(size.toLong * 8L * 2147483648L), col("__cnt")) + lit(1L))
-    val survivors = joined.join(broadcast(counts), Seq("stratum"))
-      .withColumn("__h", h).where(col("__h") < thresh).drop("__cnt")
-      .persist()
+    val survivors = graft.plans.Caches.track(
+      joined.join(broadcast(counts), Seq("stratum"))
+        .withColumn("__h", h).where(col("__h") < thresh).drop("__cnt"))
     val ranked = survivors.withColumn("__rn", row_number().over(w))
     val deficient = survivors.groupBy(col("stratum")).agg(count(lit(1)).as("__got"))
       .where(col("__got") < size).select("stratum")
@@ -244,28 +244,56 @@ final case class Stack(df: DataFrame, meta: GridMeta, layers: Seq[String]) {
    * Stratified sample WITH replacement — the reference's actual draw
    * semantics (raster.py:2244-2287 uses np.random with replacement):
    * `size` independent seeded draws per stratum; draw `i` of stratum `s`
-   * selects the row ranked `lcg(s·1000003 + i, seed) mod cnt` in the
-   * stratum's (hash, key) order. Output carries `draw_idx`; a row drawn
-   * twice appears twice. The picks relation is `n_strata × size` rows
-   * (tiny, broadcast); rank selection needs a per-stratum ordering — at
-   * 10^12 rows a distributed selection (per-partition histograms) would
-   * replace the window, the join shape stays the same.
+   * selects the row ranked `lcg(s·1000003 + i, seed) mod basis + 1` in
+   * the stratum's (hash, key) order. Output carries `draw_idx`; a row
+   * drawn twice appears twice.
+   *
+   * Scale path (same trick as [[sampleStrata]]): the rank window sorts
+   * only the SURVIVORS of an adaptive per-stratum hash threshold
+   * (~8·size rows). Because the filter keeps a PREFIX of the (hash, key)
+   * order, a survivor's window rank equals its global stratum rank, so
+   * drawing `target mod survivorCount + 1` is a uniform draw over the
+   * survivor prefix — itself a deterministic-uniform subset of the
+   * stratum (the `basis` the draws select from). Strata whose survivor
+   * count falls below `size` (probability ~e^{-c·size}, but the contract
+   * is exactness, not probability) fall back to ranking the full
+   * stratum with `basis = cnt`. No task ever sorts more than O(size)
+   * rows except for deficient strata.
    */
   def sampleStrataWithReplacement(strata: DataFrame, size: Int, seed: Long): DataFrame = {
     val key = col("row") * meta.width.toLong + col("col")
     val noNull = layers.map(L(_).isNotNull).reduce(_ && _)
     val joined = df.where(noNull).join(strata, Seq("row", "col"))
+    val h = sample_hash(key, seed)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum")).orderBy(sample_hash(key, seed), key)
+      .partitionBy(col("stratum")).orderBy(col("__h"), key)
     val counts = joined.groupBy(col("stratum")).agg(count(lit(1)).as("__cnt"))
-    val picks = counts
+    val thresh = least(lit(2147483648L),
+      idiv(lit(size.toLong * 8L * 2147483648L), col("__cnt")) + lit(1L))
+    val withH = joined.join(broadcast(counts), Seq("stratum")).withColumn("__h", h)
+    val survivors = graft.plans.Caches.track(
+      withH.where(col("__h") < thresh).drop("__cnt"))
+    val survCounts = survivors.groupBy(col("stratum")).agg(count(lit(1)).as("__scnt"))
+    // basis per stratum: survivor count, or the full count when deficient
+    // (strata with ZERO survivors are absent from survCounts — outer join)
+    val basis = counts.join(survCounts, Seq("stratum"), "left_outer")
+      .withColumn("__scnt", coalesce(col("__scnt"), lit(0L)))
+      .withColumn("__deficient", col("__scnt") < size.toLong)
+      .withColumn("__basis", when(col("__deficient"), col("__cnt")).otherwise(col("__scnt")))
+    val deficient = basis.where(col("__deficient")).select("stratum")
+    val rankedSurv = survivors.join(broadcast(deficient), Seq("stratum"), "left_anti")
+      .withColumn("__rn", row_number().over(w).cast("long"))
+    val rankedFull = withH.drop("__cnt")
+      .join(broadcast(deficient), Seq("stratum"), "left_semi")
+      .withColumn("__rn", row_number().over(w).cast("long"))
+    val picks = basis
       .withColumn("draw_idx", explode(sequence(lit(0), lit(size - 1))))
       .withColumn("__target",
         sample_hash(col("stratum").cast("long") * lit(1000003L) + col("draw_idx"), seed)
-          % col("__cnt") + lit(1L))
+          % col("__basis") + lit(1L))
       .select(col("stratum").as("__ps"), col("draw_idx"), col("__target"))
-    joined.withColumn("__rn", row_number().over(w).cast("long"))
+    rankedSurv.unionByName(rankedFull)
       .join(broadcast(picks), col("stratum") === col("__ps") && col("__rn") === col("__target"))
-      .drop("__ps", "__rn", "__target")
+      .drop("__ps", "__rn", "__target", "__h")
   }
 }

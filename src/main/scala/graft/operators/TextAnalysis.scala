@@ -74,14 +74,15 @@ object TextAnalysis {
   }
 
   /**
-   * Rolling polynomial fingerprint over the text's characters:
-   * h = fold(h*31 + code) mod 2^31 — identical left-to-right fold in
-   * Spark (`aggregate`) and the SQL oracle (`list_reduce`).
+   * Rolling polynomial fingerprint: h = fold(h*31 + byte) mod 2^31 over
+   * the text's UTF-8 bytes — a native codegen'd expression doing ONE
+   * linear byte scan per document ([[graft.core.TextHash.fingerprint]]).
+   * The SQL oracle replays the identical fold with `list_reduce` over
+   * per-character `ord()` (== per-byte for the ASCII corpus; for
+   * non-ASCII text the byte fold is the defined semantics).
    */
   def fingerprint(textCol: String): Column =
-    expr(s"aggregate(transform(sequence(1, length($textCol)), " +
-      s"i -> ascii(substring($textCol, i, 1))), 0L, " +
-      s"(acc, code) -> (acc * 31 + CAST(code AS LONG)) % 2147483648)")
+    graft.functions.text_fingerprint(col(textCol))
   def fingerprintSql(t: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ord($t[i]) AS BIGINT) for i in range(1, len($t)+1)]), " +
       s"(acc, code) -> (acc * 31 + code) % 2147483648)"

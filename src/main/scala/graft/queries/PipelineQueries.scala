@@ -37,6 +37,20 @@ object PipelineQueries {
     """(SELECT doc_id, text FROM documents
       | UNION ALL SELECT doc_id + 100000, text || ' graft dup marker' FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** corpusNear plus 500 byte-identical clones of doc 0's text (the
+    * boilerplate cluster that exercises the exact-dup pre-collapse). */
+  private def corpusBoiler(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val boiler = s.range(500).select((col("id") + 200000L).as("doc_id"))
+      .crossJoin(d.where(col("doc_id") === 0).select(col("text")))
+    corpusNear(s, dir).unionByName(boiler.select(col("doc_id"), col("text")))
+  }
+  private val corpusBoilerSql =
+    s"""(SELECT doc_id, text FROM ${corpusNearSql.trim}
+       | UNION ALL SELECT 200000 + t.i AS doc_id,
+       |   (SELECT text FROM documents WHERE doc_id = 0) AS text
+       | FROM range(0, 500) t(i))""".stripMargin
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def vecs(s: SparkSession, dir: String): DataFrame =
@@ -84,9 +98,19 @@ object PipelineQueries {
     "q32_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))),
 
-    // n-gram Jaccard near-dup pairs (prefix blocking + exact verify).
+    // n-gram Jaccard near-dup pairs: exact-dup collapse, then banded
+    // MinHash candidate generation, then exact shingle-Jaccard verify.
     "q33_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(corpusNear(s, dir), "doc_id", "text", w = 3, threshold = 0.4)),
+
+    // Hot-band safety: 500 byte-identical boilerplate docs planted into
+    // the near-dup corpus — the exact-dup collapse keeps them out of the
+    // band buckets, so pairs are between representatives only (the same
+    // pair set as q33; without the collapse this corpus would put all
+    // 500 clones in every band bucket -> ~125k candidate pairs in one
+    // reducer).
+    "q50_dedup_boiler" -> ((s, dir) =>
+      Dedup.jaccardPairs(corpusBoiler(s, dir), "doc_id", "text", w = 3, threshold = 0.4)),
 
     // MinHash-LSH near-dup candidates (banded signature join).
     "q34_minhash_lsh" -> ((s, dir) =>
@@ -134,6 +158,32 @@ object PipelineQueries {
 
 
 
+  /**
+   * Oracle twin of Dedup.jaccardPairs over a corpus relation: exact-dup
+   * collapse to (min-id, text) representatives, then MinHash band
+   * collisions as candidates, then exact shingle-Jaccard verify.
+   */
+  private def jaccardOracle(corpus: String): String = {
+    val sig = Dedup.minhashSignatureSql("ws", 3)
+    val bandEq = (0 until 4).map { bi =>
+      val ka = (1 to 4).map(r => s"CAST(sa.sig[${bi * 4 + r}] AS VARCHAR)").mkString(" || ',' || ")
+      val kb = (1 to 4).map(r => s"CAST(sb.sig[${bi * 4 + r}] AS VARCHAR)").mkString(" || ',' || ")
+      s"($ka) = ($kb)"
+    }.mkString(" OR ")
+    s"""WITH c AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |   FROM ${Dedup.representativesSql(corpus)}),
+       | withsh AS (SELECT doc_id, ${Dedup.shinglesSql("ws", 3)} AS sh FROM c),
+       | sigs AS (SELECT doc_id, $sig AS sig FROM c)
+       |SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+       |  len(list_intersect(a.sh, b.sh)) AS inter,
+       |  len(list_distinct(list_concat(a.sh, b.sh))) AS uni,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+       |FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id AND ($bandEq)
+       |JOIN withsh a ON a.doc_id = sa.doc_id
+       |JOIN withsh b ON b.doc_id = sb.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.4""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
 
     "q30_dedup_exact" ->
@@ -150,27 +200,9 @@ object PipelineQueries {
     "q32_fingerprint" ->
       s"SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp FROM documents",
 
-    "q33_jaccard_pairs" -> {
-      // candidates = MinHash band collisions (mirrors Dedup.jaccardPairs'
-      // banded blocking), verified by exact shingle Jaccard
-      val sig = Dedup.minhashSignatureSql("ws", 3)
-      val bandEq = (0 until 4).map { bi =>
-        val ka = (1 to 4).map(r => s"CAST(sa.sig[${bi * 4 + r}] AS VARCHAR)").mkString(" || ',' || ")
-        val kb = (1 to 4).map(r => s"CAST(sb.sig[${bi * 4 + r}] AS VARCHAR)").mkString(" || ',' || ")
-        s"($ka) = ($kb)"
-      }.mkString(" OR ")
-      s"""WITH c AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $corpusNearSql),
-         | withsh AS (SELECT doc_id, ${Dedup.shinglesSql("ws", 3)} AS sh FROM c),
-         | sigs AS (SELECT doc_id, $sig AS sig FROM c)
-         |SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
-         |  len(list_intersect(a.sh, b.sh)) AS inter,
-         |  len(list_distinct(list_concat(a.sh, b.sh))) AS uni,
-         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-         |FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id AND ($bandEq)
-         |JOIN withsh a ON a.doc_id = sa.doc_id
-         |JOIN withsh b ON b.doc_id = sb.doc_id
-         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.4""".stripMargin
-    },
+    "q33_jaccard_pairs" -> jaccardOracle(corpusNearSql),
+
+    "q50_dedup_boiler" -> jaccardOracle(corpusBoilerSql),
 
     "q34_minhash_lsh" -> {
       val sig = Dedup.minhashSignatureSql("string_split(text, ' ')", 3)
@@ -179,7 +211,8 @@ object PipelineQueries {
         val kb = (1 to 4).map(r => s"CAST(b.sig[${bi * 4 + r}] AS VARCHAR)").mkString(" || ',' || ")
         s"($ka) = ($kb)"
       }.mkString(" OR ")
-      s"""WITH sigs AS (SELECT doc_id, $sig AS sig FROM $corpusNearSql)
+      s"""WITH sigs AS (SELECT doc_id, $sig AS sig
+         |   FROM ${Dedup.representativesSql(corpusNearSql)})
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END for i in range(1, 17)]) AS INT) AS matches
          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandEq)

@@ -319,18 +319,33 @@ object StackQueries {
     },
 
     "q43_sample_replacement" -> {
+      // survivor-prefix draw semantics (Stack.sampleStrataWithReplacement):
+      // basis = count of rows with h < thresh (a PREFIX of the (h, key)
+      // order, so survivor rank == global rank and the oracle can rank
+      // globally); target = pick mod basis + 1; deficient strata (< size
+      // survivors) fall back to basis = cnt
       val key = s"(row * ${G.width} + col)"
       val h = s"((($key * 1103515245 + 13) % 2147483648) * 69069 + 12345) % 2147483648"
-      val pick = "(((((stratum * 1000003 + i) * 1103515245 + 13) % 2147483648) * 69069 + 12345) % 2147483648)"
+      val pick = "(((((b.stratum * 1000003 + t.i) * 1103515245 + 13) % 2147483648) * 69069 + 12345) % 2147483648)"
       s"""WITH v AS (
-         | SELECT row, col, CAST(col * 6 // ${G.width} AS INT) AS stratum, b1,
+         | SELECT row, col, CAST(col * 6 // ${G.width} AS INT) AS stratum, b1, $h AS h,
          |   ROW_NUMBER() OVER (PARTITION BY (col * 6 // ${G.width}) ORDER BY $h, $key) AS rn,
          |   COUNT(*) OVER (PARTITION BY (col * 6 // ${G.width})) AS cnt
          | FROM $pixSql WHERE ${NcBands.map(_.name + " IS NOT NULL").mkString(" AND ")}),
+         |s AS (
+         | SELECT stratum, cnt,
+         |   LEAST(2147483648, (25 * 8 * 2147483648) // cnt + 1) AS thresh
+         | FROM (SELECT DISTINCT stratum, cnt FROM v)),
+         |sc AS (
+         | SELECT v.stratum, SUM(CASE WHEN v.h < s.thresh THEN 1 ELSE 0 END) AS scnt
+         | FROM v JOIN s ON s.stratum = v.stratum GROUP BY 1),
+         |basis AS (
+         | SELECT s.stratum, CASE WHEN sc.scnt >= 25 THEN sc.scnt ELSE s.cnt END AS basis
+         | FROM s JOIN sc ON sc.stratum = s.stratum),
          |picks AS (
-         | SELECT s.stratum, CAST(t.i AS INT) AS draw_idx,
-         |   $pick % s.cnt + 1 AS target
-         | FROM (SELECT DISTINCT stratum, cnt FROM v) s, range(0, 25) t(i))
+         | SELECT b.stratum, CAST(t.i AS INT) AS draw_idx,
+         |   $pick % b.basis + 1 AS target
+         | FROM basis b, range(0, 25) t(i))
          |SELECT v.row, v.col, v.stratum, p.draw_idx, v.b1
          |FROM v JOIN picks p ON p.stratum = v.stratum AND v.rn = p.target""".stripMargin
     },

@@ -72,4 +72,17 @@ class GeometrySpec extends AnyFunSuite {
     assert(back.winner(5, 5) === 0)
     assert(back.winner(50, 50) === -1)
   }
+
+  test("PolygonSet.contains(id) refines against the RIGHT polygon for non-contiguous ids") {
+    // ids 7 and 42 at positions 0 and 1: a positional polys(id) lookup
+    // would throw or (with ids < n) silently test the wrong polygon
+    val set = PolygonSet(IndexedSeq(
+      Polygon.rect(7, 0, 0, 10, 10), Polygon.rect(42, 100, 100, 110, 110)))
+    assert(set.contains(7, 5, 5))
+    assert(!set.contains(7, 105, 105))
+    assert(set.contains(42, 105, 105))
+    assert(!set.contains(42, 5, 5))
+    assert(set.winner(5, 5) === 7)
+    assert(set.containingIds(105, 105).toSeq === Seq(42))
+  }
 }

@@ -182,4 +182,58 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     def fp(s: String) = s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toInt) % 2147483648L)
     assert(r(1L)._3 === fp("the value of the key"))
   }
+
+  test("fingerprint: codegen'd byte fold equals the per-char SQL fold on ASCII, incl. a 150KB doc") {
+    import spark.implicits._
+    val big = (0 until 15000).map(i => s"w${i % 997}").mkString(" ") // ~150 KB
+    val t = docs.select(col("doc_id").as("id"), col("text"))
+      .unionByName(Seq((999999L, big)).toDF("id", "text"))
+    val mism = t.select(
+        TextAnalysis.fingerprint("text").as("fast"),
+        expr("aggregate(transform(sequence(1, length(text)), " +
+          "i -> ascii(substring(text, i, 1))), 0L, " +
+          "(acc, code) -> (acc * 31 + CAST(code AS LONG)) % 2147483648)").as("slow"))
+      .where(col("fast") =!= col("slow")).count()
+    assert(mism === 0)
+    // non-ASCII: the expression folds UTF-8 BYTES by definition
+    val eAcute = Seq((1L, "é")).toDF("id", "text")
+      .select(TextAnalysis.fingerprint("text")).collect()(0).getLong(0)
+    assert(eAcute === ((0xc3L * 31 + 0xa9L) % 2147483648L))
+  }
+
+  test("dedup exact-collapse: 500 byte-identical clones add ZERO band candidates") {
+    val d = docs.select("doc_id", "text")
+    val boiler = spark.range(500).select((col("id") + 200000L).as("doc_id"))
+      .crossJoin(d.where(col("doc_id") === 0).select(col("text")))
+      .select("doc_id", "text")
+    val plain = Dedup.jaccardPairs(d, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withBoiler = Dedup.jaccardPairs(d.unionByName(boiler), "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // clones collapse onto representative doc 0 -> identical pair set,
+    // candidate volume O(near-dups), not O(500^2)
+    assert(withBoiler === plain)
+  }
+
+  test("dedup band-bucket cap: oversized buckets are excluded, audit sees them") {
+    import spark.implicits._
+    // 5 identical signatures = one 5-row bucket in each of the 4 bands
+    val sig = Seq.tabulate(5)(i => (i.toLong, (1 to 16).map(_.toLong)))
+      .toDF("id", "sig")
+    val capped = Dedup.bandCandidates(sig, maxBucket = 4)
+    assert(capped.count() === 0) // every bucket over the cap -> no pairs
+    val open = Dedup.bandCandidates(sig, maxBucket = 5)
+    assert(open.count() === 10) // 5 choose 2
+    // audit path: hotBands on near-identical (NOT byte-identical) texts
+    val near = Seq.tabulate(6)(i => (i.toLong,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa end" + i))
+      .toDF("doc_id", "text")
+    val hot = Dedup.hotBands(near, "doc_id", "text", maxBucket = 3)
+    val cand = Dedup.jaccardPairs(near, "doc_id", "text", threshold = 0.0, maxBucket = 3)
+    // whatever bucket exceeded the cap is reported, and no pair can come
+    // from an excluded bucket only
+    val hotRows = hot.collect()
+    if (hotRows.nonEmpty) assert(hotRows.forall(_.getLong(2) > 3))
+    assert(cand.count() <= 15)
+  }
 }

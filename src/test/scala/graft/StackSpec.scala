@@ -118,6 +118,16 @@ class StackSpec extends AnyFunSuite with SparkSpec {
     assert(s.where(st.layers.map(col(_).isNull).reduce(_ || _)).count() === 0)
   }
 
+  test("sampleStrataWithReplacement: rank window sorts only the threshold survivors") {
+    val s = st.sampleStrataWithReplacement(RasterStack.strata(spark, G), 15, seed = 3)
+    val plan = s.queryExecution.optimizedPlan.toString
+    // the survivor branch's window input is the adaptive hash-threshold
+    // filter (~8·size rows per stratum), not the full stratum: the
+    // threshold literal must appear in a Filter below the plan's windows
+    assert(plan.contains("least(2147483648"), plan.take(800))
+    assert(plan.contains("__h"), plan.take(800))
+  }
+
   test("predict constants: dict overrides a feature, unknown key errors (_prediction.py:5-58)") {
     val m = Predict.LinearModel(Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0), 0.0)
     val d = Predict.predict(st.df, st.layers, m, constantsMap = Map("b1" -> 99.0))
