@@ -146,6 +146,7 @@ final case class Stack(df: DataFrame, meta: GridMeta, layers: Seq[String]) {
    * partial aggregation; `how` ∈ avg|min|max|sum|count.
    */
   def aggregate(outH: Int, outW: Int, how: String = "avg"): Stack = {
+    if (how == "nearest") return aggregateNearest(outH, outW)
     val orow = fdiv(col("row") * outH.toLong, meta.height.toLong)
     val ocol = fdiv(col("col") * outW.toLong, meta.width.toLong)
     val fn: Column => Column = how match {
@@ -159,11 +160,38 @@ final case class Stack(df: DataFrame, meta: GridMeta, layers: Seq[String]) {
       case "q1" => c => percentile_approx(c, lit(0.25), lit(10000))
       case "q3" => c => percentile_approx(c, lit(0.75), lit(10000))
       case other => throw new IllegalArgumentException(
-        s"unsupported aggregation '$other' (expected avg|min|max|sum|count|median|mode|q1|q3)")
+        s"unsupported aggregation '$other' (expected nearest|avg|min|max|sum|count|median|mode|q1|q3)")
     }
     val out = df.groupBy(orow.as("row"), ocol.as("col"))
       .agg(fn(L(layers.head)).as(layers.head),
         layers.tail.map(n => fn(L(n)).as(n)): _*)
+    Stack(out, meta.scaledTo(outH, outW), layers)
+  }
+
+  /**
+   * aggregate with the reference-DEFAULT `nearest` resampling
+   * (raster.py:1871 — rasterio decimated reads default to
+   * Resampling.nearest): out pixel (orow, ocol) takes the VALUE of the
+   * center-lattice source pixel
+   *   srow = (2*orow + 1) * H // (2*outH),  scol likewise
+   * (floor((orow + 0.5) * H / outH) in pure integer arithmetic — the
+   * GDAL/rasterio nearest decimation sample), no averaging. Physical
+   * shape: the target lattice is outH x outW rows (tiny relative to the
+   * source), broadcast against the pixel table via the outer-preserving
+   * probe-broadcast union — the source streams once, zero shuffle.
+   */
+  def aggregateNearest(outH: Int, outW: Int): Stack = {
+    val spark = df.sparkSession
+    val lattice = spark.range(outH.toLong * outW)
+      .select(idiv(col("id"), lit(outW.toLong)).as("__orow"),
+        (col("id") % outW.toLong).as("__ocol"))
+      .withColumn("row",
+        idiv(col("__orow") * lit(2L * meta.height) + lit(meta.height.toLong), lit(2L * outH)))
+      .withColumn("col",
+        idiv(col("__ocol") * lit(2L * meta.width) + lit(meta.width.toLong), lit(2L * outW)))
+    val joined = Extract.probeOuterBroadcast(df, lattice, Seq("row", "col"), layers)
+    val out = joined.select((Seq(col("__orow").as("row"), col("__ocol").as("col")) ++
+      layers.map(col)): _*)
     Stack(out, meta.scaledTo(outH, outW), layers)
   }
 

@@ -47,6 +47,67 @@ object Warp {
     override def sourceY(x: Column, y: Column): Column = y
   }
 
+  /** Spherical-mercator radius (EPSG:3857), meters. */
+  val MercR = 6378137.0
+  private val DegPerRad = 180.0 / math.Pi
+  private val HalfPi = math.Pi / 2.0
+
+  /**
+   * EPSG:3857 -> EPSG:4326: target world coordinates in Web-Mercator
+   * METERS map back to source lon/lat DEGREES — the real geodetic
+   * reprojection surface of the reference's to_crs
+   * (raster.py:1711-1866; tests/test_tocrs.py:22-37 reprojects between
+   * real CRSs). Closed-form public spherical-mercator math:
+   *   lon = (x / R) * 180/pi
+   *   lat = (2*atan(exp(y / R)) - pi/2) * 180/pi
+   * Operation ORDER is fixed and mirrored literally by the SQL twins so
+   * the only cross-engine risk is libm's last ulp (which the downstream
+   * floor-to-pixel arithmetic absorbs except on exact cell boundaries).
+   */
+  case object MercatorToLonLat extends CrsTransform {
+    override def sourceX(x: Column, y: Column): Column =
+      (x / lit(MercR)) * lit(DegPerRad)
+    override def sourceY(x: Column, y: Column): Column =
+      (lit(2.0) * atan(exp(y / lit(MercR))) - lit(HalfPi)) * lit(DegPerRad)
+    def sxSql(x: String, y: String): String = {
+      import graft.sources.OracleLit.d
+      s"(($x / ${d(MercR)}) * ${d(DegPerRad)})"
+    }
+    def sySql(x: String, y: String): String = {
+      import graft.sources.OracleLit.d
+      s"((2.0 * ATAN(EXP($y / ${d(MercR)})) - ${d(HalfPi)}) * ${d(DegPerRad)})"
+    }
+  }
+
+  /**
+   * EPSG:4326 -> EPSG:3857 (forward mercator): lon/lat DEGREES to
+   * mercator METERS — the srcToTarget direction for [[average]]-style
+   * forward pooling onto a mercator grid. Latitudes are clamped to the
+   * mercator domain (±85.051128...) exactly like proj's web-mercator.
+   *   x = lon * (R*pi/180)
+   *   y = R * ln(tan(pi/4 + lat*(pi/360)))
+   */
+  case object LonLatToMercator extends CrsTransform {
+    private val XScale = MercR * math.Pi / 180.0
+    private val RadPerHalfDeg = math.Pi / 360.0
+    private val QuarterPi = math.Pi / 4.0
+    val MaxLat = 85.05112877980659
+    override def sourceX(x: Column, y: Column): Column = x * lit(XScale)
+    override def sourceY(x: Column, y: Column): Column = {
+      val latC = least(greatest(y, lit(-MaxLat)), lit(MaxLat))
+      lit(MercR) * log(tan(lit(QuarterPi) + latC * lit(RadPerHalfDeg)))
+    }
+    def sxSql(x: String, y: String): String = {
+      import graft.sources.OracleLit.d
+      s"($x * ${d(XScale)})"
+    }
+    def sySql(x: String, y: String): String = {
+      import graft.sources.OracleLit.d
+      val latC = s"LEAST(GREATEST($y, ${d(-MaxLat)}), ${d(MaxLat)})"
+      s"(${d(MercR)} * LN(TAN(${d(QuarterPi)} + $latC * ${d(RadPerHalfDeg)})))"
+    }
+  }
+
   /**
    * Nearest-neighbor warp of `stack` onto `target`. Returns a Stack on
    * the target grid. The join is a plain equi-join on source (row, col)

@@ -102,8 +102,33 @@ object GeoQueries {
       KNN.geoDist(pages(s, dir), "lon", "lat",
           Seq((0.0, 0.0), (-100.0, 40.0), (100.0, -40.0)))
         .select("doc_id", "geodist_0", "geodist_1", "geodist_2")
+    }),
+
+    // AspectTransformer (transformers.py:358-429): aspect degrees ->
+    // (sin, cos) easting/northing components. Quantized FLOOR(x*1e9) on
+    // both sides — libm sin/cos agree to ~1 ulp across engines, the 1e-9
+    // grid absorbs it away from quantization boundaries.
+    "q48_aspect" -> ((s, dir) => {
+      val deg = (col("doc_id") % 360L).cast("double")
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          floor(aspect_easting(deg) * 1e9).as("east_q"),
+          floor(aspect_northing(deg) * 1e9).as("north_q"))
+    }),
+
+    // to_crs with a REAL geodetic transform: nearest-warp the lon/lat
+    // stack onto a Web-Mercator (EPSG:3857) meter grid, target pixels
+    // back-projected through the closed-form spherical-mercator inverse
+    // (raster.py:1711-1866; tests/test_tocrs.py:22-37).
+    "q49_to_crs_mercator" -> ((s, _) => {
+      val st = StackQueries.stack(s).select(Seq("b2", "b5"))
+      Warp.nearest(st, MercG, Warp.MercatorToLonLat).df.select("row", "col", "b2", "b5")
     })
   )
+
+  /** Web-Mercator target grid (meters, EPSG:3857) over the test extent. */
+  val MercG: GridMeta = GridMeta.northUp(-1.3e7, -8.0e6, 1.3e7, 8.0e6,
+    width = 100, height = 80, crs = "EPSG:3857")
 
   val oracles: Map[String, String] = Map(
 
@@ -184,6 +209,33 @@ object GeoQueries {
       def d(rx: Double, ry: Double, i: Int) =
         s"SQRT((lon - ${OracleLit.d(rx)}) * (lon - ${OracleLit.d(rx)}) + (lat - ${OracleLit.d(ry)}) * (lat - ${OracleLit.d(ry)})) AS geodist_$i"
       s"SELECT doc_id, ${d(0.0, 0.0, 0)}, ${d(-100.0, 40.0, 1)}, ${d(100.0, -40.0, 2)} FROM $pagesSql"
+    },
+
+    "q48_aspect" -> {
+      // radians replayed exactly as java.lang.Math.toRadians: deg / 180 * pi
+      val rad = s"((deg / ${OracleLit.d(180.0)}) * ${OracleLit.d(math.Pi)})"
+      val e9 = OracleLit.d(1e9)
+      s"""SELECT doc_id,
+         | CAST(FLOOR(SIN($rad) * $e9) AS BIGINT) AS east_q,
+         | CAST(FLOOR(COS($rad) * $e9) AS BIGINT) AS north_q
+         |FROM (SELECT doc_id, CAST(doc_id % 360 AS DOUBLE) AS deg FROM documents)""".stripMargin
+    },
+
+    "q49_to_crs_mercator" -> {
+      val tx = RasterStack.xSql(MercG, "tcol"); val ty = RasterStack.ySql(MercG, "trow")
+      val sx = Warp.MercatorToLonLat.sxSql(tx, ty)
+      val sy = Warp.MercatorToLonLat.sySql(tx, ty)
+      val srow = s"CAST(FLOOR(($sy - ${OracleLit.d(G.f)}) / (${OracleLit.d(G.e)})) AS BIGINT)"
+      val scol = s"CAST(FLOOR(($sx - ${OracleLit.d(G.c)}) / (${OracleLit.d(G.a)})) AS BIGINT)"
+      s"""SELECT t.trow AS row, t.tcol AS col, g.b2, g.b5
+         |FROM (SELECT CAST(range // ${MercG.width} AS BIGINT) AS trow,
+         |             CAST(range % ${MercG.width} AS BIGINT) AS tcol,
+         |             $srow AS srow, $scol AS scol
+         |      FROM range(${MercG.cells})) t
+         |LEFT JOIN (SELECT row, col,
+         |    ${RasterStack.NcBands.filter(b => Set("b2", "b5")(b.name)).map(b => RasterStack.bandSql("row", "col", b) + s" AS ${b.name}").mkString(", ")}
+         |  FROM ${RasterStack.gridSql(G)}) g
+         |ON g.row = t.srow AND g.col = t.scol""".stripMargin
     }
   )
 }

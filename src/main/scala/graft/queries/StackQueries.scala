@@ -60,6 +60,13 @@ object StackQueries {
       stack(s).aggregate(16, 20, "avg").df
     }),
 
+    // aggregate with the reference-DEFAULT nearest resampling
+    // (raster.py:1871): center-lattice decimation pick, no averaging.
+    "q51_aggregate_nearest" -> ((s, _) => {
+      stack(s).aggregate(25, 30, "nearest").df
+        .select("row", "col", "b1", "b4", "b7")
+    }),
+
     // crop(bounds) -> rebased window + recomputed transform (raster.py:1588-1709).
     "q08_crop" -> ((s, _) => stack(s).crop(-30.7, -20.3, 40.9, 25.1).df),
 
@@ -216,6 +223,19 @@ object StackQueries {
       s"""SELECT CAST(row * 16 // ${G.height} AS BIGINT) AS row,
          | CAST(col * 20 // ${G.width} AS BIGINT) AS col, $cells
          |FROM $pixSql GROUP BY 1, 2""".stripMargin
+    },
+
+    "q51_aggregate_nearest" -> {
+      val (h, w) = (G.height, G.width)
+      val bands = Seq("b1", "b4", "b7")
+      s"""SELECT t.orow AS row, t.ocol AS col, ${bands.map(b => s"g.$b").mkString(", ")}
+         |FROM (SELECT range // 30 AS orow, range % 30 AS ocol,
+         |        (2 * (range // 30) * $h + $h) // (2 * 25) AS srow,
+         |        (2 * (range % 30) * $w + $w) // (2 * 30) AS scol
+         |      FROM range(${25 * 30})) t
+         |LEFT JOIN (SELECT row, col, ${NcBands.filter(b => bands.contains(b.name)).map(b => bandSql("row", "col", b) + s" AS ${b.name}").mkString(", ")}
+         |           FROM ${gridSql(G)}) g
+         |  ON g.row = t.srow AND g.col = t.scol""".stripMargin
     },
 
     "q08_crop" -> {

@@ -70,7 +70,19 @@ object StreamTiles {
           val room = math.max(0L, k - seen)
           val picked =
             if (room == 0L) Seq.empty
-            else it.toSeq.sortBy(e => (e.tsMillis, e.id)).take(room.toInt)
+            else {
+              // bounded size-`room` MAX-heap on (tsMillis, id): memory is
+              // O(k) per tile, not O(micro-batch group) — a hot tile must
+              // not materialize-and-sort its whole batch
+              implicit val ord: Ordering[TileEvent] =
+                Ordering.by((e: TileEvent) => (e.tsMillis, e.id))
+              val heap = scala.collection.mutable.PriorityQueue.empty[TileEvent]
+              it.foreach { e =>
+                if (heap.size < room) heap.enqueue(e)
+                else if (ord.lt(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
+              }
+              heap.dequeueAll.reverse // ascending (tsMillis, id)
+            }
           if (picked.nonEmpty) state.update(TileSeen(seen + picked.size))
           picked.iterator.zipWithIndex.map { case (e, i) =>
             TileArrival(tile, e.id, seen + i + 1)
