@@ -178,16 +178,8 @@ object Warp {
    * (the engine-wide oracle rule for averages).
    */
   def average(stack: Stack, target: GridMeta, srcToTarget: CrsTransform): Stack = {
-    val m = stack.meta
     val spark = stack.df.sparkSession
-    val proj = stack.df
-      .withColumn("__x", grid_x(col("row"), col("col"), m))
-      .withColumn("__y", grid_y(col("row"), col("col"), m))
-      .withColumn("__tx", srcToTarget.sourceX(col("__x"), col("__y")))
-      .withColumn("__ty", srcToTarget.sourceY(col("__x"), col("__y")))
-      .withColumn("__trow", grid_row(col("__tx"), col("__ty"), target))
-      .withColumn("__tcol", grid_col(col("__tx"), col("__ty"), target))
-      .where(in_bounds(col("__trow"), col("__tcol"), target))
+    val proj = forwardProject(stack, target, srcToTarget)
     val aggs = stack.layers.flatMap(n =>
       Seq(sum(col(n)).as(s"__s_$n"), count(col(n)).as(s"__c_$n")))
     val pooled = proj.groupBy(col("__trow").as("row"), col("__tcol").as("col"))
@@ -197,6 +189,139 @@ object Warp {
       d.withColumn(n, when(col(s"__c_$n") > 0, col(s"__s_$n") / col(s"__c_$n")))
     }
     Stack(out.select((Seq("row", "col") ++ stack.layers).map(col): _*), target, stack.layers)
+  }
+
+  /**
+   * Cubic-convolution weight (Keys kernel, a = -0.5 — the GDAL/rasterio
+   * `Resampling.cubic` kernel) for neighbor offset `i` ∈ 0..3 (source
+   * offsets -1, 0, +1, +2) given the fractional position `w` ∈ [0,1),
+   * as a SQL TEXT expression. The SAME text is parsed by Spark's `expr`
+   * and by the DuckDB oracle, so the IEEE evaluation order is identical
+   * by construction (all literals are exact in decimal -> double).
+   */
+  private[graft] def cubicW(i: Int, w: String): String = i match {
+    // |t| <= 1:  1.5 t^3 - 2.5 t^2 + 1        with t = w (i=1), 1-w (i=2)
+    // 1 < |t| < 2: -0.5 t^3 + 2.5 t^2 - 4 t + 2 with t = 1+w (i=0), 2-w (i=3)
+    case 0 => s"((-0.5) * ((1.0 + $w) * (1.0 + $w) * (1.0 + $w)) + 2.5 * ((1.0 + $w) * (1.0 + $w)) - 4.0 * (1.0 + $w) + 2.0)"
+    case 1 => s"(1.5 * ($w * $w * $w) - 2.5 * ($w * $w) + 1.0)"
+    case 2 => s"(1.5 * ((1.0 - $w) * (1.0 - $w) * (1.0 - $w)) - 2.5 * ((1.0 - $w) * (1.0 - $w)) + 1.0)"
+    case 3 => s"((-0.5) * ((2.0 - $w) * (2.0 - $w) * (2.0 - $w)) + 2.5 * ((2.0 - $w) * (2.0 - $w)) - 4.0 * (2.0 - $w) + 2.0)"
+  }
+
+  /**
+   * Cubic-convolution warp (rasterio Resampling.cubic, Keys a = -0.5):
+   * each target pixel gathers the 4x4 source pixel CENTERS around its
+   * back-projected position; output = separable row/column weighted sum
+   * in fixed left-associative order, NULL when any of the 16
+   * contributing neighbors is missing or masked (the engine's nodata
+   * rule for interpolating resamplers, same as [[bilinear]]).
+   *
+   * Physical shape = bilinear's with 16 tags: explode the corner keys,
+   * ONE left-outer equi-join against the source stack, conditional-agg
+   * gather back to one row per target pixel — the source scans once and
+   * both shuffles are plain hash partitionings.
+   */
+  def cubic(stack: Stack, target: GridMeta, crs: CrsTransform): Stack = {
+    val m = stack.meta
+    val spark = stack.df.sparkSession
+    val tgt = graft.sources.RasterStack.grid(spark, target)
+      .withColumn("__tx", grid_x(col("row"), col("col"), target))
+      .withColumn("__ty", grid_y(col("row"), col("col"), target))
+      .withColumn("__sx", crs.sourceX(col("__tx"), col("__ty")))
+      .withColumn("__sy", crs.sourceY(col("__tx"), col("__ty")))
+      .withColumn("__gx", (col("__sx") - lit(m.c)) / lit(m.a) - lit(0.5))
+      .withColumn("__gy", (col("__sy") - lit(m.f)) / lit(m.e) - lit(0.5))
+      .withColumn("__c0", floor(col("__gx")).cast("long"))
+      .withColumn("__r0", floor(col("__gy")).cast("long"))
+      .withColumn("__wx", col("__gx") - col("__c0").cast("double"))
+      .withColumn("__wy", col("__gy") - col("__r0").cast("double"))
+    val exploded = tgt
+      .withColumn("__tag", explode(array((0 until 16).map(t => lit(t)): _*)))
+      .withColumn("__srow", col("__r0") - 1L + idiv(col("__tag").cast("long"), lit(4L)))
+      .withColumn("__scol", col("__c0") - 1L + col("__tag").cast("long") % lit(4L))
+    val src = stack.df.select(
+      (Seq(col("row").as("__srow"), col("col").as("__scol")) ++ stack.layers.map(col)): _*)
+    val joined = exploded.join(src, Seq("__srow", "__scol"), "left_outer")
+    val gathers = stack.layers.flatMap(n => (0 until 16).map(t =>
+      max(when(col("__tag") === t, col(n))).as(s"__${n}_$t")))
+    val agg = joined.groupBy(col("row"), col("col"), col("__wx"), col("__wy"))
+      .agg(gathers.head, gathers.tail: _*)
+    val wxs = (0 until 4).map(i => expr(cubicW(i, "__wx")))
+    val wys = (0 until 4).map(j => expr(cubicW(j, "__wy")))
+    val out = stack.layers.foldLeft(agg) { (d, n) =>
+      val v = (0 until 16).map(t => col(s"__${n}_$t")) // t = j*4 + i
+      val anyNull = v.map(_.isNull).reduce(_ || _)
+      // separable fixed order: rowsum_j = sum_i wx_i * v[j*4+i]; then
+      // sum_j wy_j * rowsum_j — both folds left-associative, mirroring
+      // the oracle's `a + b + c + d` text exactly
+      val rowSums = (0 until 4).map(j =>
+        (0 until 4).map(i => wxs(i) * v(j * 4 + i)).reduce(_ + _))
+      val interp = (0 until 4).map(j => wys(j) * rowSums(j)).reduce(_ + _)
+      d.withColumn(n, when(anyNull, lit(null)).otherwise(interp).cast("double"))
+    }
+    Stack(out.select((Seq("row", "col") ++ stack.layers).map(col): _*), target, stack.layers)
+  }
+
+  /**
+   * Pooling warps for the remaining decimation resamplers the reference
+   * exposes (raster.py:1794-1797 accepts every rasterio Resampling):
+   * `how` ∈ min | max — every source pixel center forward-projects onto
+   * the target grid ([[average]]'s shape) and pools per target pixel;
+   * one hash-agg shuffle keyed by target (row, col), map-side partials,
+   * null where nothing valid landed.
+   */
+  def pool(stack: Stack, target: GridMeta, srcToTarget: CrsTransform, how: String): Stack = {
+    val fn: Column => Column = how match {
+      case "min" => min
+      case "max" => max
+      case other => throw new IllegalArgumentException(
+        s"unsupported pool '$other' (expected min|max; average/mode have dedicated operators)")
+    }
+    val proj = forwardProject(stack, target, srcToTarget)
+    val pooled = proj.groupBy(col("__trow").as("row"), col("__tcol").as("col"))
+      .agg(fn(col(stack.layers.head)).as(stack.layers.head),
+        stack.layers.tail.map(n => fn(col(n)).as(n)): _*)
+    val tgt = graft.sources.RasterStack.grid(stack.df.sparkSession, target)
+    val out = tgt.join(pooled, Seq("row", "col"), "left_outer")
+    Stack(out.select((Seq("row", "col") ++ stack.layers).map(col): _*), target, stack.layers)
+  }
+
+  /**
+   * Mode-resampling warp (rasterio Resampling.mode) — most frequent
+   * valid value per target pixel and layer, ties broken toward the
+   * SMALLEST value (deterministic, oracle-reproducible). Per layer: one
+   * (row, col, value) hash count + one rank window; layers join back on
+   * the target grid.
+   */
+  def mode(stack: Stack, target: GridMeta, srcToTarget: CrsTransform): Stack = {
+    import org.apache.spark.sql.expressions.Window
+    val proj = graft.plans.Caches.track(forwardProject(stack, target, srcToTarget))
+    val tgt = graft.sources.RasterStack.grid(stack.df.sparkSession, target)
+    val out = stack.layers.foldLeft(tgt) { (d, n) =>
+      val votes = proj.where(col(n).isNotNull)
+        .groupBy(col("__trow").as("row"), col("__tcol").as("col"), col(n))
+        .agg(count(lit(1)).as("__votes"))
+      val w = Window.partitionBy(col("row"), col("col"))
+        .orderBy(col("__votes").desc, col(n).asc)
+      val winner = votes.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).select(col("row"), col("col"), col(n))
+      d.join(winner, Seq("row", "col"), "left_outer")
+    }
+    Stack(out.select((Seq("row", "col") ++ stack.layers).map(col): _*), target, stack.layers)
+  }
+
+  /** Source pixels with forward-projected target (row, col), in-bounds. */
+  private def forwardProject(stack: Stack, target: GridMeta,
+                             srcToTarget: CrsTransform): DataFrame = {
+    val m = stack.meta
+    stack.df
+      .withColumn("__x", grid_x(col("row"), col("col"), m))
+      .withColumn("__y", grid_y(col("row"), col("col"), m))
+      .withColumn("__tx", srcToTarget.sourceX(col("__x"), col("__y")))
+      .withColumn("__ty", srcToTarget.sourceY(col("__x"), col("__y")))
+      .withColumn("__trow", grid_row(col("__tx"), col("__ty"), target))
+      .withColumn("__tcol", grid_col(col("__tx"), col("__ty"), target))
+      .where(in_bounds(col("__trow"), col("__tcol"), target))
   }
 
   def nearest(stack: Stack, target: GridMeta, crs: CrsTransform): Stack = {

@@ -123,6 +123,29 @@ object GeoQueries {
     "q49_to_crs_mercator" -> ((s, _) => {
       val st = StackQueries.stack(s).select(Seq("b2", "b5"))
       Warp.nearest(st, MercG, Warp.MercatorToLonLat).df.select("row", "col", "b2", "b5")
+    }),
+
+    // to_crs cubic-convolution resampling (Resampling.cubic, Keys
+    // a=-0.5): 16-corner gather, separable fixed-order weighted sum —
+    // the weight TEXT is shared between Spark expr() and the oracle.
+    "q52_warp_cubic" -> ((s, _) => {
+      val st = StackQueries.stack(s).select(Seq("b1", "b4"))
+      Warp.cubic(st, TargetG, Crs).df.select("row", "col", "b1", "b4")
+    }),
+
+    // to_crs mode resampling (Resampling.mode): most frequent valid
+    // value per target pixel, ties to the smallest value.
+    "q53_warp_mode" -> ((s, _) => {
+      val st = StackQueries.stack(s).select(Seq("b1", "b4"))
+      Warp.mode(st, TargetG, Warp.Identity).df.select("row", "col", "b1", "b4")
+    }),
+
+    // to_crs min/max pooling (Resampling.min / Resampling.max).
+    "q54_warp_minmax" -> ((s, _) => {
+      val mn = Warp.pool(StackQueries.stack(s).select(Seq("b1")), TargetG, Warp.Identity, "min")
+      val mx = Warp.pool(StackQueries.stack(s).select(Seq("b4")), TargetG, Warp.Identity, "max")
+      mn.df.select(col("row"), col("col"), col("b1").as("b1_min"))
+        .join(mx.df.select(col("row"), col("col"), col("b4").as("b4_max")), Seq("row", "col"))
     })
   )
 
@@ -219,6 +242,71 @@ object GeoQueries {
          | CAST(FLOOR(SIN($rad) * $e9) AS BIGINT) AS east_q,
          | CAST(FLOOR(COS($rad) * $e9) AS BIGINT) AS north_q
          |FROM (SELECT doc_id, CAST(doc_id % 360 AS DOUBLE) AS deg FROM documents)""".stripMargin
+    },
+
+    "q52_warp_cubic" -> {
+      import OracleLit.d
+      val tx = RasterStack.xSql(TargetG, "tcol"); val ty = RasterStack.ySql(TargetG, "trow")
+      val sx = Crs.sxSql(tx, ty); val sy = Crs.sySql(tx, ty)
+      val gx = s"(($sx - ${d(G.c)}) / ${d(G.a)} - 0.5)"
+      val gy = s"(($sy - ${d(G.f)}) / ${d(G.e)} - 0.5)"
+      val pix = s"(SELECT row, col, ${Seq("b1", "b4").map(n => RasterStack.bandSql("row", "col", RasterStack.NcBands.find(_.name == n).get) + s" AS $n").mkString(", ")} FROM ${RasterStack.gridSql(G)})"
+      val joins = (for (j <- 0 until 4; i <- 0 until 4) yield
+        s"LEFT JOIN $pix g$j$i ON g$j$i.row = t.r0 - 1 + $j AND g$j$i.col = t.c0 - 1 + $i")
+        .mkString("\n")
+      def interp(n: String) = {
+        val anyNull = (for (j <- 0 until 4; i <- 0 until 4) yield s"g$j$i.$n IS NULL").mkString(" OR ")
+        val rowSums = (0 until 4).map { j =>
+          (0 until 4).map(i => s"${Warp.cubicW(i, "wx")} * g$j$i.$n").mkString("(", " + ", ")")
+        }
+        val total = (0 until 4).map(j => s"${Warp.cubicW(j, "wy")} * ${rowSums(j)}").mkString(" + ")
+        s"CASE WHEN $anyNull THEN NULL ELSE $total END AS $n"
+      }
+      s"""SELECT t.trow AS row, t.tcol AS col, ${interp("b1")}, ${interp("b4")}
+         |FROM (SELECT trow, tcol, c0, r0, gx - CAST(c0 AS DOUBLE) AS wx, gy - CAST(r0 AS DOUBLE) AS wy
+         |      FROM (SELECT CAST(range // ${TargetG.width} AS BIGINT) AS trow,
+         |                   CAST(range % ${TargetG.width} AS BIGINT) AS tcol,
+         |                   $gx AS gx, $gy AS gy,
+         |                   CAST(FLOOR($gx) AS BIGINT) AS c0, CAST(FLOOR($gy) AS BIGINT) AS r0
+         |            FROM range(${TargetG.cells}))) t
+         |$joins""".stripMargin
+    },
+
+    "q53_warp_mode" -> {
+      import OracleLit.d
+      val x = RasterStack.xSql(G); val y = RasterStack.ySql(G)
+      val trow = s"CAST(FLOOR(($y - ${d(TargetG.f)}) / (${d(TargetG.e)})) AS BIGINT)"
+      val tcol = s"CAST(FLOOR(($x - ${d(TargetG.c)}) / (${d(TargetG.a)})) AS BIGINT)"
+      val pix = s"(SELECT row, col, ${Seq("b1", "b4").map(n => RasterStack.bandSql("row", "col", RasterStack.NcBands.find(_.name == n).get) + s" AS $n").mkString(", ")} FROM ${RasterStack.gridSql(G)})"
+      val proj = s"""(SELECT $trow AS trow, $tcol AS tcol, b1, b4 FROM $pix
+                    | WHERE $trow >= 0 AND $trow < ${TargetG.height} AND $tcol >= 0 AND $tcol < ${TargetG.width})""".stripMargin
+      def modeOf(n: String) =
+        s"""(SELECT row, col, $n FROM (
+           |  SELECT trow AS row, tcol AS col, $n,
+           |    ROW_NUMBER() OVER (PARTITION BY trow, tcol ORDER BY cnt DESC, $n ASC) AS rn
+           |  FROM (SELECT trow, tcol, $n, COUNT(*) AS cnt FROM $proj
+           |        WHERE $n IS NOT NULL GROUP BY 1, 2, 3))
+           | WHERE rn = 1)""".stripMargin
+      s"""SELECT t.row, t.col, m1.b1, m4.b4
+         |FROM ${RasterStack.gridSql(TargetG)} t
+         |LEFT JOIN ${modeOf("b1")} m1 ON m1.row = t.row AND m1.col = t.col
+         |LEFT JOIN ${modeOf("b4")} m4 ON m4.row = t.row AND m4.col = t.col""".stripMargin
+    },
+
+    "q54_warp_minmax" -> {
+      import OracleLit.d
+      val x = RasterStack.xSql(G); val y = RasterStack.ySql(G)
+      val trow = s"CAST(FLOOR(($y - ${d(TargetG.f)}) / (${d(TargetG.e)})) AS BIGINT)"
+      val tcol = s"CAST(FLOOR(($x - ${d(TargetG.c)}) / (${d(TargetG.a)})) AS BIGINT)"
+      val pix = s"(SELECT row, col, ${Seq("b1", "b4").map(n => RasterStack.bandSql("row", "col", RasterStack.NcBands.find(_.name == n).get) + s" AS $n").mkString(", ")} FROM ${RasterStack.gridSql(G)})"
+      s"""SELECT t.row, t.col, s.b1_min, s.b4_max
+         |FROM ${RasterStack.gridSql(TargetG)} t
+         |LEFT JOIN (
+         | SELECT trow, tcol, MIN(b1) AS b1_min, MAX(b4) AS b4_max
+         | FROM (SELECT $trow AS trow, $tcol AS tcol, b1, b4 FROM $pix)
+         | WHERE trow >= 0 AND trow < ${TargetG.height} AND tcol >= 0 AND tcol < ${TargetG.width}
+         | GROUP BY 1, 2) s
+         |ON s.trow = t.row AND s.tcol = t.col""".stripMargin
     },
 
     "q49_to_crs_mercator" -> {
