@@ -45,10 +45,17 @@ object Dedup {
    * with map-side partial aggregation — the pre-pass that keeps
    * boilerplate clusters out of the LSH band buckets.
    */
-  def representatives(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol).cast("binary")).as("__md5"))
-      .agg(min(col(idCol)).as("id"), min(col(textCol)).as("text"))
-      .drop("__md5")
+  def representatives(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // two-step on purpose: aggregating the TEXT column directly (e.g.
+    // min(text)) is not hash-aggregatable — Spark plans a SortAggregate
+    // that sorts the whole corpus by md5 per partition. The (md5, id)
+    // hash agg carries 24-byte rows with map-side combine; the semi join
+    // then re-reads the texts of the keeper ids only.
+    val keep = df.groupBy(md5(col(textCol).cast("binary")).as("__md5"))
+      .agg(min(col(idCol)).as("id")).select("id")
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(keep, Seq("id"), "left_semi")
+  }
 
   /** SQL twin of [[representatives]] over a corpus relation. */
   def representativesSql(corpus: String): String =

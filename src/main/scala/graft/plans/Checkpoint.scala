@@ -1,9 +1,8 @@
 package graft.plans
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-
-import java.nio.file.{Files, Paths}
 
 /**
  * Snapshot-style checkpointing with per-partition lineage + metrics —
@@ -30,19 +29,34 @@ object Checkpoint {
 
   final case class Stage(df: DataFrame, resumed: Boolean, snapshotPath: String)
 
-  private def marker(dir: String) = Paths.get(dir, "_GRAFT_FINGERPRINT")
+  // Marker I/O goes through the Hadoop FileSystem API resolved from the
+  // snapshot path itself, so checkpoints work unchanged on HDFS / S3A /
+  // GCS on a real cluster (java.nio would silently only see the driver's
+  // local disk). The marker write is create-overwrite + close — the same
+  // atomicity class as Spark's own _SUCCESS commit marker.
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def isComplete(dir: String, fingerprint: String): Boolean = {
+  private def marker(dir: String) = new Path(dir, "_GRAFT_FINGERPRINT")
+
+  def isComplete(spark: SparkSession, dir: String, fingerprint: String): Boolean = {
+    val f = fs(spark, dir)
     val m = marker(dir)
-    Files.exists(Paths.get(dir, "_SUCCESS")) && Files.exists(m) &&
-      new String(Files.readAllBytes(m)) == fingerprint
+    f.exists(new Path(dir, "_SUCCESS")) && f.exists(m) && {
+      val in = f.open(m)
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(m).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8") == fingerprint
+      } finally in.close()
+    }
   }
 
   /** Run (or resume) one stage. */
   def stage(spark: SparkSession, root: String, name: String, fingerprint: String)
            (compute: => DataFrame): Stage = {
     val dir = s"$root/$name"
-    if (isComplete(dir, fingerprint)) {
+    if (isComplete(spark, dir, fingerprint)) {
       Stage(spark.read.parquet(dir), resumed = true, dir)
     } else {
       val out = compute
@@ -60,7 +74,8 @@ object Checkpoint {
         .withColumn("stage", lit(name))
         .withColumn("fingerprint", lit(fingerprint))
       metrics.write.mode("overwrite").parquet(s"$dir" + "__metrics")
-      Files.write(marker(dir), fingerprint.getBytes)
+      val out2 = fs(spark, dir).create(marker(dir), true)
+      try out2.write(fingerprint.getBytes("UTF-8")) finally out2.close()
       Stage(snap, resumed = false, dir)
     }
   }

@@ -57,6 +57,16 @@ object ScaleQueries {
         .select(col("window.start").cast("long").as("ws"), col("tile"), col("n_events"))
     }),
 
+    // CUSTOM-STATE streaming operator, batch twin: firstKPerTile
+    // (flatMapGroupsWithState) on a batch Dataset == rank-by-(ts, id)
+    // head per tile — this pins the stateful operator's admission order
+    // to a SQL oracle (StreamingSpec separately proves batch ≡ stream).
+    "q55_first_k_per_tile" -> ((s, dir) => {
+      graft.streaming.StreamTiles.firstKPerTile(
+          s.read.parquet(s"$dir/events.parquet"), "ts", "event_id", G, res = 8, k = 5)
+        .toDF().select("tile", "id", "arrival_rank")
+    }),
+
     // extract_xy at table scale: 600k probes left-join the 216k-pixel stack.
     "q27_lineitem_extract" -> ((s, dir) => {
       val probes = Pages.withGrid(
@@ -101,6 +111,23 @@ object ScaleQueries {
          |            FROM (SELECT ts, ${Pages.lonSql("event_id")} AS lon,
          |                         ${Pages.latSql("event_id")} AS lat FROM events)))
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    "q55_first_k_per_tile" -> {
+      val tpr = graft.core.Tiles.tilesPerRow(G.width, 64)
+      // tsMillis replays Spark's timestamp->double->*1000->long cast
+      // chain bit-exactly: us/1e6 double division, *1000.0, trunc
+      val tsMillis = "CAST(TRUNC((CAST(epoch_us(ts) AS DOUBLE) / 1000000.0) * 1000.0) AS BIGINT)"
+      s"""SELECT tile, id, arrival_rank FROM (
+         | SELECT tile, event_id AS id,
+         |   ROW_NUMBER() OVER (PARTITION BY tile ORDER BY $tsMillis, event_id) AS arrival_rank
+         | FROM (SELECT ts, event_id,
+         |         CASE WHEN grow >= 0 AND grow < ${G.height} AND gcol >= 0 AND gcol < ${G.width}
+         |              THEN (grow // 64) * $tpr + (gcol // 64) ELSE -1 END AS tile
+         |       FROM (SELECT ts, event_id, ${Pages.rowSql(G)} AS grow, ${Pages.colSql(G)} AS gcol
+         |             FROM (SELECT ts, event_id, ${Pages.lonSql("event_id")} AS lon,
+         |                          ${Pages.latSql("event_id")} AS lat FROM events))))
+         |WHERE arrival_rank <= 5""".stripMargin
     },
 
     "q27_lineitem_extract" -> {

@@ -213,6 +213,11 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     // clones collapse onto representative doc 0 -> identical pair set,
     // candidate volume O(near-dups), not O(500^2)
     assert(withBoiler === plain)
+    // plan shape: the collapse must be a hash agg + semi join — min/first
+    // over the TEXT column would plan a SortAggregate (full corpus sort)
+    val plan = Dedup.jaccardPairs(d, "doc_id", "text", threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), plan.take(600))
   }
 
   test("dedup band-bucket cap: oversized buckets are excluded, audit sees them") {

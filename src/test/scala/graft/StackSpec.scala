@@ -118,6 +118,24 @@ class StackSpec extends AnyFunSuite with SparkSpec {
     assert(s.where(st.layers.map(col(_).isNull).reduce(_ || _)).count() === 0)
   }
 
+  test("aggregate nearest: center-lattice pick, broadcast probe, matches scalar decimation") {
+    val a = st.aggregate(25, 30, "nearest")
+    assert(a.meta.height === 25 && a.meta.width === 30)
+    val got = a.df.select("row", "col", "b1").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.size === 750)
+    val src = st.df.select("row", "col", "b1").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val (h, w) = (st.meta.height.toLong, st.meta.width.toLong)
+    for (or <- 0L until 25L; oc <- 0L until 30L) {
+      val sr = (2 * or * h + h) / (2 * 25); val sc = (2 * oc * w + w) / (2 * 30)
+      assert(got((or, oc)) === src((sr, sc)), s"out ($or,$oc) <- src ($sr,$sc)")
+    }
+    // the lattice probe must broadcast (source streamed, never shuffled)
+    val plan = a.df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"), plan.take(600))
+  }
+
   test("sampleStrataWithReplacement: rank window sorts only the threshold survivors") {
     val s = st.sampleStrataWithReplacement(RasterStack.strata(spark, G), 15, seed = 3)
     val plan = s.queryExecution.optimizedPlan.toString
