@@ -221,9 +221,46 @@ object Warp {
    * gather back to one row per target pixel — the source scans once and
    * both shuffles are plain hash partitionings.
    */
-  def cubic(stack: Stack, target: GridMeta, crs: CrsTransform): Stack = {
+  def cubic(stack: Stack, target: GridMeta, crs: CrsTransform): Stack =
+    separableGather(stack, target, crs, taps = 4, off = 1, cubicW, normalize = false)
+
+  /**
+   * Lanczos-3 weight for tap i ∈ 0..5 (source offsets -2..+3) at
+   * fractional position `w` ∈ [0,1): t = w - offset, L(0) = 1, else
+   * L(t) = 3 sin(pi t) sin(pi t / 3) / (pi^2 t^2) for |t| < 3 — the
+   * rasterio/GDAL Resampling.lanczos windowed sinc. SQL TEXT shared
+   * between Spark `expr` and the oracle like [[cubicW]]; the only
+   * cross-engine risk is libm SIN's last ulp (measured: ~0.2% of inputs
+   * differ by 1 ulp between the JVM and libm), which the lanczos oracle
+   * absorbs by quantizing OUTPUTS (FLOOR(x*1e3)) instead of comparing
+   * raw doubles.
+   */
+  private[graft] def lanczosW(i: Int, w: String): String = {
+    val o = i - 2
+    val t = if (o == 0) w else if (o < 0) s"($w + ${-o}.0)" else s"($w - $o.0)"
+    s"(CASE WHEN $t = 0.0 THEN 1.0 ELSE " +
+      s"(3.0 * SIN(PI() * $t) * SIN(PI() * $t / 3.0)) / ((PI() * PI()) * ($t * $t)) END)"
+  }
+
+  /** Lanczos-3 warp: 6x6 gather, weight-sum normalized (GDAL semantics). */
+  def lanczos(stack: Stack, target: GridMeta, crs: CrsTransform): Stack =
+    separableGather(stack, target, crs, taps = 6, off = 2, lanczosW, normalize = true)
+
+  /**
+   * Shared shape of the interpolating resamplers: explode taps^2 corner
+   * keys per target pixel, ONE left-outer equi-join against the source
+   * stack, conditional-agg gather back to one row per target pixel —
+   * the source scans once and both shuffles are plain hash
+   * partitionings. NULL when any contributing neighbor is missing or
+   * masked. `normalize` divides by the separable weight sum (lanczos —
+   * its window does not sum to 1).
+   */
+  private def separableGather(stack: Stack, target: GridMeta, crs: CrsTransform,
+                              taps: Int, off: Int, wF: (Int, String) => String,
+                              normalize: Boolean): Stack = {
     val m = stack.meta
     val spark = stack.df.sparkSession
+    val n2 = taps * taps
     val tgt = graft.sources.RasterStack.grid(spark, target)
       .withColumn("__tx", grid_x(col("row"), col("col"), target))
       .withColumn("__ty", grid_y(col("row"), col("col"), target))
@@ -236,28 +273,32 @@ object Warp {
       .withColumn("__wx", col("__gx") - col("__c0").cast("double"))
       .withColumn("__wy", col("__gy") - col("__r0").cast("double"))
     val exploded = tgt
-      .withColumn("__tag", explode(array((0 until 16).map(t => lit(t)): _*)))
-      .withColumn("__srow", col("__r0") - 1L + idiv(col("__tag").cast("long"), lit(4L)))
-      .withColumn("__scol", col("__c0") - 1L + col("__tag").cast("long") % lit(4L))
+      .withColumn("__tag", explode(array((0 until n2).map(t => lit(t)): _*)))
+      .withColumn("__srow", col("__r0") - off.toLong + idiv(col("__tag").cast("long"), lit(taps.toLong)))
+      .withColumn("__scol", col("__c0") - off.toLong + col("__tag").cast("long") % lit(taps.toLong))
     val src = stack.df.select(
       (Seq(col("row").as("__srow"), col("col").as("__scol")) ++ stack.layers.map(col)): _*)
     val joined = exploded.join(src, Seq("__srow", "__scol"), "left_outer")
-    val gathers = stack.layers.flatMap(n => (0 until 16).map(t =>
+    val gathers = stack.layers.flatMap(n => (0 until n2).map(t =>
       max(when(col("__tag") === t, col(n))).as(s"__${n}_$t")))
     val agg = joined.groupBy(col("row"), col("col"), col("__wx"), col("__wy"))
       .agg(gathers.head, gathers.tail: _*)
-    val wxs = (0 until 4).map(i => expr(cubicW(i, "__wx")))
-    val wys = (0 until 4).map(j => expr(cubicW(j, "__wy")))
+    val wxs = (0 until taps).map(i => expr(wF(i, "__wx")))
+    val wys = (0 until taps).map(j => expr(wF(j, "__wy")))
     val out = stack.layers.foldLeft(agg) { (d, n) =>
-      val v = (0 until 16).map(t => col(s"__${n}_$t")) // t = j*4 + i
+      val v = (0 until n2).map(t => col(s"__${n}_$t")) // t = j*taps + i
       val anyNull = v.map(_.isNull).reduce(_ || _)
-      // separable fixed order: rowsum_j = sum_i wx_i * v[j*4+i]; then
+      // separable fixed order: rowsum_j = sum_i wx_i * v[j*taps+i]; then
       // sum_j wy_j * rowsum_j — both folds left-associative, mirroring
       // the oracle's `a + b + c + d` text exactly
-      val rowSums = (0 until 4).map(j =>
-        (0 until 4).map(i => wxs(i) * v(j * 4 + i)).reduce(_ + _))
-      val interp = (0 until 4).map(j => wys(j) * rowSums(j)).reduce(_ + _)
-      d.withColumn(n, when(anyNull, lit(null)).otherwise(interp).cast("double"))
+      val rowSums = (0 until taps).map(j =>
+        (0 until taps).map(i => wxs(i) * v(j * taps + i)).reduce(_ + _))
+      val interp = (0 until taps).map(j => wys(j) * rowSums(j)).reduce(_ + _)
+      val result =
+        if (normalize)
+          interp / (wxs.reduce(_ + _) * wys.reduce(_ + _))
+        else interp
+      d.withColumn(n, when(anyNull, lit(null)).otherwise(result).cast("double"))
     }
     Stack(out.select((Seq("row", "col") ++ stack.layers).map(col): _*), target, stack.layers)
   }
@@ -274,8 +315,19 @@ object Warp {
     val fn: Column => Column = how match {
       case "min" => min
       case "max" => max
+      case "sum" => sum
+      // rms/median/q1/q3 over INTEGRAL band values are bit-reproducible
+      // across engines: sums of integers in double are exact in any
+      // combine order, and quartile interpolation fractions (.25/.5/.75)
+      // of integers are exact binary arithmetic under either
+      // a+(b-a)*f or (1-f)*a+f*b
+      case "rms" => c => when(count(c) > 0, sqrt(sum(c * c) / count(c)))
+      case "median" => c => percentile(c, lit(0.5))
+      case "q1" => c => percentile(c, lit(0.25))
+      case "q3" => c => percentile(c, lit(0.75))
       case other => throw new IllegalArgumentException(
-        s"unsupported pool '$other' (expected min|max; average/mode have dedicated operators)")
+        s"unsupported pool '$other' (expected min|max|sum|rms|median|q1|q3; " +
+          "average/mode have dedicated operators)")
     }
     val proj = forwardProject(stack, target, srcToTarget)
     val pooled = proj.groupBy(col("__trow").as("row"), col("__tcol").as("col"))

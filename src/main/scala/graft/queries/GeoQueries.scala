@@ -146,6 +146,30 @@ object GeoQueries {
       val mx = Warp.pool(StackQueries.stack(s).select(Seq("b4")), TargetG, Warp.Identity, "max")
       mn.df.select(col("row"), col("col"), col("b1").as("b1_min"))
         .join(mx.df.select(col("row"), col("col"), col("b4").as("b4_max")), Seq("row", "col"))
+    }),
+
+    // to_crs sum/rms/med/q1/q3 pooling (Resampling.sum/rms/med/q1/q3) —
+    // exact across engines because band values are integral doubles
+    // (order-free integer sums; quartile interpolation fractions exact).
+    "q56_warp_pool_stats" -> ((s, _) => {
+      def p(how: String, alias: String) =
+        Warp.pool(StackQueries.stack(s).select(Seq("b1")), TargetG, Warp.Identity, how)
+          .df.select(col("row"), col("col"), col("b1").as(alias))
+      p("sum", "b1_sum").join(p("rms", "b1_rms"), Seq("row", "col"))
+        .join(p("median", "b1_med"), Seq("row", "col"))
+        .join(p("q1", "b1_q1"), Seq("row", "col"))
+        .join(p("q3", "b1_q3"), Seq("row", "col"))
+    }),
+
+    // to_crs lanczos-3 (Resampling.lanczos): 6x6 windowed-sinc gather,
+    // weight-sum normalized; oracle compares FLOOR(x*1e3)-quantized
+    // outputs (libm SIN differs from the JVM in the last ulp on ~0.2%
+    // of inputs — the quantization absorbs the ~1e-12 output wobble).
+    "q57_warp_lanczos" -> ((s, _) => {
+      val st = StackQueries.stack(s).select(Seq("b1", "b4"))
+      Warp.lanczos(st, TargetG, Crs).df
+        .select(col("row"), col("col"),
+          floor(col("b1") * 1000.0).as("b1_q"), floor(col("b4") * 1000.0).as("b4_q"))
     })
   )
 
@@ -307,6 +331,56 @@ object GeoQueries {
          | WHERE trow >= 0 AND trow < ${TargetG.height} AND tcol >= 0 AND tcol < ${TargetG.width}
          | GROUP BY 1, 2) s
          |ON s.trow = t.row AND s.tcol = t.col""".stripMargin
+    },
+
+    "q56_warp_pool_stats" -> {
+      import OracleLit.d
+      val x = RasterStack.xSql(G); val y = RasterStack.ySql(G)
+      val trow = s"CAST(FLOOR(($y - ${d(TargetG.f)}) / (${d(TargetG.e)})) AS BIGINT)"
+      val tcol = s"CAST(FLOOR(($x - ${d(TargetG.c)}) / (${d(TargetG.a)})) AS BIGINT)"
+      val pix = s"(SELECT row, col, ${RasterStack.bandSql("row", "col", RasterStack.NcBands.head)} AS b1 FROM ${RasterStack.gridSql(G)})"
+      s"""SELECT t.row, t.col, s.b1_sum, s.b1_rms, s.b1_med, s.b1_q1, s.b1_q3
+         |FROM ${RasterStack.gridSql(TargetG)} t
+         |LEFT JOIN (
+         | SELECT trow, tcol, SUM(b1) AS b1_sum,
+         |   CASE WHEN COUNT(b1) > 0 THEN SQRT(SUM(b1 * b1) / COUNT(b1)) END AS b1_rms,
+         |   quantile_cont(b1, 0.5) AS b1_med,
+         |   quantile_cont(b1, 0.25) AS b1_q1,
+         |   quantile_cont(b1, 0.75) AS b1_q3
+         | FROM (SELECT $trow AS trow, $tcol AS tcol, b1 FROM $pix)
+         | WHERE trow >= 0 AND trow < ${TargetG.height} AND tcol >= 0 AND tcol < ${TargetG.width}
+         | GROUP BY 1, 2) s
+         |ON s.trow = t.row AND s.tcol = t.col""".stripMargin
+    },
+
+    "q57_warp_lanczos" -> {
+      import OracleLit.d
+      val tx = RasterStack.xSql(TargetG, "tcol"); val ty = RasterStack.ySql(TargetG, "trow")
+      val sx = Crs.sxSql(tx, ty); val sy = Crs.sySql(tx, ty)
+      val gx = s"(($sx - ${d(G.c)}) / ${d(G.a)} - 0.5)"
+      val gy = s"(($sy - ${d(G.f)}) / ${d(G.e)} - 0.5)"
+      val pix = s"(SELECT row, col, ${Seq("b1", "b4").map(n => RasterStack.bandSql("row", "col", RasterStack.NcBands.find(_.name == n).get) + s" AS $n").mkString(", ")} FROM ${RasterStack.gridSql(G)})"
+      val joins = (for (j <- 0 until 6; i <- 0 until 6) yield
+        s"LEFT JOIN $pix g$j$i ON g$j$i.row = t.r0 - 2 + $j AND g$j$i.col = t.c0 - 2 + $i")
+        .mkString("\n")
+      val wxSum = (0 until 6).map(i => Warp.lanczosW(i, "wx")).mkString(" + ")
+      val wySum = (0 until 6).map(j => Warp.lanczosW(j, "wy")).mkString(" + ")
+      def interp(n: String) = {
+        val anyNull = (for (j <- 0 until 6; i <- 0 until 6) yield s"g$j$i.$n IS NULL").mkString(" OR ")
+        val rowSums = (0 until 6).map { j =>
+          (0 until 6).map(i => s"${Warp.lanczosW(i, "wx")} * g$j$i.$n").mkString("(", " + ", ")")
+        }
+        val total = (0 until 6).map(j => s"${Warp.lanczosW(j, "wy")} * ${rowSums(j)}").mkString(" + ")
+        s"CASE WHEN $anyNull THEN NULL ELSE CAST(FLOOR((($total) / (($wxSum) * ($wySum))) * 1000.0) AS BIGINT) END AS ${n}_q"
+      }
+      s"""SELECT t.trow AS row, t.tcol AS col, ${interp("b1")}, ${interp("b4")}
+         |FROM (SELECT trow, tcol, c0, r0, gx - CAST(c0 AS DOUBLE) AS wx, gy - CAST(r0 AS DOUBLE) AS wy
+         |      FROM (SELECT CAST(range // ${TargetG.width} AS BIGINT) AS trow,
+         |                   CAST(range % ${TargetG.width} AS BIGINT) AS tcol,
+         |                   $gx AS gx, $gy AS gy,
+         |                   CAST(FLOOR($gx) AS BIGINT) AS c0, CAST(FLOOR($gy) AS BIGINT) AS r0
+         |            FROM range(${TargetG.cells}))) t
+         |$joins""".stripMargin
     },
 
     "q49_to_crs_mercator" -> {
