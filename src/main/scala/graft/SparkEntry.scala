@@ -109,6 +109,21 @@ object SparkEntry {
       SpatialJoin.pipJoin(pages(s, dir), "lon", "lat", Fixtures.Polys,
         SpatialJoin.chooseCoverRes(Fixtures.Polys))
         .select(col("doc_id"), col("poly_id").cast("int").as("poly_id"))
+    }),
+
+    // TABLE-driven PIP join (the layer-too-big-for-the-driver path):
+    // polygons as a DataFrame of vertex arrays, cover cells exploded as
+    // Column arithmetic, even-odd ray-cast refine as a codegen'd fold —
+    // no PolygonSet, no broadcast, both sides shuffle on cell id. Same
+    // oracle as q05: the two physical paths must agree exactly.
+    "q58_pip_table" -> ((s, dir) => {
+      import s.implicits._
+      val polysDf = Fixtures.Rects.map(r =>
+        (r.id, Seq(r.xmin, r.xmax, r.xmax, r.xmin), Seq(r.ymin, r.ymin, r.ymax, r.ymax)))
+        .toDF("poly_id", "xs", "ys")
+      SpatialJoin.pipJoinTable(pages(s, dir), "lon", "lat", polysDf, "poly_id",
+          SpatialJoin.chooseCoverRes(Fixtures.Polys))
+        .select(col("doc_id"), col("poly_id").cast("int").as("poly_id"))
     })
   )
 
@@ -133,6 +148,12 @@ object SparkEntry {
          |  ON g.row = p.grow AND g.col = p.gcol""".stripMargin,
 
     "q05_pip_join" ->
+      s"""SELECT p.doc_id, CAST(r.poly_id AS INT) AS poly_id
+         |FROM $pagesSql p JOIN ${Fixtures.rectsValuesSql} r
+         |  ON p.lon > r.xmin AND p.lon < r.xmax AND p.lat > r.ymin AND p.lat < r.ymax""".stripMargin,
+
+    // same relation as q05: both PIP physical paths must produce it
+    "q58_pip_table" ->
       s"""SELECT p.doc_id, CAST(r.poly_id AS INT) AS poly_id
          |FROM $pagesSql p JOIN ${Fixtures.rectsValuesSql} r
          |  ON p.lon > r.xmin AND p.lon < r.xmax AND p.lat > r.ymin AND p.lat < r.ymax""".stripMargin

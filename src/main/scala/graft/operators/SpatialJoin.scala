@@ -136,6 +136,56 @@ object SpatialJoin {
   }
 
   /**
+   * TABLE-driven PIP join — the fully data-parallel path for polygon
+   * layers too big to broadcast OR even to hold on the driver (the first
+   * two paths build a driver-side PolygonSet). The layer is a DataFrame
+   * `(polyIdCol, xs array<double>, ys array<double>)` — one closed shell
+   * ring per row, last vertex NOT repeated, no antimeridian wrap.
+   *
+   * Physical shape: each polygon row explodes to its bbox's covering
+   * cells at `res` (pure Column arithmetic, no driver pass); points
+   * encode their cell; the equi-join shuffles BOTH sides by cell id
+   * (co-partitioned under cell-bucketed storage, AQE splits hot cells);
+   * the exact even-odd ray cast then refines each candidate pair as a
+   * codegen'd fold over the vertex arrays. One output row per (point,
+   * containing polygon), like [[pipJoin]].
+   */
+  def pipJoinTable(points: DataFrame, lonCol: String, latCol: String,
+                   polys: DataFrame, polyIdCol: String, res: Int): DataFrame = {
+    val n = lit(1L << res)
+    def ix(x: Column) = floor((x + 180.0) / 360.0 * n).cast("long")
+    def iy(y: Column) = floor((y + 90.0) / 180.0 * n).cast("long")
+    val cover = polys.withColumn("cell",
+      explode(flatten(transform(
+        sequence(ix(array_min(col("xs"))), ix(array_max(col("xs")))), ixc =>
+          transform(sequence(iy(array_min(col("ys"))), iy(array_max(col("ys")))), iyc =>
+            lit(res.toLong * (1L << 58)) + ixc * lit(1L << 29) + iyc)))))
+    val probed = points.withColumn("cell", cell_encode(col(lonCol), col(latCol), res))
+    probed.join(cover, Seq("cell"))
+      .where(ringContainsCol(col(lonCol), col(latCol), col("xs"), col("ys")))
+      .select(points.columns.map(col).toIndexedSeq :+ col(polyIdCol): _*)
+  }
+
+  /**
+   * Even-odd ray cast over parallel vertex arrays — the Column twin of
+   * `core.Polygon.ringContains` (identical crossing formula, so the
+   * broadcast and table paths agree bit-for-bit). Boolean fold via
+   * `aggregate`; the division is guarded by the crossing test (CaseWhen
+   * evaluates lazily) and is IEEE-total for doubles regardless.
+   */
+  def ringContainsCol(px: Column, py: Column, xs: Column, ys: Column): Column = {
+    val nv = size(xs)
+    org.apache.spark.sql.functions.aggregate(sequence(lit(1), nv), lit(false), (acc, i) => {
+      val j = when(i === 1, nv).otherwise(i - 1)
+      val xi = element_at(xs, i); val yi = element_at(ys, i)
+      val xj = element_at(xs, j); val yj = element_at(ys, j)
+      val crosses = ((yi > py) =!= (yj > py)) &&
+        (px < (xj - xi) * (py - yi) / (yj - yi) + xi)
+      when(crosses, !acc).otherwise(acc)
+    })
+  }
+
+  /**
    * Last-wins variant of the cover-cells join (max containing poly_id per
    * point), matching [[assign]] exactly — used to cross-check the two
    * physical paths in tests.

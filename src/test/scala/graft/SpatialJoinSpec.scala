@@ -45,6 +45,21 @@ class SpatialJoinSpec extends AnyFunSuite with SparkSpec {
     assert(exp.nonEmpty)
   }
 
+  test("pipJoinTable (polygon layer as DATA) ≡ pipJoin, concave shapes included") {
+    import spark.implicits._
+    val tri = Polygon(0, Array((-50.0, -20.0), (10.0, -20.0), (-20.0, 40.0)))
+    val concave = Polygon(1, Array((20.0, -30.0), (80.0, -30.0), (80.0, 30.0), (50.0, 0.0), (20.0, 30.0)))
+    val set = PolygonSet(IndexedSeq(tri, concave))
+    val polysDf = Seq(tri, concave).map(p =>
+      (p.id, p.shell.map(_._1).toSeq, p.shell.map(_._2).toSeq)).toDF("poly_id", "xs", "ys")
+    val got = SpatialJoin.pipJoinTable(pages, "lon", "lat", polysDf, "poly_id", 8)
+      .select("doc_id", "poly_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val exp = SpatialJoin.pipJoin(pages, "lon", "lat", set, 8)
+      .select("doc_id", "poly_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === exp)
+    assert(got.nonEmpty)
+  }
+
   test("cell_encode expression ≡ CellIndex.encode (codegen path)") {
     val got = pages.select(col("lon"), col("lat"), cell_encode(col("lon"), col("lat"), 12))
       .collect()
