@@ -156,11 +156,76 @@ object Similarity {
    */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
               isQuery: Column, k: Int, nCentroids: Int, nProbe: Int,
-              dim: Int): DataFrame = {
+              dim: Int): DataFrame =
+    ivfTopKScored(vecs, idCol, vecCol, isQuery, k, nProbe,
+      ivfScores(col(vecCol), nCentroids, dim))
+
+  /**
+   * IVF-flat over a TRAINED coarse quantizer: same plan as [[ivfTopK]],
+   * centroids from [[trainCentroids]] folded in as literal score
+   * expressions (the quantizer is tiny — it ships with the plan).
+   */
+  def ivfTopKTrained(vecs: DataFrame, idCol: String, vecCol: String,
+                     isQuery: Column, k: Int, nProbe: Int,
+                     centroids: Array[Array[Double]]): DataFrame =
+    ivfTopKScored(vecs, idCol, vecCol, isQuery, k, nProbe,
+      scoresOf(col(vecCol), centroids))
+
+  /** Squared-L2 scores (minus the per-row constant) against explicit centroids. */
+  def scoresOf(vec: Column, cents: Array[Array[Double]]): Column = array(cents.map { cv =>
+    val c2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+    cv.zipWithIndex.foldLeft(lit(c2): Column) { case (acc, (cd, d)) =>
+      acc - lit(2.0 * cd) * element_at(vec, d + 1).cast("double")
+    }
+  }: _*)
+
+  /**
+   * Lloyd refinement of the IVF coarse quantizer: start from the
+   * deterministic hyperplane-derived centroids, run `iters` rounds of
+   * (assign to nearest centroid) -> (per-cell, per-dimension mean). Each
+   * round is ONE hash-agg shuffle keyed (cell, dim) with map-side
+   * partials plus a k*dim-row collect (tiny). Cells that lose all
+   * members keep their previous centroid. The k-means objective is
+   * non-increasing per round; the result is a quality lever for
+   * [[ivfTopKTrained]] recall, not an oracle-checked kernel (double
+   * means are combine-order-dependent in the last ulps).
+   */
+  def trainCentroids(vecs: DataFrame, vecCol: String, k: Int, dim: Int,
+                     iters: Int): Array[Array[Double]] = {
+    var cents = Array.tabulate(k, dim)((c, d) => centroidVal(c, d))
+    for (_ <- 0 until iters) {
+      val assigned = vecs.select(col(vecCol).as("__v"))
+        .withColumn("__sc", scoresOf(col("__v"), cents))
+        .withColumn("cell", expr("array_position(__sc, array_min(__sc))"))
+      val means = assigned.select(col("cell"), posexplode(col("__v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getLong(0).toInt - 1)(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Mean quantization objective (squared L2 to the assigned centroid). */
+  def quantizationObjective(vecs: DataFrame, vecCol: String,
+                            cents: Array[Array[Double]]): Double = {
+    val v2 = aggregate(transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, x) => a + x)
+    vecs.select((array_min(scoresOf(col(vecCol), cents)) + v2).as("__o"))
+      .agg(avg(col("__o"))).collect()(0).getDouble(0)
+  }
+
+  private def ivfTopKScored(vecs: DataFrame, idCol: String, vecCol: String,
+                            isQuery: Column, k: Int, nProbe: Int,
+                            scores: Column): DataFrame = {
     val base = graft.plans.Caches.track(
       vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
         isQuery.as("__isq"))
-        .withColumn("__sc", ivfScores(col(vecCol), nCentroids, dim)))
+        .withColumn("__sc", scores))
     val corpus = base
       .withColumn("cell", expr("array_position(__sc, array_min(__sc))"))
       .select(col("cell"), col(idCol).as("nbr_id"), col(vecCol).as("cv"), col("nrm").as("cn"))

@@ -376,6 +376,29 @@ object Warp {
       .where(in_bounds(col("__trow"), col("__tcol"), target))
   }
 
+  /**
+   * The reference's to_crs surface (raster.py:1711-1866 accepts every
+   * rasterio Resampling NAME): dispatch by resampling string. `crs` maps
+   * TARGET world -> SOURCE world (inverse transform) for the
+   * interpolating kernels; the pooling kernels forward-project with its
+   * INVERSE, so pass `srcToTarget` for those — [[Identity]] works for
+   * pure re-gridding either way.
+   */
+  def toCrs(stack: Stack, target: GridMeta, crs: CrsTransform,
+            resampling: String = "nearest"): Stack = resampling match {
+    case "nearest" => nearest(stack, target, crs)
+    case "bilinear" => bilinear(stack, target, crs)
+    case "cubic" => cubic(stack, target, crs)
+    case "lanczos" => lanczos(stack, target, crs)
+    case "average" => average(stack, target, crs)
+    case "mode" => mode(stack, target, crs)
+    case "min" | "max" | "sum" | "rms" | "median" | "q1" | "q3" =>
+      pool(stack, target, crs, resampling)
+    case other => throw new IllegalArgumentException(
+      s"unsupported resampling '$other' (expected nearest|bilinear|cubic|lanczos|" +
+        "average|mode|min|max|sum|rms|median|q1|q3 — raster.py:1794-1797)")
+  }
+
   def nearest(stack: Stack, target: GridMeta, crs: CrsTransform): Stack = {
     val spark = stack.df.sparkSession
     val tgt = graft.sources.RasterStack.grid(spark, target)

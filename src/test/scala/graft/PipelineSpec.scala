@@ -137,6 +137,21 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(ivf.groupBy("query_id", "nbr_id").count().where(col("count") > 1).count() === 0)
   }
 
+  test("Lloyd-trained IVF: objective strictly improves, trained recall holds up") {
+    val init = Similarity.trainCentroids(vecs, "embedding", 16, 64, iters = 0)
+    val trained = Similarity.trainCentroids(vecs, "embedding", 16, 64, iters = 3)
+    val o0 = Similarity.quantizationObjective(vecs, "embedding", init)
+    val o3 = Similarity.quantizationObjective(vecs, "embedding", trained)
+    assert(o3 < o0, s"k-means objective did not improve: $o0 -> $o3")
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") % 25 === 0, 10)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfTopKTrained(vecs, "vec_id", "embedding",
+        col("vec_id") % 25 === 0, k = 10, nProbe = 4, trained)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall > 0.2, s"trained-IVF recall $recall (nProbe=4/16)")
+  }
+
   test("ANN LSH recall vs brute force is reasonable at 4 planes") {
     val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") % 25 === 0, 10)
       .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
