@@ -46,6 +46,36 @@ class IOSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("IVF corpus bucketed by list id: probe join plans with NO corpus-side Exchange") {
+    import org.apache.spark.sql.functions.{array_min, array_position, expr}
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = vecs
+      .withColumn("__sc", graft.operators.Similarity.ivfScores(col("embedding"), 16, 64))
+      .withColumn("cell", expr("array_position(__sc, array_min(__sc))"))
+      .select("cell", "vec_id", "embedding")
+    corpus.write.mode("overwrite").format("parquet")
+      .bucketBy(8, "cell").sortBy("cell").saveAsTable("graft_ivf_corpus")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val stored = spark.table("graft_ivf_corpus")
+      val probes = vecs.where(col("vec_id") % 25 === 0)
+        .withColumn("__sc", graft.operators.Similarity.ivfScores(col("embedding"), 16, 64))
+        .withColumn("cell", expr("array_position(__sc, array_min(__sc))"))
+        .select(col("cell"), col("vec_id").as("query_id"))
+      val joined = probes.join(stored, Seq("cell"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // exactly ONE Exchange (the probe side); the bucketed corpus side
+      // is already hash-distributed on its list id and must not shuffle
+      assert(plan.contains("graft_ivf_corpus"))
+      assert(plan.linesIterator.count(_.contains("Exchange")) === 1, plan.take(900))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_corpus")
+    }
+  }
+
   test("head/tail windows (raster.py:625-635)") {
     assert(StackIO.head(st).count() === 200)
     assert(StackIO.tail(st).count() === 200)
