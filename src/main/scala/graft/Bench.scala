@@ -309,20 +309,23 @@ object Bench {
       var done = false
       while (!done) {
         probe.awaitClean(attempts = 6,
-          deadline = elapsedS > (if (highs.isEmpty) 480 else 560))
+          deadline = elapsedS > (if (highs.isEmpty) 480 else 620))
         highs += runIsolated(cHigh, path)
         // closing bracket: a clean mini right after means the window
         // held through the sample; otherwise retry (bounded)
-        done = probe.clean() || attempts >= 2 || elapsedS > 600
+        done = probe.clean() || attempts >= 2 || elapsedS > 660
         attempts += 1
       }
     }
-    while (lows.size < 3 && (lows.isEmpty || elapsedS < 560)) {
+    while (lows.size < 3 && (lows.isEmpty || elapsedS < 620)) {
       sampleHighBracketed()
       lows += runIsolated(cLow, path)
     }
     probe.save()
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // median for odd counts; for an even count (budget curtailed a pair)
+    // take the LOWER middle — a contended low inflates the ratio, so the
+    // conservative pick can only UNDERSTATE the reported efficiency
+    def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     val tLow = median(lows.toSeq)
     val tHigh = highs.min
     val rpsLow = benchRows / tLow
