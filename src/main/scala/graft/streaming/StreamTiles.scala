@@ -107,6 +107,23 @@ object StreamTiles {
       .dropDuplicatesWithinWatermark("text_md5")
 
   /**
+   * Streaming extract_xy — arriving events gain the static raster
+   * stack's layer values: a STREAM-STATIC left-outer equi-join on
+   * (row, col). Stateless on the stream side (each micro-batch probes
+   * the static table; with a tile-bucketed stack the probe is
+   * co-partitioned), so a 100-TB static stack serves an unbounded
+   * stream. Works identically on a batch frame — the same
+   * lambda-free-architecture contract as [[assign]].
+   */
+  def extractStream(events: DataFrame, idCol: String, g: GridMeta,
+                    stack: graft.operators.Stack): DataFrame = {
+    val probed = graft.sources.Pages.withIdPoint(events, idCol)
+      .withColumn("row", grid_row(col("lon"), col("lat"), g))
+      .withColumn("col", grid_col(col("lon"), col("lat"), g))
+    probed.join(stack.df, Seq("row", "col"), "left_outer")
+  }
+
+  /**
    * Watermarked sliding-window rollup per tile: late data beyond
    * `watermark` is dropped, state expires with the watermark.
    */

