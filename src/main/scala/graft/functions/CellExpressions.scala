@@ -59,17 +59,23 @@ case class CellParentAt(left: Expression, right: Expression) extends BinaryExpre
 
 /**
  * `CellDisk(cell, k)` — array of all cells within Chebyshev distance k
- * (the (2k+1)^2 neighbor block, lon-wrapped). Used with `explode` for the
- * stage-1 candidate expansion of the kNN join (SURVEY.md §2.3). Not on
- * the per-pixel hot path, so CodegenFallback is acceptable.
+ * (the (2k+1)^2 neighbor block, lon-wrapped). Used with `explode` for
+ * the stage-1 candidate expansion of the kNN join (SURVEY.md §2.3) —
+ * that runs once per PROBE (billions at scale), so the expression is
+ * codegen'd: the generated code calls the static kernel and wraps the
+ * long[] once, keeping the probe projection inside WholeStageCodegen.
  */
-case class CellDisk(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class CellDisk(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(cell: Any, k: Any): Any =
     new GenericArrayData(CellIndex.gridDisk(cell.asInstanceOf[Long], k.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (cell, kk) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.core.CellIndex.gridDisk($cell, $kk))")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)

@@ -203,6 +203,40 @@ object Dedup {
   }
 
   /**
+   * Connected components over near-dup PAIRS — the canonicalization
+   * step of a corpus dedup pipeline: transitive chains A~B~C collapse
+   * to one component labelled by the smallest member id, so every
+   * document maps to a canonical representative even when it never
+   * directly paired with it. Deterministic min-label propagation:
+   * label(v) <- min(label(v), min of neighbors' labels), iterated to a
+   * fixpoint — the result is the component minimum regardless of
+   * execution order. Each round is one vertex-keyed hash-agg shuffle;
+   * rounds = component diameter in the worst case, O(log n) typical.
+   * Returns (id, component) for every id appearing in `pairs`.
+   */
+  def components(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = Caches.track(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var labels = Caches.track(
+      edges.select(col("src").as("id")).distinct().withColumn("component", col("id")))
+    var changed = 1L
+    while (changed > 0) {
+      val nbr = edges.join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "__nl"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__cand"))
+      val next = Caches.track(labels.join(nbr, Seq("id"), "left_outer")
+        .withColumn("__next", least(col("component"), coalesce(col("__cand"), col("component"))))
+        .select(col("id"), col("__next").as("component")))
+      changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
+        .where(col("component") =!= col("__old")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /**
    * 32-bit SimHash over distinct words: bit j set iff more word hashes
    * have bit j set than not (majority vote).
    */

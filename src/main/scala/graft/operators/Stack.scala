@@ -195,6 +195,13 @@ final case class Stack(df: DataFrame, meta: GridMeta, layers: Seq[String]) {
     Stack(out, meta.scaledTo(outH, outW), layers)
   }
 
+  /** to_crs (raster.py:1711-1866): warp onto `target` through `crs`
+    * with the named resampling — the reference's API surface, delegated
+    * to [[Warp.toCrs]]. */
+  def toCrs(target: GridMeta, crs: Warp.CrsTransform,
+            resampling: String = "nearest"): Stack =
+    Warp.toCrs(this, target, crs, resampling)
+
   /**
    * scale(): standardize each layer to (x - mean) / std, two-phase —
    * one exact aggregate, broadcast into a projection (raster.py:2532-2615).

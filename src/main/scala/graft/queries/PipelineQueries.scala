@@ -121,6 +121,15 @@ object PipelineQueries {
     "q35_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))),
 
+    // Connected components over the near-dup pairs: every paired doc
+    // maps to its transitive component's smallest id (the canonical
+    // representative of a dedup chain A~B~C even when A never directly
+    // paired with C).
+    "q59_dedup_components" -> ((s, dir) =>
+      Dedup.components(
+        Dedup.jaccardPairs(corpusNear(s, dir), "doc_id", "text", w = 3, threshold = 0.4),
+        "id_a", "id_b")),
+
     // ANN: exact brute-force cosine top-k.
     "q36_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(vecs(s, dir), "vec_id", "embedding",
@@ -221,6 +230,20 @@ object PipelineQueries {
 
     "q35_simhash" ->
       s"SELECT doc_id, ${Dedup.simhashSql("text")} AS sh FROM documents",
+
+    // reachability closure via recursive CTE (UNION dedup keeps it
+    // bounded), then min over everything reachable == the min-label
+    // propagation fixpoint
+    "q59_dedup_components" ->
+      s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${jaccardOracle(corpusNearSql)})),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT src, dst FROM edges
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+         |SELECT src AS id, LEAST(src, MIN(dst)) AS component
+         |FROM reach GROUP BY src""".stripMargin,
 
     "q36_ann_topk" -> {
       val cos = Similarity.cosineSql("q.qv", "c.cv", Dim)

@@ -235,6 +235,15 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SortAggregate"), plan.take(600))
   }
 
+  test("dedup components: transitive chains collapse to the smallest member id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 5L), (5L, 9L), (20L, 30L)).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1~5~9 is one chain even though (1,9) never paired; 20~30 separate
+    assert(got === Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 20L -> 20L, 30L -> 20L))
+  }
+
   test("dedup band-bucket cap: oversized buckets are excluded, audit sees them") {
     import spark.implicits._
     // 5 identical signatures = one 5-row bucket in each of the 4 bands
