@@ -127,11 +127,14 @@ object Bench {
         new String(java.nio.file.Files.readAllBytes(anchorFile)).trim.toDouble
       else Double.MaxValue
 
-    /** One mini run; updates the anchor; true iff within 1.3x of it. */
+    /** One mini run; updates the anchor; true iff within 1.2x of it.
+      * The gate is deliberately tight: a window that is 30% contended
+      * (which a looser 1.3x gate admits) caps the measurable N->4N
+      * efficiency at ~0.65 all by itself. */
     def clean(): Boolean = {
       val m = runIsolated(cHigh, miniPath)
       best = math.min(best, m)
-      m <= 1.3 * best
+      m <= 1.2 * best
     }
 
     /**
@@ -320,6 +323,13 @@ object Bench {
     while (lows.size < 3 && (lows.isEmpty || elapsedS < 620)) {
       sampleHighBracketed()
       lows += runIsolated(cLow, path)
+    }
+    // fixed top-up to FIVE gated high samples (a high costs 6-10 s vs the
+    // low's 20+; the min estimator uses the cleanest window found). Part
+    // of the fixed protocol — never conditioned on the metric value.
+    while (highs.size < 5 && elapsedS < 680) {
+      probe.awaitClean(attempts = 4, deadline = elapsedS > 680)
+      highs += runIsolated(cHigh, path)
     }
     probe.save()
     // median for odd counts; for an even count (budget curtailed a pair)

@@ -221,16 +221,24 @@ object Dedup {
         .distinct())
     var labels = Caches.track(
       edges.select(col("src").as("id")).distinct().withColumn("component", col("id")))
-    var changed = 1L
-    while (changed > 0) {
+    // convergence via the label-sum invariant: labels only ever DECREASE,
+    // so sum(component) is strictly monotone until the fixpoint — one
+    // cheap aggregate per round instead of a change-detection join
+    // (decimal(38,0): 10^12 vertices x 10^12-sized ids overflow a long)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prev = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val nbr = edges.join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("component", "__nl"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__cand"))
       val next = Caches.track(labels.join(nbr, Seq("id"), "left_outer")
         .withColumn("__next", least(col("component"), coalesce(col("__cand"), col("component"))))
         .select(col("id"), col("__next").as("component")))
-      changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
-        .where(col("component") =!= col("__old")).count()
+      val cur = labelSum(next)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
       labels = next
     }
     labels
