@@ -215,12 +215,22 @@ object Dedup {
    * Returns (id, component) for every id appearing in `pairs`.
    */
   def components(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // the pair relation is referenced twice (both edge directions) and is
+    // typically an expensive near-dup join — materialize it once
+    val p = pairs.select(col(aCol).as("__a"), col(bCol).as("__b")).localCheckpoint()
     val edges = Caches.track(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      p.select(col("__a").as("src"), col("__b").as("dst"))
+        .unionByName(p.select(col("__b").as("src"), col("__a").as("dst")))
         .distinct())
-    var labels = Caches.track(
-      edges.select(col("src").as("id")).distinct().withColumn("component", col("id")))
+    // LINEAGE TRUNCATION per round (localCheckpoint, eager): an iterative
+    // DataFrame loop otherwise doubles its logical plan every round (the
+    // pointer jump references `stepped` twice, stepped references the
+    // previous round...) and Catalyst re-analyzes a 2^rounds tree even
+    // though execution would read cache — measured 100 s at sf0.1 where
+    // the truncated loop takes seconds. On a real cluster swap for
+    // `checkpoint()` to reliable storage (the Checkpoint operator's FS).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
     // convergence via the label-sum invariant: labels only ever DECREASE,
     // so sum(component) is strictly monotone until the fixpoint — one
     // cheap aggregate per round instead of a change-detection join
@@ -236,15 +246,16 @@ object Dedup {
       val stepped = labels.join(nbr, Seq("id"), "left_outer")
         .withColumn("__next", least(col("component"), coalesce(col("__cand"), col("component"))))
         .select(col("id"), col("__next").as("component"))
+        .localCheckpoint() // materialized once; feeds both jump sides
       // pointer jumping: relabel through the label graph itself
       // (component <- label(component); component values are always
       // vertex ids, so the lookup is total) — rounds drop from the
-      // component diameter to ~log2(diameter), i.e. half the sequential
-      // Spark jobs on long chains
-      val next = Caches.track(stepped.join(
+      // component diameter to ~log2(diameter)
+      val next = stepped.join(
           stepped.select(col("id").as("component"), col("component").as("__jump")),
           Seq("component"), "left_outer")
-        .select(col("id"), coalesce(col("__jump"), col("component")).as("component")))
+        .select(col("id"), coalesce(col("__jump"), col("component")).as("component"))
+        .localCheckpoint()
       val cur = labelSum(next)
       converged = cur.compareTo(prev) == 0
       prev = cur
