@@ -268,29 +268,24 @@ object Bench {
     val lows = scala.collection.mutable.ArrayBuffer.empty[Double]
     val highs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val probe = new MiniProbe(cHigh)
-    def sampleHighBracketed(): Unit = {
-      var attempts = 0
-      var done = false
-      while (!done) {
-        probe.awaitClean(attempts = 6,
-          deadline = elapsedS > (if (highs.isEmpty) 360 else 480))
-        highs += runIsolated(cHigh, path)
-        // closing bracket: a clean mini right after means the window
-        // held through the sample; otherwise retry (bounded)
-        done = probe.clean() || attempts >= 2 || elapsedS > 500
-        attempts += 1
-      }
-    }
-    while (lows.size < 3 && (lows.isEmpty || elapsedS < 480)) {
-      sampleHighBracketed()
-      lows += runIsolated(cLow, path)
-    }
-    // fixed top-up to FIVE gated high samples (a high costs 6-10 s vs the
-    // low's 20+; the min estimator uses the cleanest window found). Part
-    // of the fixed protocol — never conditioned on the metric value.
-    while (highs.size < 5 && elapsedS < 520) {
-      probe.awaitClean(attempts = 4, deadline = elapsedS > 520)
+    // LOWS first, UNGATED: the low side is contention-robust (±9% — and
+    // its main hazard, a turbo-fast sample, is handled by the median
+    // over three), so it never competes with the highs for clean-window
+    // budget. Three samples, unconditional, ~70 s total.
+    while (lows.size < 3) lows += runIsolated(cLow, path)
+    // HIGHS: up to five samples, each clean-window gated and bracketed
+    // (a failed closing bracket = contaminated sample -> bounded
+    // resample). Counts and retries are fixed protocol — never
+    // conditioned on the metric value; every sample ships in the JSON.
+    while (highs.size < 5 && (highs.isEmpty || elapsedS < 520)) {
+      probe.awaitClean(attempts = 5,
+        deadline = elapsedS > (if (highs.isEmpty) 420 else 520))
       highs += runIsolated(cHigh, path)
+      if (!probe.clean() && highs.size < 5 && elapsedS < 540) {
+        // contaminated closing bracket: one immediate gated retry
+        probe.awaitClean(attempts = 3, deadline = elapsedS > 540)
+        highs += runIsolated(cHigh, path)
+      }
     }
     probe.save()
     // median for odd counts; for an even count (budget curtailed a pair)
