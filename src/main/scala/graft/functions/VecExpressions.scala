@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Native loop kernels for the embedding (`array<float>`) operators.
+ *
+ * The round-3 formulations unrolled `dim x planes` (and `dim x
+ * centroids`) multiply-adds into one giant Column tree: at dim=64 the
+ * generated projection method crossed janino's limits
+ * (`InternalCompilerException`, ~14,000 generated lines) and the whole
+ * stage silently fell back to INTERPRETED evaluation — at production
+ * embedding dims (768–4096) the fallback is guaranteed. These kernels
+ * LOOP over the array against a plane/centroid matrix that ships with
+ * the plan as a codegen reference object (the [[graft.operators.PipWinner]]
+ * pattern), so the generated code is a constant-size static call and the
+ * stage stays inside WholeStageCodegen at any dimension.
+ *
+ * Bit-exactness contract (the DuckDB oracle twins replay these): every
+ * loop accumulates LEFT-TO-RIGHT in the same order as the SQL text —
+ * each float is widened to double first, each product is formed before
+ * the add — so results are IEEE-identical to the unrolled formulation.
+ */
+object VecKernels {
+
+  /** Sequential-fold dot product (floats widened to double, index order). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var d = 0
+    while (d < n) {
+      acc += a.getFloat(d).toDouble * b.getFloat(d).toDouble
+      d += 1
+    }
+    acc
+  }
+
+  /** Sign bits of <v, plane_p> packed little-endian (bit p = plane row p). */
+  def lshBucket(v: ArrayData, planes: Array[Array[Double]]): Int = {
+    val n = v.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < planes.length) {
+      val row = planes(p)
+      val dim = math.min(n, row.length)
+      var s = 0.0
+      var d = 0
+      while (d < dim) {
+        s += v.getFloat(d).toDouble * row(d)
+        d += 1
+      }
+      if (s >= 0.0) bucket |= 1 << p
+      p += 1
+    }
+    bucket
+  }
+
+  /**
+   * Per-centroid scores  c2_c - sum_d mul2_c(d) * v(d)  (squared L2
+   * minus the per-row ||v||^2 constant, preserving the argmin), where
+   * `mul2_c(d) = 2 * centroid_c(d)` and `c2_c = ||centroid_c||^2` are
+   * precomputed at plan construction.
+   */
+  def centroidScores(v: ArrayData, mul2: Array[Array[Double]],
+                     c2: Array[Double]): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](mul2.length)
+    var c = 0
+    while (c < mul2.length) {
+      val row = mul2(c)
+      val dim = math.min(n, row.length)
+      var acc = c2(c)
+      var d = 0
+      while (d < dim) {
+        acc -= row(d) * v.getFloat(d).toDouble
+        d += 1
+      }
+      out(c) = acc
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `VecDot(a, b)` — codegen'd sequential-fold dot product of two array<float>. */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/**
+ * `LshBucket(vec)` — random-hyperplane signature of `vec` against the
+ * plane matrix (one int, bit p = sign of <v, plane_p>). The matrix is a
+ * plan-shipped reference object, so the generated code is one static
+ * call at any (dim, planes) size.
+ */
+case class LshBucket(child: Expression, planes: Seq[Seq[Double]]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lsh_bucket"
+
+  @transient private lazy val mat: Array[Array[Double]] = planes.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernels.lshBucket(v.asInstanceOf[ArrayData], mat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", mat, "double[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VecKernels.lshBucket($v, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/**
+ * `CentroidScores(vec)` — array of per-centroid squared-L2 scores
+ * (minus the per-row constant; argmin = nearest centroid). `mul2`/`c2`
+ * are derived once from the centroid matrix at construction and ship as
+ * reference objects.
+ */
+case class CentroidScores(child: Expression, cents: Seq[Seq[Double]]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "centroid_scores"
+
+  @transient private lazy val mul2: Array[Array[Double]] =
+    cents.map(_.map(2.0 * _).toArray).toArray
+  @transient private lazy val c2: Array[Double] =
+    cents.map(_.foldLeft(0.0)((a, x) => a + x * x)).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernels.centroidScores(v.asInstanceOf[ArrayData], mul2, c2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refM = ctx.addReferenceObj("mul2", mul2, "double[][]")
+    val refC = ctx.addReferenceObj("c2", c2, "double[]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VecKernels.centroidScores($v, $refM, $refC)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -1,8 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.{CentroidScores, LshBucket, VecDot}
 
 /**
  * Similarity search over an embedding column (`array<float>`): exact
@@ -12,14 +15,21 @@ import org.apache.spark.sql.functions._
  *
  * All dot products fold LEFT-TO-RIGHT over the array index with each
  * float cast to double first — deterministic and identical to the SQL
- * oracle's list_reduce.
+ * oracle's list_reduce. The hot kernels (dot / bucket signature /
+ * centroid scores) are native codegen'd expressions that LOOP over the
+ * array against plan-shipped matrices ([[graft.functions.VecKernels]]) —
+ * the round-3 dim-unrolled Column trees broke janino at dim=64 and the
+ * stage silently ran interpreted.
  */
 object Similarity {
 
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftBridge.column(e)
+  private def e(col: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    GraftBridge.expression(col)
+
   /** Sequential-fold dot product of two array<float> columns (as doubles). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def dotSql(a: String, b: String, dim: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, ${dim + 1})]), (acc, v) -> acc + v)"
 
@@ -60,23 +70,18 @@ object Similarity {
   private def planeValSql(plane: Int, d: String): String =
     s"(CAST((($plane * 64 + $d) * 2654435761 % 2147483648) AS DOUBLE) / 2147483648.0 - 0.5)"
 
-  /** Sign bit of <v, plane_p> for one hyperplane. */
-  private def planeBit(vec: Column, plane: Int, dim: Int): Column = {
-    val s = (0 until dim).foldLeft(lit(0.0)) { (acc, d) =>
-      acc + element_at(vec, d + 1).cast("double") * lit(planeVal(plane, d))
-    }
-    when(s >= 0.0, 1).otherwise(0)
-  }
+  /** Plane matrix rows `first .. first+n-1` (each `dim` wide). */
+  private def planeRows(first: Int, n: Int, dim: Int): Seq[Seq[Double]] =
+    (first until first + n).map(p => (0 until dim).map(d => planeVal(p, d)))
 
   /**
    * Random-hyperplane LSH bucket signature (nPlanes sign bits packed to
    * an int) — the IVF/LSH-bucketed ANN scale path: group/join on
-   * `bucket`, search within buckets only.
+   * `bucket`, search within buckets only. Native looping expression —
+   * constant-size generated code at any (dim, nPlanes).
    */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
-    (0 until nPlanes).foldLeft(lit(0)) { (acc, p) =>
-      acc + planeBit(vec, p, dim) * lit(1 << p)
-    }
+    c(LshBucket(e(vec), planeRows(0, nPlanes, dim)))
   def lshBucketSql(v: String, nPlanes: Int, dim: Int): String =
     (0 until nPlanes).map { p =>
       val s = (0 until dim).foldLeft("CAST(0 AS DOUBLE)") { (acc, d) =>
@@ -130,12 +135,8 @@ object Similarity {
    * row, so dropping it preserves the argmin). Left-to-right fold —
    * bit-identical to [[ivfScoresSql]].
    */
-  def ivfScores(vec: Column, k: Int, dim: Int): Column = array((0 until k).map { c =>
-    val c2 = (0 until dim).foldLeft(0.0)((a, d) => a + centroidVal(c, d) * centroidVal(c, d))
-    (0 until dim).foldLeft(lit(c2): Column) { (acc, d) =>
-      acc - lit(2.0 * centroidVal(c, d)) * element_at(vec, d + 1).cast("double")
-    }
-  }: _*)
+  def ivfScores(vec: Column, k: Int, dim: Int): Column =
+    scoresOf(vec, Array.tabulate(k, dim)((c, d) => centroidVal(c, d)))
   def ivfScoresSql(v: String, k: Int, dim: Int): String = (0 until k).map { c =>
     val c2 = (0 until dim).foldLeft(0.0)((a, d) => a + centroidVal(c, d) * centroidVal(c, d))
     (0 until dim).foldLeft(graft.sources.OracleLit.d(c2)) { (acc, d) =>
@@ -171,13 +172,10 @@ object Similarity {
     ivfTopKScored(vecs, idCol, vecCol, isQuery, k, nProbe,
       scoresOf(col(vecCol), centroids))
 
-  /** Squared-L2 scores (minus the per-row constant) against explicit centroids. */
-  def scoresOf(vec: Column, cents: Array[Array[Double]]): Column = array(cents.map { cv =>
-    val c2 = cv.foldLeft(0.0)((a, x) => a + x * x)
-    cv.zipWithIndex.foldLeft(lit(c2): Column) { case (acc, (cd, d)) =>
-      acc - lit(2.0 * cd) * element_at(vec, d + 1).cast("double")
-    }
-  }: _*)
+  /** Squared-L2 scores (minus the per-row constant) against explicit
+    * centroids — native looping expression (see [[graft.functions.VecKernels]]). */
+  def scoresOf(vec: Column, cents: Array[Array[Double]]): Column =
+    c(CentroidScores(e(vec), cents.toSeq.map(_.toSeq)))
 
   /**
    * Lloyd refinement of the IVF coarse quantizer: start from the
@@ -213,8 +211,7 @@ object Similarity {
   /** Mean quantization objective (squared L2 to the assigned centroid). */
   def quantizationObjective(vecs: DataFrame, vecCol: String,
                             cents: Array[Array[Double]]): Double = {
-    val v2 = aggregate(transform(col(vecCol), x => x.cast("double") * x.cast("double")),
-      lit(0.0), (a, x) => a + x)
+    val v2 = dot(col(vecCol), col(vecCol))
     vecs.select((array_min(scoresOf(col(vecCol), cents)) + v2).as("__o"))
       .agg(avg(col("__o"))).collect()(0).getDouble(0)
   }
@@ -247,9 +244,7 @@ object Similarity {
 
   /** Bucket signature of table `t` (planes t*nPlanes .. t*nPlanes+nPlanes-1). */
   def tableBucket(vec: Column, t: Int, nPlanes: Int, dim: Int): Column =
-    (0 until nPlanes).foldLeft(lit(0)) { (acc, p) =>
-      acc + planeBit(vec, t * nPlanes + p, dim) * lit(1 << p)
-    }
+    c(LshBucket(e(vec), planeRows(t * nPlanes, nPlanes, dim)))
   def tableBucketSql(v: String, t: Int, nPlanes: Int, dim: Int): String =
     (0 until nPlanes).map { p =>
       val s = (0 until dim).foldLeft("CAST(0 AS DOUBLE)") { (acc, d) =>

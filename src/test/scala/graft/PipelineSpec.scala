@@ -235,6 +235,70 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SortAggregate"), plan.take(600))
   }
 
+  test("vector kernels: native loop expressions ≡ the unrolled Column formulation") {
+    import spark.implicits._
+    // deterministic float vectors (not from parquet — exercises arbitrary
+    // dims), compared against the round-3 unrolled formulations rebuilt
+    // inline: same floats, same fold order => must be BIT-identical
+    val dim = 64
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (0 until dim).map(d => ((i * 31 + d * 7) % 13 - 6).toFloat / 3.0f))
+    }
+    val df = rows.toDF("id", "v").cache()
+    def planeVal(plane: Int, d: Int): Double =
+      (((plane * 64 + d) * 2654435761L % 2147483648L).toDouble / 2147483648.0) - 0.5
+    // dot: HOF zip_with+aggregate fold (the old formulation)
+    val hofDot = aggregate(zip_with(col("v"), col("v"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x)
+    val dotDiff = df.select(Similarity.dot(col("v"), col("v")).as("a"), hofDot.as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(dotDiff === 0)
+    // lshBucket: unrolled sign-bit sum (the old formulation)
+    val unrolledBucket = (0 until 4).foldLeft(lit(0)) { (acc, p) =>
+      val s = (0 until dim).foldLeft(lit(0.0)) { (a, d) =>
+        a + element_at(col("v"), d + 1).cast("double") * lit(planeVal(p, d))
+      }
+      acc + when(s >= 0.0, 1).otherwise(0) * lit(1 << p)
+    }
+    val bDiff = df.select(Similarity.lshBucket(col("v"), 4, dim).as("a"),
+      unrolledBucket.as("b")).where(col("a") =!= col("b")).count()
+    assert(bDiff === 0)
+    // centroid scores: unrolled acc - 2c*v fold vs the native loop
+    val cents = Array.tabulate(3, dim)((c, d) => planeVal(64 + c, d))
+    val unrolledScores = array(cents.map { cv =>
+      val c2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+      cv.zipWithIndex.foldLeft(lit(c2): org.apache.spark.sql.Column) { case (acc, (cd, d)) =>
+        acc - lit(2.0 * cd) * element_at(col("v"), d + 1).cast("double")
+      }
+    }: _*)
+    val sDiff = df.select(Similarity.scoresOf(col("v"), cents).as("a"),
+      unrolledScores.as("b")).where(col("a") =!= col("b")).count()
+    assert(sDiff === 0)
+  }
+
+  test("vector kernels stay compilable at dim=64: no interpreted codegen fallback") {
+    // round 3: janino InternalCompilerException on the ~14k-line unrolled
+    // projection -> silent interpreted fallback. With fallback disabled a
+    // compile failure now THROWS, so green means the whole similarity
+    // surface genuinely runs inside WholeStageCodegen.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(Similarity.lshTopK(vecs, "vec_id", "embedding",
+        col("vec_id") % 25 === 0, 10, 4, 64, 3).count() > 0)
+      assert(Similarity.ivfTopK(vecs, "vec_id", "embedding",
+        col("vec_id") % 25 === 0, 10, 16, 4, 64).count() > 0)
+      assert(Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+        0.999999, 4, 64).count() >= 0)
+      graft.plans.Caches.flush()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("dedup components: transitive chains collapse to the smallest member id") {
     import spark.implicits._
     val pairs = Seq((1L, 5L), (5L, 9L), (20L, 30L)).toDF("id_a", "id_b")
