@@ -119,9 +119,21 @@ object Bench {
    * equally-dirty minis look clean forever. The anchor only gates WHEN
    * samples are taken, never what is reported.
    */
+  /**
+   * Anchor files are FINGERPRINTED with everything that legitimately
+   * changes the expected time (protocol version, input rows, core
+   * count, sf dir / cpu count for the query loop): after a fixture or
+   * protocol change the old anchor simply isn't found, instead of a
+   * stale fast anchor making every probe look dirty and silently
+   * burning the awaitClean/retime budgets (ADVICE r3).
+   */
+  val ProtocolVersion = 4
+
   final class MiniProbe(cHigh: Int) {
-    private val miniPath = prepPages(30000000L)
-    private val anchorFile = java.nio.file.Paths.get("/tmp/graft_bench_mini_best.txt")
+    private val MiniRows = 30000000L
+    private val miniPath = prepPages(MiniRows)
+    private val anchorFile = java.nio.file.Paths.get(
+      s"/tmp/graft_bench_mini_best_v${ProtocolVersion}_${MiniRows}_c$cHigh.txt")
     private var best: Double =
       if (java.nio.file.Files.exists(anchorFile))
         new String(java.nio.file.Files.readAllBytes(anchorFile)).trim.toDouble
@@ -297,8 +309,22 @@ object Bench {
     val rpsLow = benchRows / tLow
     val rpsHigh = benchRows / tHigh
     val eff = tLow / tHigh / 4.0
+    // PROTOCOL-SENSITIVITY companions (ADVICE r3: the primary estimator's
+    // choices — gated min-of-reps highs vs ungated median lows — each
+    // move the ratio upward on this one-sided-contention host; ship the
+    // symmetric estimators alongside so a reader can see the spread):
+    //   min/min     — fastest-observed at both levels (turbo-boosted
+    //                 lows UNDERSTATE the ratio);
+    //   median/median — central at both levels (contended highs can
+    //                 OVERSTATE it; the gate makes that rare).
+    val effMinMin = lows.min / tHigh / 4.0
+    val effMedMed = tLow / median(highs.toSeq) / 4.0
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    // 3-decimal seconds everywhere: the round-3 official artifact's JSON
+    // line outgrew the driver's stdout tail capture (full-precision
+    // doubles for 59 queries + samples) and parsed as null
     val samplesJson =
-      s"""{"lows":${lows.mkString("[", ",", "]")},"highs":${highs.mkString("[", ",", "]")}}"""
+      s"""{"lows":${lows.map(r3).mkString("[", ",", "]")},"highs":${highs.map(r3).mkString("[", ",", "]")}}"""
 
 
     // ---- per-query timings on the driver's sf dir -----------------------
@@ -308,7 +334,9 @@ object Bench {
     // anchor this run is re-timed once and the better time ships — round
     // 2's official artifact reported 67.5 s for a query a quiet host runs
     // in 8.4 s, purely from a tenant episode during the loop.
-    val qAnchorFile = java.nio.file.Paths.get("/tmp/graft_bench_query_anchor.json")
+    val qAnchorFile = java.nio.file.Paths.get(
+      s"/tmp/graft_bench_query_anchor_v${ProtocolVersion}_" +
+        s"${new java.io.File(sfDir).getName}_c$cpus.txt")
     val qAnchors: Map[String, Double] =
       if (java.nio.file.Files.exists(qAnchorFile))
         new String(java.nio.file.Files.readAllBytes(qAnchorFile)).split(",")
@@ -326,17 +354,29 @@ object Bench {
       graft.plans.Caches.flush() // release operator persist barriers
       t
     }
+    // Retime budget is based on the QUERY-LOOP start, not process start:
+    // round 3's official run entered the loop with the global budget
+    // already consumed by the scaling section, so the `elapsedS < 900`
+    // gate let ZERO >3x-anchor retimes fire and a contention episode
+    // shipped 24x-inflated per-query numbers.
+    val tLoop = System.nanoTime()
+    def loopElapsedS: Double = (System.nanoTime() - tLoop) / 1e9
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, timeQuery(name, fn))
     }
-    val results = firstPass.map { case (name, fn, t) =>
-      val retimed = qAnchors.get(name) match {
-        case Some(a) if t > 3.0 * a && elapsedS < 900 =>
-          math.min(t, timeQuery(name, fn)) // one retry through the episode
-        case _ => t
-      }
-      name -> retimed
+    // second pass at loop END (the episode that inflated a first-pass
+    // time has had the whole loop to drain): every query >3x its anchor
+    // retimes once, worst offenders first, inside its own loop budget
+    val results0 = scala.collection.mutable.LinkedHashMap(
+      firstPass.map { case (n, _, t) => n -> t }: _*)
+    val fns = firstPass.map { case (n, fn, _) => n -> fn }.toMap
+    firstPass.flatMap { case (name, _, t) =>
+      qAnchors.get(name).filter(a => t > 3.0 * a).map(a => (name, t / a))
+    }.sortBy(-_._2).foreach { case (name, _) =>
+      if (loopElapsedS < 600)
+        results0(name) = math.min(results0(name), timeQuery(name, fns(name)))
     }
+    val results = results0.toSeq
     closed(s0)
     java.nio.file.Files.write(qAnchorFile,
       results.filter(_._2 > 0).map { case (k, v) =>
@@ -345,16 +385,23 @@ object Bench {
 
     val (skNaive, skAqe, skSalted) = skewDemo()
 
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // COMPACT single line (3-decimal seconds, no spaces), printed LAST
+    // and explicitly flushed: the driver parses the stdout TAIL, and the
+    // round-3 full-precision line was head-truncated ("parsed": null)
+    val qs = results.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""pipeline":{"rows":$benchRows,"cores_low":$cLow,"cores_high":$cHigh,""" +
-      s""""secs_low":$tLow,"secs_high":$tHigh,""" +
+      s""""secs_low":${r3(tLow)},"secs_high":${r3(tHigh)},""" +
       s""""rows_per_sec_low":${rpsLow.toLong},"rows_per_sec_high":${rpsHigh.toLong},""" +
-      s""""scaling_efficiency":${math.rint(eff * 1000) / 1000},""" +
+      s""""scaling_efficiency":${r3(eff)},""" +
+      s""""scaling_efficiency_min_min":${r3(effMinMin)},""" +
+      s""""scaling_efficiency_med_med":${r3(effMedMed)},""" +
       s""""samples":$samplesJson},""" +
       s""""skew_hot_cell":{"rows":20000000,"hot_frac":0.5,""" +
-      s""""secs_naive":$skNaive,"secs_aqe_skewjoin":$skAqe,"secs_salted":$skSalted}}""")
+      s""""secs_naive":${r3(skNaive)},"secs_aqe_skewjoin":${r3(skAqe)},""" +
+      s""""secs_salted":${r3(skSalted)}}}""")
+    System.out.flush()
   }
 }

@@ -213,24 +213,42 @@ object Dedup {
    * execution order. Each round is one vertex-keyed hash-agg shuffle;
    * rounds = component diameter in the worst case, O(log n) typical.
    * Returns (id, component) for every id appearing in `pairs`.
+   *
+   * Lineage truncation: every round materializes through a checkpoint —
+   * pass `checkpointDir` (any Hadoop FS: HDFS / S3A / GCS) on a real
+   * cluster so round snapshots survive executor loss; the default
+   * `localCheckpoint` keeps blocks on executors (fine single-node, lost
+   * with an executor on a cluster).
    */
-  def components(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+                 checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    // reliable-FS mode: RDD checkpoints go through the Hadoop FileSystem
+    // resolved from the dir (same contract as plans.Checkpoint markers)
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // the pair relation is referenced twice (both edge directions) and is
     // typically an expensive near-dup join — materialize it once
-    val p = pairs.select(col(aCol).as("__a"), col(bCol).as("__b")).localCheckpoint()
+    val p = truncate(pairs.select(col(aCol).as("__a"), col(bCol).as("__b")))
+    // an empty pair set is a normal outcome for a clean corpus: return
+    // the empty (id, component) relation instead of iterating (the
+    // label-sum convergence probe would read SUM() = NULL and NPE
+    // otherwise); the probe reads the already-materialized checkpoint
+    if (p.isEmpty)
+      return p.select(col("__a").as("id"), col("__b").as("component")).limit(0)
     val edges = Caches.track(
       p.select(col("__a").as("src"), col("__b").as("dst"))
         .unionByName(p.select(col("__b").as("src"), col("__a").as("dst")))
         .distinct())
-    // LINEAGE TRUNCATION per round (localCheckpoint, eager): an iterative
-    // DataFrame loop otherwise doubles its logical plan every round (the
-    // pointer jump references `stepped` twice, stepped references the
-    // previous round...) and Catalyst re-analyzes a 2^rounds tree even
-    // though execution would read cache — measured 100 s at sf0.1 where
-    // the truncated loop takes seconds. On a real cluster swap for
-    // `checkpoint()` to reliable storage (the Checkpoint operator's FS).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint()
+    // LINEAGE TRUNCATION per round (eager): an iterative DataFrame loop
+    // otherwise doubles its logical plan every round (the pointer jump
+    // references `stepped` twice, stepped references the previous
+    // round...) and Catalyst re-analyzes a 2^rounds tree even though
+    // execution would read cache — measured 100 s at sf0.1 where the
+    // truncated loop takes seconds.
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
     // convergence via the label-sum invariant: labels only ever DECREASE,
     // so sum(component) is strictly monotone until the fixpoint — one
     // cheap aggregate per round instead of a change-detection join
@@ -243,19 +261,17 @@ object Dedup {
       val nbr = edges.join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("component", "__nl"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__cand"))
-      val stepped = labels.join(nbr, Seq("id"), "left_outer")
+      val stepped = truncate(labels.join(nbr, Seq("id"), "left_outer")
         .withColumn("__next", least(col("component"), coalesce(col("__cand"), col("component"))))
-        .select(col("id"), col("__next").as("component"))
-        .localCheckpoint() // materialized once; feeds both jump sides
+        .select(col("id"), col("__next").as("component"))) // materialized once; feeds both jump sides
       // pointer jumping: relabel through the label graph itself
       // (component <- label(component); component values are always
       // vertex ids, so the lookup is total) — rounds drop from the
       // component diameter to ~log2(diameter)
-      val next = stepped.join(
+      val next = truncate(stepped.join(
           stepped.select(col("id").as("component"), col("component").as("__jump")),
           Seq("component"), "left_outer")
-        .select(col("id"), coalesce(col("__jump"), col("component")).as("component"))
-        .localCheckpoint()
+        .select(col("id"), coalesce(col("__jump"), col("component")).as("component")))
       val cur = labelSum(next)
       converged = cur.compareTo(prev) == 0
       prev = cur

@@ -67,6 +67,33 @@ object ScaleQueries {
         .toDF().select("tile", "id", "arrival_rank")
     }),
 
+    // Streaming exact-dedup BATCH TWIN (the compaction half of the
+    // lambda split — StreamingSpec proves the md5 survivor set matches
+    // the streaming dropDuplicatesWithinWatermark run): event-time-first
+    // arrival per content hash over a corpus with planted duplicates
+    // whose arrival times are NOT monotone in id, so first-arrival
+    // genuinely differs from min-id and the (ts, id) packing is
+    // exercised.
+    "q60_stream_dedup" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val planted = d.unionByName(d.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+        .withColumn("ts", timestamp_seconds(lit(1577836800L) + pmod(col("doc_id") * 37L, lit(100000L))))
+      graft.streaming.StreamTiles.dedupTextBatch(planted, "ts", "doc_id", "text")
+    }),
+
+    // Stream-static extraction join, run on a BATCH frame (the operator
+    // is stream/batch-identical by construction — StreamingSpec proves
+    // stream ≡ batch; this pins the batch semantics to the oracle):
+    // events gain the static stack's layer values, out-of-bounds probes
+    // preserved with null layers.
+    "q61_stream_extract" -> ((s, dir) => {
+      val st = graft.queries.StackQueries.stack(s).select(Seq("b1", "b4"))
+      graft.streaming.StreamTiles.extractStream(
+          s.read.parquet(s"$dir/events.parquet"), "event_id", G, st)
+        .select("event_id", "row", "col", "b1", "b4")
+    }),
+
     // extract_xy at table scale: 600k probes left-join the 216k-pixel stack.
     "q27_lineitem_extract" -> ((s, dir) => {
       val probes = Pages.withGrid(
@@ -128,6 +155,31 @@ object ScaleQueries {
          |             FROM (SELECT ts, event_id, ${Pages.lonSql("event_id")} AS lon,
          |                          ${Pages.latSql("event_id")} AS lat FROM events))))
          |WHERE arrival_rank <= 5""".stripMargin
+    },
+
+    "q60_stream_dedup" -> {
+      val pack = graft.streaming.StreamTiles.TsPack
+      s"""SELECT text_md5, f // $pack AS first_ts, f % $pack AS first_id, n_arrivals
+         |FROM (SELECT md5(text) AS text_md5,
+         |        MIN(tss * $pack + doc_id) AS f, COUNT(*) AS n_arrivals
+         |      FROM (SELECT doc_id, text,
+         |              1577836800 + (doc_id * 37) % 100000 AS tss
+         |            FROM (SELECT doc_id, text FROM documents
+         |                  UNION ALL SELECT doc_id + 100000, text
+         |                  FROM documents WHERE doc_id % 10 = 0))
+         |      GROUP BY 1)""".stripMargin
+    },
+
+    "q61_stream_extract" -> {
+      val b1 = graft.sources.RasterStack.bandSql("row", "col", graft.sources.RasterStack.NcBands.head)
+      val b4 = graft.sources.RasterStack.bandSql("row", "col", graft.sources.RasterStack.NcBands(3))
+      s"""SELECT e.event_id, e.row, e.col, g.b1, g.b4
+         |FROM (SELECT event_id, ${Pages.rowSql(G)} AS row, ${Pages.colSql(G)} AS col
+         |      FROM (SELECT event_id, ${Pages.lonSql("event_id")} AS lon,
+         |                   ${Pages.latSql("event_id")} AS lat FROM events)) e
+         |LEFT JOIN (SELECT row, col, $b1 AS b1, $b4 AS b4
+         |           FROM ${graft.sources.RasterStack.gridSql(G)}) g
+         |  ON g.row = e.row AND g.col = e.col""".stripMargin
     },
 
     "q27_lineitem_extract" -> {

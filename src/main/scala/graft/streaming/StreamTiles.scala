@@ -107,6 +107,35 @@ object StreamTiles {
       .dropDuplicatesWithinWatermark("text_md5")
 
   /**
+   * Batch twin of [[dedupText]] — the compaction-pass semantics of the
+   * lambda split: per content hash keep the EVENT-TIME-first arrival
+   * (min over (ts, id); the streaming side admits the processing-order
+   * first, which coincides when arrivals are processed in event order).
+   * Deterministic and oracle-expressible, unlike `dropDuplicates`.
+   *
+   * Scale shape: (ts, id) packs into ONE long (ts * 2^31 + id — ids
+   * must be < 2^31 and ts in epoch-seconds range, which the packing
+   * `require`s via the id bound being checked downstream naturally),
+   * so the group-by is a primitive-typed HASH aggregate with map-side
+   * partials — a min over a (ts, id) STRUCT would plan an
+   * ObjectHashAggregate/SortAggregate (the Dedup.representatives
+   * lesson: never aggregate non-primitive columns on the hot path).
+   */
+  def dedupTextBatch(df: DataFrame, tsCol: String, idCol: String,
+                     textCol: String): DataFrame = {
+    val packed = (col(tsCol).cast("timestamp").cast("long") * TsPack) + col(idCol).cast("long")
+    df.select(md5(col(textCol).cast("binary")).as("text_md5"), packed.as("__arr"))
+      .groupBy("text_md5")
+      .agg(min(col("__arr")).as("__f"), count(lit(1)).as("n_arrivals"))
+      .select(col("text_md5"),
+        graft.functions.idiv(col("__f"), lit(TsPack)).as("first_ts"),
+        pmod(col("__f"), lit(TsPack)).as("first_id"),
+        col("n_arrivals"))
+  }
+  /** (ts, id) packing base: id must be in [0, 2^31). */
+  val TsPack: Long = 2147483648L
+
+  /**
    * Streaming extract_xy — arriving events gain the static raster
    * stack's layer values: a STREAM-STATIC left-outer equi-join on
    * (row, col). Stateless on the stream side (each micro-batch probes

@@ -308,6 +308,33 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got === Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 20L -> 20L, 30L -> 20L))
   }
 
+  test("dedup components: empty pair set returns the empty relation (no NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.components(empty, "id_a", "id_b")
+    assert(got.columns.toSeq === Seq("id", "component"))
+    assert(got.count() === 0)
+  }
+
+  test("dedup components: reliable-FS checkpoint mode matches localCheckpoint mode") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    try {
+      // a chain long enough to force pointer jumping + multiple rounds
+      val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val local = Dedup.components(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fs = Dedup.components(pairs, "id_a", "id_b", checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fs === local)
+      assert(local.values.toSet === Set(1L))
+      // the round snapshots really went through the Hadoop FS dir
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("dedup band-bucket cap: oversized buckets are excluded, audit sees them") {
     import spark.implicits._
     // 5 identical signatures = one 5-row bucket in each of the 4 bands

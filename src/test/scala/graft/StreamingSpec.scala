@@ -67,6 +67,23 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val nDistinct = docs.select(md5(col("text").cast("binary"))).distinct().count()
     assert(out.count() === nDistinct)
     assert(out.select("text_md5").distinct().count() === nDistinct)
+
+    // the BATCH TWIN (q60's oracle surface) keeps exactly the same
+    // content hashes, one survivor each, with correct arrival counts
+    val twin = StreamTiles.dedupTextBatch(planted, "ts", "doc_id", "text")
+    assert(twin.count() === nDistinct)
+    val streamMd5 = out.select("text_md5").collect().map(_.getString(0)).toSet
+    val twinMd5 = twin.select("text_md5").collect().map(_.getString(0)).toSet
+    assert(twinMd5 === streamMd5)
+    // planted dups (every 10th doc) arrive twice; ts here is monotone in
+    // id so first-arrival == original id
+    val dupRows = twin.where(col("n_arrivals") === 2).count()
+    assert(dupRows === docs.where(col("doc_id") % 10 === 0).count())
+    assert(twin.where(col("first_id") >= 100000L).count() === 0)
+    // hash-agg discipline: packing (ts, id) into one long must keep the
+    // aggregate primitive (no SortAggregate over the md5 key)
+    val plan = twin.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), plan.take(400))
   }
 
   test("flatMapGroupsWithState firstKPerTile: at most k per tile, ranks contiguous, batch == stream tiles") {
