@@ -202,6 +202,14 @@ final case class Stack(df: DataFrame, meta: GridMeta, layers: Seq[String]) {
             resampling: String = "nearest"): Stack =
     Warp.toCrs(this, target, crs, resampling)
 
+  /** to_crs without an explicit target grid — the reference's
+    * `stack.to_crs(crs)` one-liner: the target derives from the source
+    * bounds + transform ([[Warp.defaultTarget]], the
+    * calculate_default_transform analogue, raster.py:1730-1766). */
+  def toCrs(crs: Warp.CrsTransform, resampling: String,
+            targetCrs: String): Stack =
+    Warp.toCrs(this, Warp.defaultTarget(meta, crs, targetCrs), crs, resampling)
+
   /**
    * scale(): standardize each layer to (x - mean) / std, two-phase —
    * one exact aggregate, broadcast into a projection (raster.py:2532-2615).

@@ -20,10 +20,24 @@ import graft.functions._
  */
 object Warp {
 
-  /** Maps TARGET-world (x, y) columns to SOURCE-world coordinates. */
+  /**
+   * Maps TARGET-world (x, y) columns to SOURCE-world coordinates (the
+   * inverse-warp direction every interpolating kernel consumes).
+   *
+   * Each transform also carries its own [[inverse]] (source -> target)
+   * — [[toCrs]] picks the right direction per kernel, so a caller
+   * switching the resampling string from "bilinear" to "average" never
+   * has to flip the transform by hand (the round-3 direction hazard) —
+   * and a driver-side scalar twin [[toSourcePt]] used by
+   * [[defaultTarget]]'s bounds projection.
+   */
   trait CrsTransform extends Serializable {
     def sourceX(x: Column, y: Column): Column
     def sourceY(x: Column, y: Column): Column
+    /** The opposite direction (source -> target). */
+    def inverse: CrsTransform
+    /** Scalar twin of sourceX/sourceY (driver-side grid derivation). */
+    def toSourcePt(x: Double, y: Double): (Double, Double)
   }
 
   /** Affine pseudo-CRS: sx = a*x + b*y + c, sy = d*x + e*y + f. */
@@ -31,6 +45,15 @@ object Warp {
                              d: Double, e: Double, f: Double) extends CrsTransform {
     override def sourceX(x: Column, y: Column): Column = lit(a) * x + lit(b) * y + lit(c)
     override def sourceY(x: Column, y: Column): Column = lit(d) * x + lit(e) * y + lit(f)
+    override def toSourcePt(x: Double, y: Double): (Double, Double) =
+      (a * x + b * y + c, d * x + e * y + f)
+    /** Closed-form matrix inverse: t = M^-1 s - M^-1 (c, f). */
+    override def inverse: AffineCrs = {
+      val det = a * e - b * d
+      require(det != 0.0, "singular affine transform has no inverse")
+      AffineCrs(e / det, -b / det, (b * f - e * c) / det,
+        -d / det, a / det, (d * c - a * f) / det)
+    }
     def sxSql(x: String, y: String): String = {
       import graft.sources.OracleLit.d2
       s"(${d2(a)} * $x + ${d2(b)} * $y + ${d2(c)})"
@@ -45,6 +68,8 @@ object Warp {
   case object Identity extends CrsTransform {
     override def sourceX(x: Column, y: Column): Column = x
     override def sourceY(x: Column, y: Column): Column = y
+    override def inverse: CrsTransform = this
+    override def toSourcePt(x: Double, y: Double): (Double, Double) = (x, y)
   }
 
   /** Spherical-mercator radius (EPSG:3857), meters. */
@@ -69,6 +94,10 @@ object Warp {
       (x / lit(MercR)) * lit(DegPerRad)
     override def sourceY(x: Column, y: Column): Column =
       (lit(2.0) * atan(exp(y / lit(MercR))) - lit(HalfPi)) * lit(DegPerRad)
+    override def inverse: CrsTransform = LonLatToMercator
+    override def toSourcePt(x: Double, y: Double): (Double, Double) =
+      ((x / MercR) * DegPerRad,
+        (2.0 * math.atan(math.exp(y / MercR)) - HalfPi) * DegPerRad)
     def sxSql(x: String, y: String): String = {
       import graft.sources.OracleLit.d
       s"(($x / ${d(MercR)}) * ${d(DegPerRad)})"
@@ -96,6 +125,11 @@ object Warp {
     override def sourceY(x: Column, y: Column): Column = {
       val latC = least(greatest(y, lit(-MaxLat)), lit(MaxLat))
       lit(MercR) * log(tan(lit(QuarterPi) + latC * lit(RadPerHalfDeg)))
+    }
+    override def inverse: CrsTransform = MercatorToLonLat
+    override def toSourcePt(x: Double, y: Double): (Double, Double) = {
+      val latC = math.min(math.max(y, -MaxLat), MaxLat)
+      (x * XScale, MercR * math.log(math.tan(QuarterPi + latC * RadPerHalfDeg)))
     }
     def sxSql(x: String, y: String): String = {
       import graft.sources.OracleLit.d
@@ -377,12 +411,44 @@ object Warp {
   }
 
   /**
+   * Default target grid for reprojecting `src` through `targetToSource`
+   * — the engine's `calculate_default_transform` analogue (the
+   * reference computes the target transform/shape itself,
+   * raster.py:1730-1766, so `stack.to_crs(crs)` one-liners need no
+   * hand-built grid): sample the source bounds BOUNDARY (21 points per
+   * edge — edges curve under geodetic transforms, corners alone
+   * under-cover), forward-project through `targetToSource.inverse`,
+   * take the bbox, and preserve the source pixel count per axis (the
+   * reference resolves resolution from the projected extent over the
+   * source dimensions; same spirit, closed form).
+   */
+  def defaultTarget(src: GridMeta, targetToSource: CrsTransform,
+                    targetCrs: String = "derived"): GridMeta = {
+    val fwd = targetToSource.inverse
+    val (x0, y0, x1, y1) = src.bounds
+    val n = 20
+    val boundary =
+      (0 to n).flatMap { i =>
+        val fx = x0 + (x1 - x0) * i / n
+        val fy = y0 + (y1 - y0) * i / n
+        Seq((fx, y0), (fx, y1), (x0, fy), (x1, fy))
+      }
+    val proj = boundary.map { case (x, y) => fwd.toSourcePt(x, y) }
+    GridMeta.northUp(proj.map(_._1).min, proj.map(_._2).min,
+      proj.map(_._1).max, proj.map(_._2).max,
+      width = src.width, height = src.height, crs = targetCrs)
+  }
+
+  /**
    * The reference's to_crs surface (raster.py:1711-1866 accepts every
-   * rasterio Resampling NAME): dispatch by resampling string. `crs` maps
-   * TARGET world -> SOURCE world (inverse transform) for the
-   * interpolating kernels; the pooling kernels forward-project with its
-   * INVERSE, so pass `srcToTarget` for those — [[Identity]] works for
-   * pure re-gridding either way.
+   * rasterio Resampling NAME): dispatch by resampling string. `crs`
+   * ALWAYS maps TARGET world -> SOURCE world (the inverse-warp
+   * direction): the interpolating kernels consume it directly and the
+   * pooling kernels forward-project through `crs.inverse` — switching
+   * only the resampling string keeps the transform argument valid
+   * (round-3's silent-wrong-direction hazard is structural now, not a
+   * scaladoc warning). [[Identity]] works for pure re-gridding either
+   * way.
    */
   def toCrs(stack: Stack, target: GridMeta, crs: CrsTransform,
             resampling: String = "nearest"): Stack = resampling match {
@@ -390,10 +456,10 @@ object Warp {
     case "bilinear" => bilinear(stack, target, crs)
     case "cubic" => cubic(stack, target, crs)
     case "lanczos" => lanczos(stack, target, crs)
-    case "average" => average(stack, target, crs)
-    case "mode" => mode(stack, target, crs)
+    case "average" => average(stack, target, crs.inverse)
+    case "mode" => mode(stack, target, crs.inverse)
     case "min" | "max" | "sum" | "rms" | "median" | "q1" | "q3" =>
-      pool(stack, target, crs, resampling)
+      pool(stack, target, crs.inverse, resampling)
     case other => throw new IllegalArgumentException(
       s"unsupported resampling '$other' (expected nearest|bilinear|cubic|lanczos|" +
         "average|mode|min|max|sum|rms|median|q1|q3 — raster.py:1794-1797)")

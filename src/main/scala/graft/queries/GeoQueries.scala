@@ -119,10 +119,15 @@ object GeoQueries {
     // to_crs with a REAL geodetic transform: nearest-warp the lon/lat
     // stack onto a Web-Mercator (EPSG:3857) meter grid, target pixels
     // back-projected through the closed-form spherical-mercator inverse
-    // (raster.py:1711-1866; tests/test_tocrs.py:22-37).
+    // (raster.py:1711-1866; tests/test_tocrs.py:22-37). Runs through
+    // the GRID-LESS to_crs overload: the meter target derives from the
+    // source bounds + transform (Warp.defaultTarget = the
+    // calculate_default_transform analogue) — the oracle interpolates
+    // the SAME derived GridMeta, so the derivation itself is pinned.
     "q49_to_crs_mercator" -> ((s, _) => {
       val st = StackQueries.stack(s).select(Seq("b2", "b5"))
-      Warp.nearest(st, MercG, Warp.MercatorToLonLat).df.select("row", "col", "b2", "b5")
+      st.toCrs(Warp.MercatorToLonLat, "nearest", "EPSG:3857")
+        .df.select("row", "col", "b2", "b5")
     }),
 
     // to_crs cubic-convolution resampling (Resampling.cubic, Keys
@@ -173,9 +178,12 @@ object GeoQueries {
     })
   )
 
-  /** Web-Mercator target grid (meters, EPSG:3857) over the test extent. */
-  val MercG: GridMeta = GridMeta.northUp(-1.3e7, -8.0e6, 1.3e7, 8.0e6,
-    width = 100, height = 80, crs = "EPSG:3857")
+  /** Web-Mercator target grid (meters, EPSG:3857): DERIVED from the
+    * source grid + transform by Warp.defaultTarget — exactly what the
+    * grid-less q49 `toCrs` overload computes, so the oracle's
+    * interpolated literals pin the derivation. */
+  val MercG: GridMeta =
+    Warp.defaultTarget(GridMeta.TestGrid, Warp.MercatorToLonLat, "EPSG:3857")
 
   val oracles: Map[String, String] = Map(
 

@@ -181,6 +181,46 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(diff === 0)
   }
 
+  test("defaultTarget: derived grid covers the projected source bounds, preserves shape") {
+    val src = graft.core.GridMeta.TestGrid
+    val tgt = Warp.defaultTarget(src, Warp.MercatorToLonLat, "EPSG:3857")
+    assert(tgt.width === src.width && tgt.height === src.height)
+    assert(tgt.crs === "EPSG:3857")
+    // every projected source corner lies inside the derived bbox
+    val (x0, y0, x1, y1) = src.bounds
+    val fwd = Warp.LonLatToMercator
+    val (tx0, ty0, tx1, ty1) = tgt.bounds
+    Seq((x0, y0), (x0, y1), (x1, y0), (x1, y1)).foreach { case (x, y) =>
+      val (px, py) = fwd.toSourcePt(x, y)
+      assert(px >= tx0 && px <= tx1 && py >= ty0 && py <= ty1, s"corner ($x,$y)")
+    }
+    // mercator x of the lon extent is exactly the derived x extent
+    assert(tx0 === fwd.toSourcePt(x0, 0.0)._1)
+    assert(tx1 === fwd.toSourcePt(x1, 0.0)._1)
+  }
+
+  test("affine inverse round-trips; toCrs pooling kernels consume crs.inverse") {
+    val aff = Warp.AffineCrs(2.0, 0.5, 10.0, -0.25, 1.5, -3.0)
+    val inv = aff.inverse
+    Seq((0.0, 0.0), (3.7, -2.1), (-15.0, 42.0)).foreach { case (x, y) =>
+      val (sx, sy) = aff.toSourcePt(x, y)
+      val (bx, by) = inv.toSourcePt(sx, sy)
+      assert(math.abs(bx - x) < 1e-9 && math.abs(by - y) < 1e-9)
+    }
+    // dispatch direction: toCrs(..., targetToSource, "average") must
+    // equal calling the pooling kernel with the FORWARD transform —
+    // switching only the resampling string keeps the argument valid
+    val st = StackQueries.stack(spark).select(Seq("b1"))
+    val tgt = Warp.defaultTarget(st.meta, Warp.MercatorToLonLat, "EPSG:3857")
+    val viaDispatch = Warp.toCrs(st, tgt, Warp.MercatorToLonLat, "average").df
+    val direct = Warp.average(st, tgt, Warp.LonLatToMercator).df
+    val diff = viaDispatch.join(
+        direct.withColumnRenamed("b1", "ob1").select("row", "col", "ob1"),
+        Seq("row", "col"))
+      .where(!(col("b1") <=> col("ob1"))).count()
+    assert(diff === 0)
+  }
+
   test("text analysis: language markers, quality in [0,1], fingerprint deterministic") {
     import spark.implicits._
     val t = Seq((1L, "the value of the key"), (2L, "der und das ist gut"), (3L, "zzz qqq"))
