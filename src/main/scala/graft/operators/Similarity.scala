@@ -137,10 +137,17 @@ object Similarity {
    */
   def ivfScores(vec: Column, k: Int, dim: Int): Column =
     scoresOf(vec, Array.tabulate(k, dim)((c, d) => centroidVal(c, d)))
-  def ivfScoresSql(v: String, k: Int, dim: Int): String = (0 until k).map { c =>
-    val c2 = (0 until dim).foldLeft(0.0)((a, d) => a + centroidVal(c, d) * centroidVal(c, d))
-    (0 until dim).foldLeft(graft.sources.OracleLit.d(c2)) { (acc, d) =>
-      s"($acc - ${graft.sources.OracleLit.d(2.0 * centroidVal(c, d))} * CAST($v[${d + 1}] AS DOUBLE))"
+  def ivfScoresSql(v: String, k: Int, dim: Int): String = {
+    val dim0 = dim
+    scoresOfSql(v, Array.tabulate(k, dim0)((c, d) => centroidVal(c, d)))
+  }
+
+  /** SQL twin of [[scoresOf]] over explicit centroids (same fold order;
+    * doubles interpolated via OracleLit string casts). */
+  def scoresOfSql(v: String, cents: Array[Array[Double]]): String = cents.map { cv =>
+    val c2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+    cv.zipWithIndex.foldLeft(graft.sources.OracleLit.d(c2)) { case (acc, (cd, d)) =>
+      s"($acc - ${graft.sources.OracleLit.d(2.0 * cd)} * CAST($v[${d + 1}] AS DOUBLE))"
     }
   }.mkString("[", ", ", "]")
 

@@ -146,6 +146,14 @@ object PipelineQueries {
       Similarity.ivfTopK(vecs(s, dir), "vec_id", "embedding",
         col("vec_id") % 25 === 0, k = 10, nCentroids = 16, nProbe = 4, dim = Dim)),
 
+    // ANN: IVF-flat over the LLOYD-TRAINED coarse quantizer — the
+    // trained centroids are frozen literals (TrainedIvf, generated by
+    // graft.tools.FreezeCentroids; live double means are not
+    // bit-reproducible, a frozen quantizer is), same plan as q45.
+    "q62_ann_ivf_trained" -> ((s, dir) =>
+      Similarity.ivfTopKTrained(vecs(s, dir), "vec_id", "embedding",
+        col("vec_id") % 25 === 0, k = 10, nProbe = 4, TrainedIvf.Centroids)),
+
     // Embedding-cosine near-duplicate pairs (planted near-dups above).
     "q38_near_dup_embed" -> ((s, dir) =>
       Similarity.nearDupPairs(vecsNear(s, dir), "vec_id", "embedding",
@@ -282,6 +290,25 @@ object PipelineQueries {
          |   SELECT vec_id AS query_id, CAST(t.i AS BIGINT) AS cid,
          |     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc[t.i], t.i) AS rn
          |   FROM base, range(1, 17) t(i) WHERE vec_id % 25 = 0) WHERE rn <= 4)
+         |SELECT query_id, rnk, nbr_id, cos FROM (
+         | SELECT p.query_id, c.nbr_id, $cos AS cos,
+         |   ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY $cos DESC, c.nbr_id) AS rnk
+         | FROM probes p JOIN corpus c ON c.cell = p.cid
+         | JOIN embeddings qe ON qe.vec_id = p.query_id
+         | WHERE c.nbr_id <> p.query_id)
+         |WHERE rnk <= 10""".stripMargin
+    },
+
+    "q62_ann_ivf_trained" -> {
+      val cos = Similarity.cosineSql("qe.embedding", "c.cv", Dim)
+      s"""WITH base AS (SELECT vec_id, embedding,
+         |   ${Similarity.scoresOfSql("embedding", TrainedIvf.Centroids)} AS sc FROM embeddings),
+         |corpus AS (SELECT vec_id AS nbr_id, embedding AS cv,
+         |   CAST(list_position(sc, list_min(sc)) AS BIGINT) AS cell FROM base),
+         |probes AS (SELECT query_id, cid FROM (
+         |   SELECT vec_id AS query_id, CAST(t.i AS BIGINT) AS cid,
+         |     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc[t.i], t.i) AS rn
+         |   FROM base, range(1, ${TrainedIvf.Centroids.length + 1}) t(i) WHERE vec_id % 25 = 0) WHERE rn <= 4)
          |SELECT query_id, rnk, nbr_id, cos FROM (
          | SELECT p.query_id, c.nbr_id, $cos AS cos,
          |   ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY $cos DESC, c.nbr_id) AS rnk

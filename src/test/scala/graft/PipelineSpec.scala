@@ -152,6 +152,21 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(recall > 0.2, s"trained-IVF recall $recall (nProbe=4/16)")
   }
 
+  test("frozen trained quantizer (q62's literals): recall holds up vs deterministic centroids") {
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") % 25 === 0, 10)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val det = recallOf(Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      col("vec_id") % 25 === 0, k = 10, nCentroids = 16, nProbe = 4, dim = 64))
+    val frozen = recallOf(Similarity.ivfTopKTrained(vecs, "vec_id", "embedding",
+      col("vec_id") % 25 === 0, k = 10, nProbe = 4, graft.queries.TrainedIvf.Centroids))
+    assert(frozen >= det, s"frozen-trained recall $frozen < deterministic $det")
+  }
+
   test("ANN LSH recall vs brute force is reasonable at 4 planes") {
     val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", col("vec_id") % 25 === 0, 10)
       .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
