@@ -83,4 +83,59 @@ object Points {
       .groupBy(col("__cell").as("cell"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_points"))
   }
+
+  /**
+   * Distributed EXACT-distance point thinning without the driver-side
+   * size cap of [[filterPointsExact]]: candidate pairs come from a
+   * cell-disk equi-join at a resolution whose cell height >= `minDist`
+   * (any pair closer than minDist is then within Chebyshev distance 1
+   * in cells), exact Euclidean-degree distance verifies each candidate,
+   * and [[Dedup.components]] clusters the surviving edges — i.e.
+   * SINGLE-linkage clustering at threshold minDist, keeping the
+   * smallest (`keep = "first"`) or largest (`"last"`) id per cluster;
+   * untouched points keep themselves.
+   *
+   * DOCUMENTED DIVERGENCE (same class as [[filterPointsCellSnap]]'s):
+   * the reference's complete-linkage (vector.py:7-39) only merges
+   * clusters whose FARTHEST members are within minDist; single linkage
+   * merges transitive chains, so it can thin a dense chain harder. On
+   * sparse layouts (inter-cluster gaps > minDist, cluster diameters <
+   * minDist) the two agree exactly — spec-asserted.
+   *
+   * Scale shape: one cell-keyed candidate join (bounded 3x3 disk per
+   * probe), one exact-distance filter, then the components loop (one
+   * vertex-keyed hash-agg per round). Returns (keep_id, n_points) per
+   * cluster.
+   */
+  def filterPointsDist(df: DataFrame, idCol: String, lonCol: String, latCol: String,
+                       minDist: Double, keep: String = "first",
+                       checkpointDir: Option[String] = None): DataFrame = {
+    require(keep == "first" || keep == "last", s"keep must be first|last, got '$keep'")
+    val res = math.max(0, math.min(28,
+      (math.log(180.0 / minDist) / math.log(2.0)).floor.toInt))
+    val pts = df.select(col(idCol).cast("long").as("id"),
+      col(lonCol).as("__lon"), col(latCol).as("__lat"))
+    val probes = pts
+      .withColumn("__cell", graft.functions.cell_encode(col("__lon"), col("__lat"), res))
+      .withColumn("cellkey", explode(array_distinct(
+        graft.functions.cell_disk(col("__cell"), 1))))
+      .select(col("cellkey"), col("id").as("id_a"),
+        col("__lon").as("__lon_a"), col("__lat").as("__lat_a"))
+    val targets = pts
+      .select(graft.functions.cell_encode(col("__lon"), col("__lat"), res).as("cellkey"),
+        col("id").as("id_b"), col("__lon").as("__lon_b"), col("__lat").as("__lat_b"))
+    val dx = col("__lon_a") - col("__lon_b")
+    val dy = col("__lat_a") - col("__lat_b")
+    val edges = probes.join(targets, Seq("cellkey"))
+      .where(col("id_a") < col("id_b") &&
+        dx * dx + dy * dy < lit(minDist * minDist))
+      .select("id_a", "id_b").distinct()
+    val comp = Dedup.components(edges, "id_a", "id_b", checkpointDir)
+    val labeled = pts.join(comp, Seq("id"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("id")))
+    val keepAgg = if (keep == "first") min(col("id")) else max(col("id"))
+    labeled.groupBy(col("component"))
+      .agg(keepAgg.as("keep_id"), count(lit(1)).as("n_points"))
+      .select("keep_id", "n_points")
+  }
 }

@@ -96,6 +96,15 @@ object GeoQueries {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_points"))
     }),
 
+    // filter_points DISTRIBUTED exact-distance variant (vector.py:7-39
+    // without the driver cap): cell-disk candidate edges -> exact
+    // Euclidean-degree verify -> connected components (single linkage;
+    // divergence from the reference's complete linkage documented on
+    // the operator) -> keep smallest id per cluster.
+    "q63_filter_points_dist" -> ((s, dir) =>
+      graft.operators.Points.filterPointsDist(
+        pages(s, dir), "doc_id", "lon", "lat", minDist = 5.0)),
+
     // GeoDistTransformer: distance columns to fixed reference points
     // (transformers.py:286-355).
     "q25_geodist" -> ((s, dir) => {
@@ -389,6 +398,22 @@ object GeoQueries {
          |                   CAST(FLOOR($gx) AS BIGINT) AS c0, CAST(FLOOR($gy) AS BIGINT) AS r0
          |            FROM range(${TargetG.cells}))) t
          |$joins""".stripMargin
+    },
+
+    // single-linkage = connected components over the exact-distance
+    // edge relation; reachability closure via recursive CTE (q59's
+    // oracle pattern), untouched points label themselves
+    "q63_filter_points_dist" -> {
+      val dist2 = s"((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat))"
+      s"""WITH RECURSIVE pts AS (SELECT doc_id AS id, lon, lat FROM $pagesSql),
+         |edges AS (SELECT a.id AS src, b.id AS dst FROM pts a JOIN pts b
+         |          ON a.id <> b.id AND $dist2 < ${OracleLit.d(25.0)}),
+         |reach AS (SELECT src, dst FROM edges
+         |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+         |comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src),
+         |labeled AS (SELECT p.id, COALESCE(c.component, p.id) AS component
+         |            FROM pts p LEFT JOIN comp c ON c.id = p.id)
+         |SELECT MIN(id) AS keep_id, COUNT(*) AS n_points FROM labeled GROUP BY component""".stripMargin
     },
 
     "q49_to_crs_mercator" -> {

@@ -112,6 +112,37 @@ class IOSpec extends AnyFunSuite with SparkSpec {
     assert(Points.filterPointsExact(chain, minDist = 0.5).size === 2)
   }
 
+  test("filter_points distributed: equals the exact path on sparse layouts, links chains (documented divergence)") {
+    import spark.implicits._
+    // sparse: cluster diameters < minDist, gaps > minDist -> single
+    // linkage == complete linkage == the reference semantics
+    val sparse = Seq((1L, 0.0, 0.0), (3L, 0.3, 0.1), (2L, 0.2, 0.2),
+      (10L, 5.0, 5.0), (11L, 5.1, 5.2), (20L, -8.0, 3.0))
+    val exact = Points.filterPointsExact(sparse, minDist = 0.5, keep = "first")
+    val dist = Points.filterPointsDist(sparse.toDF("id", "lon", "lat"),
+        "id", "lon", "lat", minDist = 0.5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(dist.sorted === exact.sorted)
+    // keep = "last" mirrors the reference's keep parameter
+    val distLast = Points.filterPointsDist(sparse.toDF("id", "lon", "lat"),
+        "id", "lon", "lat", minDist = 0.5, keep = "last")
+      .collect().map(_.getLong(0)).toSeq
+    assert(distLast.sorted === Points.filterPointsExact(sparse, 0.5, "last").sorted)
+    // dense chain: single linkage merges transitively (1 survivor),
+    // complete linkage keeps 2 — the documented divergence direction
+    val chain = Seq((1L, 0.0, 0.0), (2L, 0.4, 0.0), (3L, 0.8, 0.0))
+    val chainGot = Points.filterPointsDist(chain.toDF("id", "lon", "lat"),
+      "id", "lon", "lat", minDist = 0.5).collect()
+    assert(chainGot.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(chainGot.head.getLong(1) === 3L) // n_points carries cluster size
+    assert(Points.filterPointsExact(chain, minDist = 0.5).size === 2)
+    // cross-cell-boundary pairs are found (the cell-snap path's miss case)
+    val border = Seq((1L, -0.01, 0.0), (2L, 0.01, 0.0), (3L, 40.0, 40.0))
+    val borderKeep = Points.filterPointsDist(border.toDF("id", "lon", "lat"),
+      "id", "lon", "lat", minDist = 0.5).collect().map(_.getLong(0)).sorted
+    assert(borderKeep === Array(1L, 3L))
+  }
+
   test("filter_points cell-snap keeps min id per cell, never two points in one cell") {
     import spark.implicits._
     val df = Seq((1L, 10.0, 10.0), (2L, 10.001, 10.001), (3L, 50.0, -20.0))
