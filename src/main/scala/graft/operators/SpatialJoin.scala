@@ -155,11 +155,18 @@ object SpatialJoin {
     val n = lit(1L << res)
     def ix(x: Column) = floor((x + 180.0) / 360.0 * n).cast("long")
     def iy(y: Column) = floor((y + 90.0) / 180.0 * n).cast("long")
+    // cover-cell coordinates get the SAME wrap/clamp semantics as the
+    // point side's CellIndex.lonToIx/latToIy (lon wraps, lat clamps):
+    // a probe at lon == 180.0 encodes to ix 0, so an unwrapped polygon
+    // cover reaching ix = n would never meet it. Wrapping can duplicate
+    // a cell when a bbox spans the full lon range (ix n ≡ 0) — the
+    // array_distinct keeps the join free of duplicate candidate pairs.
     val cover = polys.withColumn("cell",
-      explode(flatten(transform(
+      explode(array_distinct(flatten(transform(
         sequence(ix(array_min(col("xs"))), ix(array_max(col("xs")))), ixc =>
           transform(sequence(iy(array_min(col("ys"))), iy(array_max(col("ys")))), iyc =>
-            lit(res.toLong * (1L << 58)) + ixc * lit(1L << 29) + iyc)))))
+            lit(res.toLong * (1L << 58)) + pmod(ixc, n) * lit(1L << 29) +
+              least(greatest(iyc, lit(0L)), n - lit(1L))))))))
     val probed = points.withColumn("cell", cell_encode(col(lonCol), col(latCol), res))
     probed.join(cover, Seq("cell"))
       .where(ringContainsCol(col(lonCol), col(latCol), col("xs"), col("ys")))

@@ -60,6 +60,30 @@ class SpatialJoinSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("pipJoinTable boundary encoding: full-extent polygon, lon-180/pole probes, no duplicate pairs") {
+    import spark.implicits._
+    // full-extent rectangle: its bbox cover spans ix 0..n and iy 0..n —
+    // wrap/clamp must meet probes whose encoding wraps (lon 180 -> ix 0)
+    // or clamps (lat 90 -> iy n-1), and the distinct must keep the
+    // duplicated wrap cell from doubling candidate pairs
+    val world = Seq((7, Seq(-180.0, 180.0, 180.0, -180.0), Seq(-90.0, -90.0, 90.0, 90.0)))
+      .toDF("poly_id", "xs", "ys")
+    val probes = Seq((1L, 180.0, 10.0), (2L, -180.0, 10.0), (3L, 0.0, 90.0),
+      (4L, 0.0, -90.0), (5L, 25.0, 25.0)).toDF("id", "lon", "lat")
+    val rows = SpatialJoin.pipJoinTable(probes, "lon", "lat", world, "poly_id", 3)
+      .select("id", "poly_id").collect().map(r => r.getLong(0)).toSeq
+    // every probe matched by containment must appear EXACTLY once; the
+    // scalar even-odd ray cast is the semantics oracle per probe
+    val poly = graft.core.Polygon(7,
+      Array((-180.0, -90.0), (180.0, -90.0), (180.0, 90.0), (-180.0, 90.0)))
+    val exp = Seq((1L, 180.0, 10.0), (2L, -180.0, 10.0), (3L, 0.0, 90.0),
+      (4L, 0.0, -90.0), (5L, 25.0, 25.0))
+      .filter { case (_, x, y) => poly.contains(x, y) }.map(_._1)
+    assert(rows.sorted === exp.sorted)
+    assert(rows.distinct.size === rows.size, s"duplicate candidate pairs: $rows")
+    assert(rows.contains(5L))
+  }
+
   test("cell_encode expression ≡ CellIndex.encode (codegen path)") {
     val got = pages.select(col("lon"), col("lat"), cell_encode(col("lon"), col("lat"), 12))
       .collect()
