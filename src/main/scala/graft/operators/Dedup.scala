@@ -226,8 +226,13 @@ object Dedup {
     // reliable-FS mode: RDD checkpoints go through the Hadoop FileSystem
     // resolved from the dir (same contract as plans.Checkpoint markers)
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // resetStats: a checkpoint's LogicalRDD CARRIES the pre-checkpoint
+    // plan's size estimate, and this loop's self-joins would square it
+    // every round (digit count doubles -> Catalyst grinds million-digit
+    // BigIntegers in join selection by round ~20; see GraftBridge doc)
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      org.apache.spark.sql.GraftBridge.resetStats(
+        if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint())
     // the pair relation is referenced twice (both edge directions) and is
     // typically an expensive near-dup join — materialize it once
     val p = truncate(pairs.select(col(aCol).as("__a"), col(bCol).as("__b")))

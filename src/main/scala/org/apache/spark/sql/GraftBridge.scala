@@ -15,4 +15,27 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /**
+   * Drop the `originStats` a checkpointed frame's [[execution.LogicalRDD]]
+   * carries over from its pre-checkpoint plan. The carried stats are the
+   * right default for one-shot checkpoints (they keep broadcast
+   * decisions), but in an ITERATIVE loop they compound: a self-join's
+   * size estimate is the product of its children's, so `label(k+1) =
+   * checkpoint(label(k) join label(k))` SQUARES sizeInBytes every round
+   * — the digit count doubles per iteration and by round ~20 Catalyst's
+   * stats visitor is multiplying million-digit BigIntegers during join
+   * selection (observed: q63 wedged the bench for 20+ minutes inside
+   * SizeInBytesOnlyStatsPlanVisitor). A freshly-reset leaf falls back
+   * to the conservative default size, which just means no broadcast —
+   * correct for loop state frames.
+   */
+  def resetStats(df: DataFrame): DataFrame = df.queryExecution.logical match {
+    case l: execution.LogicalRDD =>
+      val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+      classic.Dataset.ofRows(spark,
+        new execution.LogicalRDD(l.output, l.rdd, l.outputPartitioning,
+          l.outputOrdering, l.isStreaming, l.stream)(spark, None, None))
+    case _ => df
+  }
 }
