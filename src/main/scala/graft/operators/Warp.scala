@@ -281,6 +281,51 @@ object Warp {
     separableGather(stack, target, crs, taps = 6, off = 2, lanczosW, normalize = true)
 
   /**
+   * Cubic B-spline weight (rasterio/GDAL `Resampling.cubic_spline` —
+   * the SMOOTHING cubic: the uniform B3 basis applied directly, no
+   * interpolation prefilter, matching GDAL's resampler) for tap
+   * i ∈ 0..3 at fractional position `w` ∈ [0,1):
+   *   |t| < 1:  (4 - 6 t^2 + 3 |t|^3) / 6
+   *   1 <= |t| < 2:  (2 - |t|)^3 / 6
+   * B-spline bases partition unity, so no normalization is needed.
+   * SQL TEXT shared between Spark `expr` and the oracle like [[cubicW]]
+   * (pure +,*,/ arithmetic — bit-exact cross-engine).
+   */
+  private[graft] def cubicSplineW(i: Int, w: String): String = i match {
+    case 0 => s"(((1.0 - $w) * (1.0 - $w) * (1.0 - $w)) / 6.0)" // t = 1+w: (2-t)^3/6
+    case 1 => s"((4.0 - 6.0 * ($w * $w) + 3.0 * ($w * $w * $w)) / 6.0)"
+    case 2 => s"((4.0 - 6.0 * ((1.0 - $w) * (1.0 - $w)) + 3.0 * ((1.0 - $w) * (1.0 - $w) * (1.0 - $w))) / 6.0)"
+    case 3 => s"((($w * $w * $w)) / 6.0)" // t = 2-w: (2-t)^3/6 = w^3/6
+  }
+
+  /** Cubic-B-spline warp (Resampling.cubic_spline): 4x4 gather, same
+    * physical shape as [[cubic]]. */
+  def cubicSpline(stack: Stack, target: GridMeta, crs: CrsTransform): Stack =
+    separableGather(stack, target, crs, taps = 4, off = 1, cubicSplineW, normalize = false)
+
+  /**
+   * Gaussian weight (rasterio/GDAL `Resampling.gauss`) for tap i ∈ 0..2
+   * (source offsets -1, 0, +1) at fractional position `w` ∈ [0,1):
+   * exp(-t^2 / (2 sigma^2)) with sigma^2 = 0.25 — the separable
+   * continuous analogue of GDAL's discrete [1 2 1]/4 overview kernel
+   * (exp(-1/0.5) ≈ 0.135 ≈ the 2x falloff at |t|=1 once normalized).
+   * Weight-sum normalized; outputs FLOOR(x*1e3)-quantized in the oracle
+   * (EXP is libm — same discipline as lanczos' SIN).
+   */
+  private[graft] def gaussW(i: Int, w: String): String = {
+    val t = i match {
+      case 0 => s"(1.0 + $w)"
+      case 1 => w
+      case 2 => s"(1.0 - $w)"
+    }
+    s"EXP(-(($t * $t) / 0.5))"
+  }
+
+  /** Gaussian warp (Resampling.gauss): 3x3 gather, weight-normalized. */
+  def gauss(stack: Stack, target: GridMeta, crs: CrsTransform): Stack =
+    separableGather(stack, target, crs, taps = 3, off = 1, gaussW, normalize = true)
+
+  /**
    * Shared shape of the interpolating resamplers: explode taps^2 corner
    * keys per target pixel, ONE left-outer equi-join against the source
    * stack, conditional-agg gather back to one row per target pixel —
@@ -455,14 +500,16 @@ object Warp {
     case "nearest" => nearest(stack, target, crs)
     case "bilinear" => bilinear(stack, target, crs)
     case "cubic" => cubic(stack, target, crs)
+    case "cubic_spline" => cubicSpline(stack, target, crs)
     case "lanczos" => lanczos(stack, target, crs)
+    case "gauss" => gauss(stack, target, crs)
     case "average" => average(stack, target, crs.inverse)
     case "mode" => mode(stack, target, crs.inverse)
     case "min" | "max" | "sum" | "rms" | "median" | "q1" | "q3" =>
       pool(stack, target, crs.inverse, resampling)
     case other => throw new IllegalArgumentException(
-      s"unsupported resampling '$other' (expected nearest|bilinear|cubic|lanczos|" +
-        "average|mode|min|max|sum|rms|median|q1|q3 — raster.py:1794-1797)")
+      s"unsupported resampling '$other' (expected nearest|bilinear|cubic|cubic_spline|" +
+        "lanczos|gauss|average|mode|min|max|sum|rms|median|q1|q3 — raster.py:1794-1797)")
   }
 
   def nearest(stack: Stack, target: GridMeta, crs: CrsTransform): Stack = {

@@ -184,6 +184,23 @@ object GeoQueries {
       Warp.lanczos(st, TargetG, Crs).df
         .select(col("row"), col("col"),
           floor(col("b1") * 1000.0).as("b1_q"), floor(col("b4") * 1000.0).as("b4_q"))
+    }),
+
+    // to_crs cubic B-spline (Resampling.cubic_spline — the GDAL
+    // smoothing cubic, B3 basis, partition of unity): pure-arithmetic
+    // weights, bit-exact like q52.
+    "q64_warp_cubicspline" -> ((s, _) => {
+      val st = StackQueries.stack(s).select(Seq("b1", "b4"))
+      Warp.cubicSpline(st, TargetG, Crs).df.select("row", "col", "b1", "b4")
+    }),
+
+    // to_crs gaussian (Resampling.gauss): EXP weights are libm, so
+    // outputs quantize FLOOR(x*1e3) like lanczos' SIN (q57).
+    "q65_warp_gauss" -> ((s, _) => {
+      val st = StackQueries.stack(s).select(Seq("b1", "b4"))
+      Warp.gauss(st, TargetG, Crs).df
+        .select(col("row"), col("col"),
+          floor(col("b1") * 1000.0).as("b1_q"), floor(col("b4") * 1000.0).as("b4_q"))
     })
   )
 
@@ -194,7 +211,55 @@ object GeoQueries {
   val MercG: GridMeta =
     Warp.defaultTarget(GridMeta.TestGrid, Warp.MercatorToLonLat, "EPSG:3857")
 
+  /**
+   * Oracle generator for the separable-gather warps (q52/q57's shape,
+   * parametrized): taps^2 LEFT JOINs around the back-projected floor
+   * position, fixed-order separable weighted sum with the weight SQL
+   * TEXT shared with the Spark side (IEEE order identical by
+   * construction), optional weight-sum normalization and FLOOR(x*1e3)
+   * output quantization (for libm-bearing weights).
+   */
+  private def separableWarpOracle(taps: Int, off: Int, wF: (Int, String) => String,
+                                  normalize: Boolean, quantize: Boolean): String = {
+    import OracleLit.d
+    val tx = RasterStack.xSql(TargetG, "tcol"); val ty = RasterStack.ySql(TargetG, "trow")
+    val sx = Crs.sxSql(tx, ty); val sy = Crs.sySql(tx, ty)
+    val gx = s"(($sx - ${d(G.c)}) / ${d(G.a)} - 0.5)"
+    val gy = s"(($sy - ${d(G.f)}) / ${d(G.e)} - 0.5)"
+    val pix = s"(SELECT row, col, ${Seq("b1", "b4").map(n => RasterStack.bandSql("row", "col", RasterStack.NcBands.find(_.name == n).get) + s" AS $n").mkString(", ")} FROM ${RasterStack.gridSql(G)})"
+    val joins = (for (j <- 0 until taps; i <- 0 until taps) yield
+      s"LEFT JOIN $pix g$j$i ON g$j$i.row = t.r0 - $off + $j AND g$j$i.col = t.c0 - $off + $i")
+      .mkString("\n")
+    val wxSum = (0 until taps).map(i => wF(i, "wx")).mkString(" + ")
+    val wySum = (0 until taps).map(j => wF(j, "wy")).mkString(" + ")
+    def interp(n: String) = {
+      val anyNull = (for (j <- 0 until taps; i <- 0 until taps) yield s"g$j$i.$n IS NULL").mkString(" OR ")
+      val rowSums = (0 until taps).map { j =>
+        (0 until taps).map(i => s"${wF(i, "wx")} * g$j$i.$n").mkString("(", " + ", ")")
+      }
+      val total = (0 until taps).map(j => s"${wF(j, "wy")} * ${rowSums(j)}").mkString(" + ")
+      val value = if (normalize) s"(($total) / (($wxSum) * ($wySum)))" else s"$total"
+      if (quantize)
+        s"CASE WHEN $anyNull THEN NULL ELSE CAST(FLOOR(($value) * 1000.0) AS BIGINT) END AS ${n}_q"
+      else s"CASE WHEN $anyNull THEN NULL ELSE $value END AS $n"
+    }
+    s"""SELECT t.trow AS row, t.tcol AS col, ${interp("b1")}, ${interp("b4")}
+       |FROM (SELECT trow, tcol, c0, r0, gx - CAST(c0 AS DOUBLE) AS wx, gy - CAST(r0 AS DOUBLE) AS wy
+       |      FROM (SELECT CAST(range // ${TargetG.width} AS BIGINT) AS trow,
+       |                   CAST(range % ${TargetG.width} AS BIGINT) AS tcol,
+       |                   $gx AS gx, $gy AS gy,
+       |                   CAST(FLOOR($gx) AS BIGINT) AS c0, CAST(FLOOR($gy) AS BIGINT) AS r0
+       |            FROM range(${TargetG.cells}))) t
+       |$joins""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q64_warp_cubicspline" ->
+      separableWarpOracle(4, 1, Warp.cubicSplineW, normalize = false, quantize = false),
+
+    "q65_warp_gauss" ->
+      separableWarpOracle(3, 1, Warp.gaussW, normalize = true, quantize = true),
 
     "q21_knn_join" ->
       s"SELECT pid, rnk, nbr_id, dist FROM $knnRankedSql WHERE rnk <= $K",

@@ -236,6 +236,22 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(diff === 0)
   }
 
+  test("cubic_spline/gauss resamplers: constant layer stays constant (weight normalization)") {
+    // B-spline bases partition unity (no normalization term); gauss is
+    // weight-sum normalized — both must reproduce a constant field
+    // exactly up to fp round-off wherever the full window is in-bounds
+    val st = StackQueries.stack(spark).select(Seq("b1"))
+    val const = graft.operators.Stack(
+      st.df.select(col("row"), col("col"), lit(7.0).as("b1")), st.meta, Seq("b1"))
+    val tgt = graft.queries.GeoQueries.TargetG
+    for (how <- Seq("cubic_spline", "gauss")) {
+      val out = Warp.toCrs(const, tgt, graft.queries.GeoQueries.Crs, how).df
+      val bad = out.where(col("b1").isNotNull && abs(col("b1") - 7.0) > 1e-9).count()
+      assert(bad === 0, s"$how distorted a constant field")
+      assert(out.where(col("b1").isNotNull).count() > 0, s"$how produced no values")
+    }
+  }
+
   test("text analysis: language markers, quality in [0,1], fingerprint deterministic") {
     import spark.implicits._
     val t = Seq((1L, "the value of the key"), (2L, "der und das ist gut"), (3L, "zzz qqq"))
