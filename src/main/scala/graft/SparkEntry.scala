@@ -124,6 +124,24 @@ object SparkEntry {
       SpatialJoin.pipJoinTable(pages(s, dir), "lon", "lat", polysDf, "poly_id",
           SpatialJoin.chooseCoverRes(Fixtures.Polys))
         .select(col("doc_id"), col("poly_id").cast("int").as("poly_id"))
+    }),
+
+    // TABLE-driven PIP with HOLES and a MULTIPOLYGON (the general
+    // GeoDataFrame geometry surface): poly 100 is a donut (rect shell,
+    // rect hole), poly 101 is two disjoint rect shells in one row —
+    // even-odd across rings (pipJoinTableRings).
+    "q66_pip_holes" -> ((s, dir) => {
+      import s.implicits._
+      def rectXs(x0: Double, x1: Double) = Seq(x0, x1, x1, x0)
+      def rectYs(y0: Double, y1: Double) = Seq(y0, y0, y1, y1)
+      val polysDf = Seq(
+        (100, Seq(rectXs(-60.0, 40.0), rectXs(-20.0, 10.0)),
+              Seq(rectYs(-40.0, 40.0), rectYs(-10.0, 20.0))),
+        (101, Seq(rectXs(50.0, 90.0), rectXs(-120.0, -80.0)),
+              Seq(rectYs(-30.0, 10.0), rectYs(10.0, 50.0))))
+        .toDF("poly_id", "xss", "yss")
+      SpatialJoin.pipJoinTableRings(pages(s, dir), "lon", "lat", polysDf, "poly_id", 4)
+        .select(col("doc_id"), col("poly_id"))
     })
   )
 
@@ -156,7 +174,19 @@ object SparkEntry {
     "q58_pip_table" ->
       s"""SELECT p.doc_id, CAST(r.poly_id AS INT) AS poly_id
          |FROM $pagesSql p JOIN ${Fixtures.rectsValuesSql} r
-         |  ON p.lon > r.xmin AND p.lon < r.xmax AND p.lat > r.ymin AND p.lat < r.ymax""".stripMargin
+         |  ON p.lon > r.xmin AND p.lon < r.xmax AND p.lat > r.ymin AND p.lat < r.ymax""".stripMargin,
+
+    // even-odd over axis-aligned rects == strict range checks for
+    // points in general position (fixture points never sit on ring
+    // edges): donut = outer minus hole; multipolygon = union of shells
+    "q66_pip_holes" ->
+      s"""SELECT doc_id, CAST(100 AS INT) AS poly_id FROM $pagesSql
+         |WHERE lon > -60 AND lon < 40 AND lat > -40 AND lat < 40
+         |  AND NOT (lon > -20 AND lon < 10 AND lat > -10 AND lat < 20)
+         |UNION ALL
+         |SELECT doc_id, CAST(101 AS INT) AS poly_id FROM $pagesSql
+         |WHERE (lon > 50 AND lon < 90 AND lat > -30 AND lat < 10)
+         |   OR (lon > -120 AND lon < -80 AND lat > 10 AND lat < 50)""".stripMargin
   ) ++ graft.queries.StackQueries.oracles ++ graft.queries.GeoQueries.oracles ++
     graft.queries.PipelineQueries.oracles ++ graft.queries.ScaleQueries.oracles
 }

@@ -151,10 +151,27 @@ object SpatialJoin {
    * containing polygon), like [[pipJoin]].
    */
   def pipJoinTable(points: DataFrame, lonCol: String, latCol: String,
-                   polys: DataFrame, polyIdCol: String, res: Int): DataFrame = {
+                   polys: DataFrame, polyIdCol: String, res: Int): DataFrame =
+    pipJoinTableRings(points, lonCol, latCol,
+      polys.withColumn("xss", array(col("xs"))).withColumn("yss", array(col("ys"))),
+      polyIdCol, res)
+
+  /**
+   * [[pipJoinTable]] for geometry with HOLES and MULTIPOLYGONS — the
+   * general GeoDataFrame surface the reference accepts: each layer row
+   * carries ALL its rings as `xss`/`yss` `array<array<double>>`
+   * columns (shell(s) + interior rings, any order), and containment is
+   * the even-odd rule ACROSS rings (XOR of per-ring ray casts): a hole
+   * ring flips its shell's verdict off, two disjoint shells union.
+   * The cover cells come from the bbox over every ring's vertices;
+   * the physical shape is identical to the single-ring path.
+   */
+  def pipJoinTableRings(points: DataFrame, lonCol: String, latCol: String,
+                        polys: DataFrame, polyIdCol: String, res: Int): DataFrame = {
     val n = lit(1L << res)
     def ix(x: Column) = floor((x + 180.0) / 360.0 * n).cast("long")
     def iy(y: Column) = floor((y + 90.0) / 180.0 * n).cast("long")
+    val allX = flatten(col("xss")); val allY = flatten(col("yss"))
     // cover-cell coordinates get the SAME wrap/clamp semantics as the
     // point side's CellIndex.lonToIx/latToIy (lon wraps, lat clamps):
     // a probe at lon == 180.0 encodes to ix 0, so an unwrapped polygon
@@ -163,15 +180,22 @@ object SpatialJoin {
     // array_distinct keeps the join free of duplicate candidate pairs.
     val cover = polys.withColumn("cell",
       explode(array_distinct(flatten(transform(
-        sequence(ix(array_min(col("xs"))), ix(array_max(col("xs")))), ixc =>
-          transform(sequence(iy(array_min(col("ys"))), iy(array_max(col("ys")))), iyc =>
+        sequence(ix(array_min(allX)), ix(array_max(allX))), ixc =>
+          transform(sequence(iy(array_min(allY)), iy(array_max(allY))), iyc =>
             lit(res.toLong * (1L << 58)) + pmod(ixc, n) * lit(1L << 29) +
               least(greatest(iyc, lit(0L)), n - lit(1L))))))))
     val probed = points.withColumn("cell", cell_encode(col(lonCol), col(latCol), res))
     probed.join(cover, Seq("cell"))
-      .where(ringContainsCol(col(lonCol), col(latCol), col("xs"), col("ys")))
+      .where(ringsContainCol(col(lonCol), col(latCol), col("xss"), col("yss")))
       .select(points.columns.map(col).toIndexedSeq :+ col(polyIdCol): _*)
   }
+
+  /** Even-odd containment across ALL rings: XOR of per-ring ray casts
+    * — the Column twin of `core.Polygon.contains` with holes. */
+  def ringsContainCol(px: Column, py: Column, xss: Column, yss: Column): Column =
+    org.apache.spark.sql.functions.aggregate(
+      sequence(lit(1), size(xss)), lit(false), (acc, r) =>
+        acc =!= ringContainsCol(px, py, element_at(xss, r), element_at(yss, r)))
 
   /**
    * Even-odd ray cast over parallel vertex arrays — the Column twin of

@@ -60,6 +60,33 @@ class SpatialJoinSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("pipJoinTableRings: donut + multipolygon ≡ scalar Polygon.contains with holes") {
+    import spark.implicits._
+    val donut = Polygon(100,
+      Array((-60.0, -40.0), (40.0, -40.0), (40.0, 40.0), (-60.0, 40.0)),
+      Array(Array((-20.0, -10.0), (10.0, -10.0), (10.0, 20.0), (-20.0, 20.0))))
+    val shellA = Polygon(101, Array((50.0, -30.0), (90.0, -30.0), (90.0, 10.0), (50.0, 10.0)))
+    val shellB = Polygon(101, Array((-120.0, 10.0), (-80.0, 10.0), (-80.0, 50.0), (-120.0, 50.0)))
+    val polysDf = Seq(
+      (100, (Seq(donut.shell.toSeq) ++ donut.holes.map(_.toSeq)).map(_.map(_._1)),
+            (Seq(donut.shell.toSeq) ++ donut.holes.map(_.toSeq)).map(_.map(_._2))),
+      (101, Seq(shellA.shell.toSeq.map(_._1), shellB.shell.toSeq.map(_._1)),
+            Seq(shellA.shell.toSeq.map(_._2), shellB.shell.toSeq.map(_._2))))
+      .toDF("poly_id", "xss", "yss")
+    val got = SpatialJoin.pipJoinTableRings(pages, "lon", "lat", polysDf, "poly_id", 4)
+      .select("doc_id", "poly_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val exp = pages.select("doc_id", "lon", "lat").collect().flatMap { r =>
+      val (id, x, y) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      Seq(
+        if (donut.contains(x, y)) Some((id, 100)) else None,
+        if (shellA.contains(x, y) || shellB.contains(x, y)) Some((id, 101)) else None
+      ).flatten
+    }.toSet
+    assert(got === exp)
+    // fixture sanity: the hole and the second shell both matter
+    assert(exp.exists(_._2 == 100) && exp.exists(_._2 == 101))
+  }
+
   test("pipJoinTable boundary encoding: full-extent polygon, lon-180/pole probes, no duplicate pairs") {
     import spark.implicits._
     // full-extent rectangle: its bbox cover spans ix 0..n and iy 0..n —
