@@ -87,6 +87,43 @@ class SpatialJoinSpec extends AnyFunSuite with SparkSpec {
     assert(exp.exists(_._2 == 100) && exp.exists(_._2 == 101))
   }
 
+  test("GeoJSON source: FeatureCollection of Polygon-with-hole + MultiPolygon -> rings table -> PIP") {
+    import spark.implicits._
+    val gj =
+      """{"type": "FeatureCollection", "features": [
+        | {"type": "Feature", "properties": {"id": 100, "name": "donut"},
+        |  "geometry": {"type": "Polygon", "coordinates":
+        |   [[[-60.0,-40.0],[40.0,-40.0],[40.0,40.0],[-60.0,40.0],[-60.0,-40.0]],
+        |    [[-20.0,-10.0],[10.0,-10.0],[10.0,20.0],[-20.0,20.0],[-20.0,-10.0]]]}},
+        | {"type": "Feature", "properties": {"id": 101},
+        |  "geometry": {"type": "MultiPolygon", "coordinates":
+        |   [[[[50.0,-30.0],[90.0,-30.0],[90.0,10.0],[50.0,10.0],[50.0,-30.0]]],
+        |    [[[-120.0,10.0],[-80.0,10.0],[-80.0,50.0],[-120.0,50.0],[-120.0,10.0]]]]}},
+        | {"type": "Feature", "properties": {},
+        |  "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}}
+        |]}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_geojson_")
+    val file = dir.resolve("layer.geojson")
+    java.nio.file.Files.write(file, gj.getBytes("UTF-8"))
+    try {
+      val polys = graft.sources.GeoJson.readPolygons(spark, file.toString)
+      val rows = polys.collect()
+      assert(rows.map(_.getInt(0)).sorted === Array(100, 101)) // Point filtered
+      assert(rows.find(_.getInt(0) == 100).get.getSeq[Seq[Double]](1).size === 2) // 2 rings
+      assert(rows.find(_.getInt(0) == 101).get.getSeq[Seq[Double]](1).size === 2) // 2 shells
+      // end-to-end: PIP against probe points, scalar containment oracle
+      val probes = Seq((1L, -40.0, 30.0), (2L, -5.0, 5.0), (3L, 70.0, 0.0),
+        (4L, -100.0, 30.0), (5L, 170.0, -80.0)).toDF("id", "lon", "lat")
+      val got = SpatialJoin.pipJoinTableRings(probes, "lon", "lat", polys, "poly_id", 4)
+        .select("id", "poly_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      // probe 1 in the donut shell, 2 in its hole (excluded), 3 in shell A,
+      // 4 in shell B, 5 nowhere
+      assert(got === Set((1L, 100), (3L, 101), (4L, 101)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("pipJoinTable boundary encoding: full-extent polygon, lon-180/pole probes, no duplicate pairs") {
     import spark.implicits._
     // full-extent rectangle: its bbox cover spans ix 0..n and iy 0..n —

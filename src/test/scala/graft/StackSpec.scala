@@ -66,6 +66,28 @@ class StackSpec extends AnyFunSuite with SparkSpec {
     assert(in > 0 && out > 0)
   }
 
+  test("mask and rasterize honor polygon HOLES (donut: hole pixels excluded)") {
+    import graft.core.{Polygon, PolygonSet}
+    val donut = Polygon(0,
+      Array((-60.0, -40.0), (40.0, -40.0), (40.0, 40.0), (-60.0, 40.0)),
+      Array(Array((-20.0, -10.0), (10.0, -10.0), (10.0, 20.0), (-20.0, 20.0))))
+    val set = PolygonSet(IndexedSeq(donut))
+    val masked = st.mask(set, cropToShapes = false)
+    def b1At(lon: Double, lat: Double): Option[Double] = {
+      val r = masked.df.where(col("row") === G.row(lon, lat) && col("col") === G.col(lon, lat))
+        .select("b1").collect()
+      if (r.isEmpty || r(0).isNullAt(0)) None else Some(r(0).getDouble(0))
+    }
+    assert(b1At(-40.0, 30.0).isDefined, "shell interior must survive the mask")
+    assert(b1At(-5.0, 5.0).isEmpty, "hole interior must be masked out")
+    assert(b1At(100.0, -50.0).isEmpty, "outside must be masked out")
+    // center-fill rasterization excludes the hole's interior pixels too
+    val filled = graft.operators.Rasterize(spark, set, G, allTouched = false)
+      .select("row", "col").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filled.contains((G.row(-40.0, 30.0), G.col(-40.0, 30.0))))
+    assert(!filled.contains((G.row(-5.0, 5.0), G.col(-5.0, 5.0))))
+  }
+
   test("intersect: valid count equals pixels where NO layer is null (tests/test_intersect.py analogue)") {
     val i = st.intersect
     val c1 = i.df.agg(count(col("b1"))).collect()(0).getLong(0)
