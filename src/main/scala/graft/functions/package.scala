@@ -56,6 +56,18 @@ package object functions {
   /** Rolling polynomial document fingerprint (codegen'd single byte scan). */
   def text_fingerprint(text: Column): Column = col2(TextFingerprint(expr0(text)))
 
+  /**
+   * Bounded-heap top-k AGGREGATE: the k smallest `sortStruct` values
+   * per group as an ascending array — the scale-safe replacement for
+   * `row_number() OVER (PARTITION BY g ORDER BY ...) <= k` (which
+   * shuffles and sorts EVERY candidate row per group): runs in
+   * ObjectHashAggregate with map-side partials, so each mapper ships at
+   * most k rows per group and no full per-group sort happens. Put a
+   * unique tie-breaker in the struct for deterministic results.
+   */
+  def top_k(sortStruct: Column, k: Int): Column =
+    col2(BoundedTopK(expr0(sortStruct), k).toAggregateExpression())
+
   // ---------------------------------------------------------------------
   // Affine grid arithmetic — pure built-in functions (already codegen'd),
   // floor semantics of rasterio.transform.rowcol (reference raster.py:2351).

@@ -42,10 +42,19 @@ object KNN {
     val dist = sqrt(
       (col(pLon) - col(tLon)) * (col(pLon) - col(tLon)) +
       (col(pLat) - col(tLat)) * (col(pLat) - col(tLat)))
-    val w = Window.partitionBy(col(probeId)).orderBy(col("__dist"), col(tId))
-    val wp = Window.partitionBy(col(probeId))
+    val probeCols = probes.columns.toSeq
+    val trainPayload = train.columns.toSeq.filter(_ != tId)
 
-    /** One level: ranked 3x3-disk candidates at `resL` + exactness flag. */
+    /**
+     * One level: per-probe bounded top-k + exactness flag, ONE row per
+     * probe (`__top` ascending (dist, trainId, ...payload) array).
+     * The round-3 formulation ranked with three windows (row_number /
+     * count / max), which shuffles EVERY candidate pair to its probe's
+     * task and sorts there; the [[graft.functions.top_k]] aggregate
+     * runs in ObjectHashAggregate with map-side partials — each mapper
+     * ships at most k candidates per probe and nothing ever sorts the
+     * full candidate set.
+     */
     def stage(pending: DataFrame, resL: Int): DataFrame = {
       val cw = CellIndex.cellWidthDeg(resL)
       val ch = CellIndex.cellHeightDeg(resL)
@@ -55,9 +64,15 @@ object KNN {
         .withColumn("__cell", cell_encode(col(pLon), col(pLat), resL))
         // array_distinct: gridDisk wraps in lon, so at coarse levels
         // (n <= 3 cells across) the 3x3 disk repeats cells — duplicates
-        // would double-count candidates and corrupt row_number ranks
+        // would double-count candidates and corrupt ranks
         .withColumn("__tcell", explode(array_distinct(cell_disk(col("__cell"), 1))))
       val cand = p.join(t, Seq("__tcell")).withColumn("__dist", dist)
+      // (dist, trainId) lead the struct: the heap's lexicographic order
+      // is the ranking order, trainId the unique deterministic breaker
+      val item = struct((col("__dist").as("__dist") +: col(tId).as(tId) +:
+        trainPayload.map(c => col(c).as(c))): _*)
+      val agged = cand.groupBy(probeCols.map(col): _*)
+        .agg(top_k(item, k).as("__top"), count(lit(1)).as("__n"))
       // planar distance from the probe to the edge of its 3x3 disk: the
       // disk spans [ (ix-1)*cw, (ix+2)*cw ) x [ (iy-1)*ch, (iy+2)*ch );
       // world-clipped edges are unbounded (no training point lies beyond)
@@ -70,31 +85,34 @@ object KNN {
         when(ix + 2 > n, lit(Double.PositiveInfinity)).otherwise((ix + 2).cast("double") * cw - lonIn),
         when(iy - 1 < 0, lit(Double.PositiveInfinity)).otherwise(latIn - (iy - 1).cast("double") * ch),
         when(iy + 2 > n, lit(Double.PositiveInfinity)).otherwise((iy + 2).cast("double") * ch - latIn))
-      cand
-        .withColumn("__rank", row_number().over(w))
-        .withColumn("__n", count(lit(1)).over(wp))
-        .where(col("__rank") <= k)
-        .withColumn("__kth", max(col("__dist")).over(wp))
+      agged
+        .withColumn("__kth", element_at(col("__top"), size(col("__top"))).getField("__dist"))
         .withColumn("__safe",
           // at res 0 the single world cell IS the disk -> always exact
           if (resL == 0) lit(true) else col("__n") >= k && col("__kth") <= margin)
     }
+
+    /** Explode a safe level frame back to one row per (probe, rank). */
+    def expand(safe: DataFrame): DataFrame =
+      safe.select(probeCols.map(col) :+ posexplode(col("__top")): _*)
+        .withColumn("__rank", col("pos") + 1)
+        .select(probeCols.map(col) ++ Seq(col("__rank"), col("col").getField("__dist").as("__dist"),
+          col("col").getField(tId).as(tId)) ++
+          trainPayload.map(c => col("col").getField(c).as(c)): _*)
 
     var pending = probes
     var resL = res
     val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var done = false
     while (!done) {
-      // persisted: the level's candidate window feeds BOTH the output
-      // branch and the next level's pending derivation — the same size
-      // class the window sort materializes anyway. Tracked in Caches so
-      // a long-lived session releases the level frames between jobs.
+      // persisted: the level frame (ONE row per probe) feeds BOTH the
+      // output branch and the next level's pending anti join. Tracked
+      // in Caches so a long session releases the level frames.
       val marked = graft.plans.Caches.track(stage(pending, resL))
-      acc += marked.where(col("__safe"))
-        .drop("__tcell", "__cell", "__n", "__kth", "__safe")
+      acc += expand(marked.where(col("__safe")))
       if (resL == 0) done = true
       else {
-        val safeIds = marked.where(col("__safe")).select(col(probeId)).distinct()
+        val safeIds = marked.where(col("__safe")).select(col(probeId))
         // probes with ZERO candidates at this level have no marked rows
         // and stay pending via the anti join
         pending = graft.plans.Caches.track(pending.join(safeIds, Seq(probeId), "left_anti"))

@@ -34,6 +34,19 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("kNN ranking runs as ObjectHashAggregate (map-side partial top-k), not a rank window") {
+    val pages = Pages.withIdPoint(Pages.fromDocuments(spark, sf("")), "doc_id")
+    val probes = pages.select(col("doc_id").as("pid"), col("lon").as("plon"), col("lat").as("plat"))
+    val knn = KNN.join(probes, "pid", "plon", "plat",
+      pages.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("tid"), col("lon").as("tlon"), col("lat").as("tlat")),
+      "tlon", "tlat", "tid", 5, 4)
+    val plan = knn.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(!plan.contains("Window"), "rank window crept back in:\n" + plan.take(800))
+    graft.plans.Caches.flush()
+  }
+
   test("kNN ring widening: sparse train (stage 1 empty) resolves exactly with NO crossJoin/broadcast of train") {
     import spark.implicits._
     // 3 train points, far from most probes: every probe's 3x3 disk at
