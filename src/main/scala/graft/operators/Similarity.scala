@@ -56,13 +56,26 @@ object Similarity {
       vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm")))
     val q = nv.where(isQuery).select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
     val c = nv.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
-    q.join(broadcast(c), col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select("query_id", "rnk", "nbr_id", "cos")
+    rankTopK(q.join(broadcast(c), col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)
   }
+
+  /**
+   * Shared ranking tail of the ANN paths: top-k by (cos DESC, nbr_id)
+   * through the [[graft.functions.top_k]] bounded-heap aggregate (sort
+   * key (-cos, nbr_id) ascending — exact sign flip, same order) instead
+   * of a rank window: map-side partials ship at most k candidates per
+   * query and no task sorts a query's full candidate set. NaN cosines
+   * (zero-norm vectors) would rank LAST here where a desc window ranks
+   * them first — filter zero-norm vectors upstream if they can occur.
+   */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy(col("query_id"))
+      .agg(graft.functions.top_k(struct((-col("cos")).as("__negcos"),
+        col("nbr_id").as("nbr_id"), col("cos").as("cos")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("col.nbr_id").as("nbr_id"), col("col.cos").as("cos"))
 
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5). */
   private def planeVal(plane: Int, d: Int): Double =
@@ -117,12 +130,8 @@ object Similarity {
       .select("query_id", "nbr_id").distinct()
     val qv = base.select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
     val cv = base.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
-    pairs.join(qv, Seq("query_id")).join(cv, Seq("nbr_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select("query_id", "rnk", "nbr_id", "cos")
+    rankTopK(pairs.join(qv, Seq("query_id")).join(cv, Seq("nbr_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)
   }
 
   /** Deterministic IVF centroid component (plane stream 64+, disjoint
@@ -240,13 +249,9 @@ object Similarity {
     val wq = Window.partitionBy(col("query_id")).orderBy(col("col"), col("cid"))
     val probes = qexp.withColumn("__rn", row_number().over(wq)).where(col("__rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cid"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
-    probes.join(corpus, col("cid") === col("cell"))
+    rankTopK(probes.join(corpus, col("cid") === col("cell"))
       .where(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select("query_id", "rnk", "nbr_id", "cos")
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)
   }
 
   /** Bucket signature of table `t` (planes t*nPlanes .. t*nPlanes+nPlanes-1). */
