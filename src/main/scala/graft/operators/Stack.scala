@@ -247,40 +247,27 @@ final case class Stack(df: DataFrame, meta: GridMeta, layers: Seq[String]) {
 
   /**
    * Stratified sample: `size` pixels PER category of the strata layer
-   * (raster.py:2244-2287, without replacement).
-   *
-   * Scale path: a bare `Window.partitionBy(stratum).orderBy(hash)` sorts
-   * each stratum in ONE task — a straggler at 10^12 rows. Instead, an
-   * adaptive per-stratum hash THRESHOLD pre-filters to ~8·size survivors
-   * (the sample hash is uniform on [0, 2^31)); because the filter keeps a
-   * PREFIX of the (hash, key) order, whenever >= size rows survive the
-   * survivor top-`size` IS the global top-`size` bit-for-bit, and the
-   * window only ever sorts O(size) rows per stratum. Strata where the
-   * threshold under-selected (probability ~ e^-size·ln2·…, astronomically
-   * small — but the contract is exactness) re-rank over the full data.
+   * (raster.py:2244-2287, without replacement) — the `size` smallest
+   * (sampleHash, key) rows of each stratum, i.e. exactly the
+   * [[graft.functions.top_k]] bounded-heap AGGREGATE per stratum: ONE
+   * hash aggregate with map-side partials, O(size) heap memory per
+   * stratum, each mapper ships at most `size` rows per stratum. (The
+   * round-3 formulation pre-filtered on an adaptive hash threshold so
+   * a rank window only sorted ~8·size survivors — the aggregate
+   * subsumes the whole threshold + window + deficient-stratum-fallback
+   * machinery and is exact by construction.)
    */
   def sampleStrata(strata: DataFrame, size: Int, seed: Long): DataFrame = {
     val key = col("row") * meta.width.toLong + col("col")
     val noNull = layers.map(L(_).isNotNull).reduce(_ && _)
     val joined = df.where(noNull).join(strata, Seq("row", "col"))
-    val h = sample_hash(key, seed)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum")).orderBy(col("__h"), key)
-    val counts = joined.groupBy(col("stratum")).agg(count(lit(1)).as("__cnt"))
-    // keep ~8x the needed rows per stratum; cnt <= 8·size => keep all
-    val thresh = least(lit(2147483648L),
-      idiv(lit(size.toLong * 8L * 2147483648L), col("__cnt")) + lit(1L))
-    val survivors = graft.plans.Caches.track(
-      joined.join(broadcast(counts), Seq("stratum"))
-        .withColumn("__h", h).where(col("__h") < thresh).drop("__cnt"))
-    val ranked = survivors.withColumn("__rn", row_number().over(w))
-    val deficient = survivors.groupBy(col("stratum")).agg(count(lit(1)).as("__got"))
-      .where(col("__got") < size).select("stratum")
-    val fallback = joined.join(broadcast(deficient), Seq("stratum"), "left_semi")
-      .withColumn("__h", h).withColumn("__rn", row_number().over(w))
-    ranked.join(broadcast(deficient), Seq("stratum"), "left_anti")
-      .unionByName(fallback)
-      .where(col("__rn") <= size).drop("__rn", "__h")
+    val payload = joined.columns.toSeq.filter(_ != "stratum")
+    val item = struct((sample_hash(key, seed).as("__h") +: key.as("__key") +:
+      payload.map(c => col(c).as(c))): _*)
+    joined.groupBy(col("stratum"))
+      .agg(graft.functions.top_k(item, size).as("__top"))
+      .select(col("stratum"), explode(col("__top")).as("__it"))
+      .select(payload.map(c => col(s"__it.$c").as(c)) :+ col("stratum"): _*)
   }
 
   /**
