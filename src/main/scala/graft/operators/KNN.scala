@@ -160,9 +160,11 @@ object KNN {
       case "distance" => when(col("__dist") === 0.0, lit(1e18)).otherwise(lit(1.0) / col("__dist"))
     }
     val votes = knn.groupBy(col(probeId), col(yCol)).agg(sum(wcol).as("__votes"))
-    val w = Window.partitionBy(col(probeId)).orderBy(col("__votes").desc, col(yCol).asc)
-    votes.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .select(col(probeId), col(yCol).as(out))
+    // top-1 under (votes DESC, category ASC) via the bounded-heap
+    // aggregate — hash agg with partials, no rank window
+    votes.groupBy(col(probeId))
+      .agg(top_k(struct((-col("__votes")).as("__nv"), col(yCol).as(yCol)), 1).as("__top"))
+      .select(col(probeId), element_at(col("__top"), 1).getField(yCol).as(out))
   }
 
   /**

@@ -425,17 +425,19 @@ object Warp {
    * the target grid.
    */
   def mode(stack: Stack, target: GridMeta, srcToTarget: CrsTransform): Stack = {
-    import org.apache.spark.sql.expressions.Window
     val proj = graft.plans.Caches.track(forwardProject(stack, target, srcToTarget))
     val tgt = graft.sources.RasterStack.grid(stack.df.sparkSession, target)
     val out = stack.layers.foldLeft(tgt) { (d, n) =>
       val votes = proj.where(col(n).isNotNull)
         .groupBy(col("__trow").as("row"), col("__tcol").as("col"), col(n))
         .agg(count(lit(1)).as("__votes"))
-      val w = Window.partitionBy(col("row"), col("col"))
-        .orderBy(col("__votes").desc, col(n).asc)
-      val winner = votes.withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1).select(col("row"), col("col"), col(n))
+      // winner = top-1 under (votes DESC, value ASC): bounded-heap
+      // aggregate (hash agg, map-side partials) instead of a rank
+      // window; -votes is an exact long negation
+      val winner = votes.groupBy(col("row"), col("col"))
+        .agg(graft.functions.top_k(
+          struct((-col("__votes")).as("__nv"), col(n).as(n)), 1).as("__top"))
+        .select(col("row"), col("col"), element_at(col("__top"), 1).getField(n).as(n))
       d.join(winner, Seq("row", "col"), "left_outer")
     }
     Stack(out.select((Seq("row", "col") ++ stack.layers).map(col): _*), target, stack.layers)
