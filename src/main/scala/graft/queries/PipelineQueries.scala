@@ -159,6 +159,16 @@ object PipelineQueries {
       Similarity.nearDupPairs(vecsNear(s, dir), "vec_id", "embedding",
         threshold = 0.9, nPlanes = 4, dim = Dim)),
 
+    // Streaming near-dup-at-ingest BATCH TWIN (StreamingSpec proves
+    // stream ≡ batch ≡ band relation): distinct MinHash band-collision
+    // pairs over the near-dup corpus. Cap passed wide so the oracle's
+    // cap-free self-join is the exact relation.
+    "q67_stream_near_dup" -> ((s, dir) =>
+      graft.streaming.StreamTiles.nearDupCandidatesStream(
+          corpusNear(s, dir), "doc_id", "text", w = 3,
+          maxBucket = Dedup.DefaultMaxBucket)
+        .toDF().distinct()),
+
     // Multimodal plumbing: binary payload frame stats; the batched
     // frame-sampler (Dataset flatMap) feeds the per-doc frame count.
     "q39_multimodal" -> ((s, dir) => {
@@ -238,6 +248,18 @@ object PipelineQueries {
 
     "q35_simhash" ->
       s"SELECT doc_id, ${Dedup.simhashSql("text")} AS sh FROM documents",
+
+    "q67_stream_near_dup" -> {
+      val sig = Dedup.minhashSignatureSql("string_split(text, ' ')", 3)
+      val bandEq = (0 until 4).map { bi =>
+        val ka = (1 to 4).map(r => s"CAST(a.sig[${bi * 4 + r}] AS VARCHAR)").mkString(" || ',' || ")
+        val kb = (1 to 4).map(r => s"CAST(b.sig[${bi * 4 + r}] AS VARCHAR)").mkString(" || ',' || ")
+        s"($ka) = ($kb)"
+      }.mkString(" OR ")
+      s"""WITH sigs AS (SELECT doc_id, $sig AS sig FROM $corpusNearSql)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandEq)""".stripMargin
+    },
 
     // reachability closure via recursive CTE (UNION dedup keeps it
     // bounded), then min over everything reachable == the min-label

@@ -9,6 +9,12 @@ import graft.functions._
 
 /** Event routed to a tile (input row of [[StreamTiles.firstKPerTile]]). */
 final case class TileEvent(tile: Long, id: Long, tsMillis: Long)
+/** One (band, bandKey) arrival of a document (near-dup ingest path). */
+final case class BandArrival(bucket: String, id: Long)
+/** Ids already resident in a band bucket (bounded by the cap). */
+final case class BucketState(ids: List[Long])
+/** Candidate near-duplicate pair (id_a < id_b). */
+final case class CandPair(id_a: Long, id_b: Long)
 /** Custom state: how many arrivals a tile has already admitted. */
 final case class TileSeen(seen: Long)
 /** Output: the `arrival_rank`-th admitted event of `tile`. */
@@ -150,6 +156,58 @@ object StreamTiles {
       .withColumn("row", grid_row(col("lon"), col("lat"), g))
       .withColumn("col", grid_col(col("lon"), col("lat"), g))
     probed.join(stack.df, Seq("row", "col"), "left_outer")
+  }
+
+  /**
+   * Streaming NEAR-duplicate candidate detection at ingest — the
+   * stream half of the minhash-LSH lambda split (batch half:
+   * `Dedup.minhashLsh`/`jaccardPairs` in the compaction pass): each
+   * arriving document projects to its 4 MinHash band keys (pure
+   * Columns, stream-safe), and a custom-state operator per band bucket
+   * emits a candidate pair for every prior resident of the bucket.
+   * State per bucket is a BOUNDED id list (`maxBucket`, the
+   * `Dedup.DefaultMaxBucket` discipline: a bucket over the cap stops
+   * pairing instead of materializing O(n^2) pairs on one key); run
+   * [[dedupText]] upstream so byte-identical boilerplate never reaches
+   * banding — the same exact-dup pre-collapse the batch path applies.
+   * Pairs surface once per SHARED BAND; distinct them downstream
+   * (`dropDuplicatesWithinWatermark` on (id_a, id_b) streaming, plain
+   * distinct in the batch twin). Works identically on a batch frame
+   * (state starts empty) — spec-asserted against the batch
+   * `Dedup.bandCandidates` relation.
+   */
+  def nearDupCandidatesStream(df: DataFrame, idCol: String, textCol: String,
+                              w: Int = 3, maxBucket: Int = 64): Dataset[CandPair] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sig = df.select(col(idCol).cast("long").as("id"),
+      graft.operators.Dedup.minhashSignature(col(textCol), w).as("sig"))
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        bi => concat_ws(",", (1 to 4).map(r => element_at(col("sig"), bi * 4 + r)): _*))))
+      .select(concat_ws("|", col("pos"), col("col")).as("bucket"), col("id"))
+      .as[BandArrival]
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[BandArrival], state: GroupState[BucketState]) =>
+          var ids = if (state.exists) state.get.ids else Nil
+          var size = ids.size
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+          // deterministic intra-batch admission order (arrival order
+          // within a micro-batch is partition-dependent)
+          it.toSeq.sortBy(_.id).foreach { a =>
+            if (!ids.contains(a.id) && size < maxBucket) {
+              ids.foreach { b =>
+                out += (if (a.id < b) CandPair(a.id, b) else CandPair(b, a.id))
+              }
+              ids = a.id :: ids
+              size += 1
+            }
+          }
+          state.update(BucketState(ids))
+          out.iterator
+      }
   }
 
   /**

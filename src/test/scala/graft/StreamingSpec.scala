@@ -117,6 +117,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     sPerTile.foreach { case (t, n) => assert(n <= k, s"tile $t") }
   }
 
+  test("streaming near-dup candidates at ingest: stream == batch twin == band relation") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val dir = sf("")
+    val d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val planted = d.unionByName(d.where(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" graft dup marker"))))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snd").toString
+    planted.write.parquet(s"$tmp/in")
+
+    val streaming = StreamTiles.nearDupCandidatesStream(
+      spark.readStream.schema(planted.schema).parquet(s"$tmp/in"), "doc_id", "text")
+    val q = streaming.writeStream.outputMode("append")
+      .format("memory").queryName("snd_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairSet(spark.table("snd_out"))
+
+    // batch twin: same operator on a batch frame (state starts empty)
+    val twin = pairSet(StreamTiles.nearDupCandidatesStream(
+      spark.read.parquet(s"$tmp/in"), "doc_id", "text").toDF())
+    assert(got === twin)
+
+    // and both equal the batch LSH band-candidate relation
+    val sig = planted.select(col("doc_id").as("id"),
+      graft.operators.Dedup.minhashSignature(col("text"), 3).as("sig"))
+    val bands = pairSet(graft.operators.Dedup.bandCandidates(sig, maxBucket = 64))
+    assert(got === bands)
+    // the planted near-dups (identical except 3 appended tokens) collide
+    assert(got.exists { case (a, b) => b - a == 100000L })
+  }
+
   test("stream-static extract: streaming events gain stack layer values, stream == batch") {
     val dir = sf("")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
