@@ -32,4 +32,71 @@ object TextHash {
     }
     h
   }
+
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /**
+   * One-pass MinHash signature over word w-shingles — the native kernel
+   * behind [[graft.functions.MinHashSig]], bit-identical to the Column
+   * tower `transform(shingles) -> md5 -> conv -> 16x array_min` for
+   * texts with >= w words:
+   *
+   *  - words split on the single space byte (0x20 — never part of a
+   *    UTF-8 multibyte sequence), empty tokens kept like Spark's
+   *    `split(text, " ")`;
+   *  - a w-shingle joined with single spaces IS the original byte span
+   *    from its first word's start to its last word's end (consecutive
+   *    spaces produce empty tokens whose concat_ws rendering restores
+   *    them), so each shingle hashes IN PLACE — no substring
+   *    allocation, no shingle array;
+   *  - shingle id = first 15 hex chars of md5 = the top 60 bits of the
+   *    digest's first 8 big-endian bytes, then mod 2^31;
+   *  - sig_j = min over shingles of (a_j * id + b_j) mod 2^31. The
+   *    Column tower's array_distinct is a no-op under min and is
+   *    skipped.
+   *
+   * Returns null when the text has fewer than w words (no shingles) —
+   * the DuckDB twin's empty-list semantics.
+   */
+  def minhashSig(s: UTF8String, w: Int, as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val bytes = s.getBytes // materialize once; spans index into this
+    val n = bytes.length
+    // word start offsets (split on ' ', empties kept): starts(i) is the
+    // byte offset of word i; word i ends at starts(i+1) - 2 inclusive
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < n) {
+      if (bytes(i) == 0x20) starts.add(i + 1)
+      i += 1
+    }
+    val nWords = starts.size()
+    val nShingles = nWords - (w - 1)
+    if (nShingles <= 0) return null
+    val md = Md5.get()
+    val mins = Array.fill(as.length)(Long.MaxValue)
+    var sIdx = 0
+    while (sIdx < nShingles) {
+      val from = starts.get(sIdx)
+      val until = if (sIdx + w < nWords) starts.get(sIdx + w) - 1 else n
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      val x = (v >>> 4) % 2147483648L
+      var j = 0
+      while (j < as.length) {
+        val h = (as(j) * x + bs(j)) % 2147483648L
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      sIdx += 1
+    }
+    mins
+  }
 }

@@ -126,6 +126,48 @@ case class LshBucket(child: Expression, planes: Seq[Seq[Double]]) extends UnaryE
 }
 
 /**
+ * `MinHashSig(text)` — one-pass MinHash signature over word w-shingles
+ * (see [[graft.core.TextHash.minhashSig]] for the exact semantics and
+ * the in-place shingle-span trick). Replaces the Column tower
+ * `transform(shingles(text)) -> md5 -> conv -> 16 x array_min`, whose
+ * higher-order functions are CodegenFallback AND materialize the
+ * shingle array per document. Null for texts with fewer than w words.
+ */
+case class MinHashSig(child: Expression, w: Int,
+                      as: Seq[Long], bs: Seq[Long]) extends UnaryExpression {
+  require(as.length == bs.length && as.nonEmpty, "hash param arrays must match")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // < w words -> null signature
+  override def prettyName: String = "minhash_sig"
+
+  @transient private lazy val aArr: Array[Long] = as.toArray
+  @transient private lazy val bArr: Array[Long] = bs.toArray
+
+  override def nullSafeEval(t: Any): Any = {
+    val sig = graft.core.TextHash.minhashSig(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w, aArr, bArr)
+    if (sig == null) null else new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refA = ctx.addReferenceObj("mhA", aArr, "long[]")
+    val refB = ctx.addReferenceObj("mhB", bArr, "long[]")
+    val sig = ctx.freshName("mhSig")
+    nullSafeCodeGen(ctx, ev, t => {
+      s"""long[] $sig = graft.core.TextHash.minhashSig($t, $w, $refA, $refB);
+         |if ($sig == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |}""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/**
  * `CentroidScores(vec)` — array of per-centroid squared-L2 scores
  * (minus the per-row constant; argmin = nearest centroid). `mul2`/`c2`
  * are derived once from the centroid matrix at construction and ship as

@@ -131,10 +131,10 @@ object Dedup {
     // persist barriers: otherwise CollapseProject inlines the shingle /
     // signature expressions into both sides of the band self-join —
     // recomputed per candidate row (tracked for release via Caches)
-    val withSh = Caches.track(representatives(df, idCol, textCol)
-      .select(col("id"), shingles(col("text"), w).as("sh")))
+    val reps = Caches.track(representatives(df, idCol, textCol))
+    val withSh = Caches.track(reps.select(col("id"), shingles(col("text"), w).as("sh")))
     val sig = Caches.track(
-      withSh.select(col("id"), minhashFromShingles(col("sh")).as("sig")))
+      reps.select(col("id"), minhashSignature(col("text"), w).as("sig")))
     val cand = bandCandidates(sig, maxBucket)
     val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
@@ -155,13 +155,19 @@ object Dedup {
   private def shingleId(s: Column): Column = TextAnalysis.wordHash(s) % 2147483648L
 
   /**
-   * MinHash signature (array of 16 longs) over word w-shingles.
-   * The md5 shingle-ids are bound ONCE via a lambda variable
-   * (`transform` over a 1-element wrapper) so the 16 hash functions
-   * share them instead of re-hashing — 16x less md5 work.
+   * MinHash signature (array of 16 longs) over word w-shingles — a
+   * NATIVE one-pass expression ([[graft.functions.MinHashSig]]): each
+   * shingle hashes in place as a byte span of the original text, no
+   * shingle array materializes, and the whole signature stays inside
+   * WholeStageCodegen (the Column tower's higher-order functions are
+   * CodegenFallback). Bit-identical to [[minhashFromShingles]] composed
+   * over [[shingles]] for texts with >= w words (spec-asserted); texts
+   * with fewer words yield NULL (the oracle's empty-list semantics).
    */
   def minhashSignature(text: Column, w: Int = 3): Column =
-    minhashFromShingles(shingles(text, w))
+    org.apache.spark.sql.GraftBridge.column(graft.functions.MinHashSig(
+      org.apache.spark.sql.GraftBridge.expression(text),
+      w, MinhashParams.map(_._1), MinhashParams.map(_._2)))
 
   /** Signature from a precomputed shingle-array column. */
   def minhashFromShingles(sh: Column): Column = {

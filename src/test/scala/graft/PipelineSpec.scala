@@ -383,6 +383,27 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("native minhash signature ≡ the Column tower, null under w words") {
+    import spark.implicits._
+    // real corpus texts plus edge shapes: double spaces (empty tokens),
+    // leading/trailing space, exactly w words
+    val edge = Seq((9001L, "alpha  beta gamma delta"), (9002L, " x y z"),
+      (9003L, "one two three"), (9004L, "a b"), (9005L, "solo"))
+      .toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").unionByName(edge)
+    val both = corpus.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 3).as("native"),
+      Dedup.minhashFromShingles(Dedup.shingles(col("text"), 3)).as("tower"))
+    // >= 3 words: bit-identical arrays
+    val multi = both.where(size(split(col("text"), " ")) >= 3)
+    assert(multi.where(!(col("native") <=> col("tower"))).count() === 0)
+    assert(multi.count() > 0)
+    // < 3 words: native is NULL (the oracle's empty-list semantics; the
+    // tower yields an array of nulls there — a formulation artifact)
+    val short = both.where(col("doc_id").isin(9004L, 9005L))
+    assert(short.where(col("native").isNotNull).count() === 0)
+  }
+
   test("dedup components: transitive chains collapse to the smallest member id") {
     import spark.implicits._
     val pairs = Seq((1L, 5L), (5L, 9L), (20L, 30L)).toDF("id_a", "id_b")
