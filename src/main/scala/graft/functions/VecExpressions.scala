@@ -85,6 +85,69 @@ object VecKernels {
   }
 }
 
+/** Ray-cast kernels for the table-driven PIP refine (called from
+  * generated code; same crossing formula as `core.Polygon.ringContains`
+  * and the recalled Column fold — IEEE ops in identical order). */
+object GeoKernels {
+
+  /** Even-odd ray cast over one ring (parallel coordinate arrays). */
+  def ringContains(px: Double, py: Double, xs: ArrayData, ys: ArrayData): Boolean = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val xi = xs.getDouble(i); val yi = ys.getDouble(i)
+      val xj = xs.getDouble(j); val yj = ys.getDouble(j)
+      if (((yi > py) != (yj > py)) && px < (xj - xi) * (py - yi) / (yj - yi) + xi)
+        inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /** Even-odd across ALL rings (XOR): holes subtract, disjoint shells union. */
+  def ringsContain(px: Double, py: Double, xss: ArrayData, yss: ArrayData): Boolean = {
+    val n = math.min(xss.numElements(), yss.numElements())
+    var inside = false
+    var r = 0
+    while (r < n) {
+      if (ringContains(px, py, xss.getArray(r), yss.getArray(r))) inside = !inside
+      r += 1
+    }
+    inside
+  }
+}
+
+/**
+ * `RingsContain(px, py, xss, yss)` — codegen'd even-odd containment of
+ * a point in a multi-ring polygon: the refine predicate of
+ * [[graft.operators.SpatialJoin.pipJoinTableRings]], evaluated once per
+ * candidate (point, polygon) pair — as a native loop it stays inside
+ * WholeStageCodegen (the previous `aggregate` fold was CodegenFallback,
+ * interpreted per pair).
+ */
+case class RingsContain(first: Expression, second: Expression,
+                        third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rings_contain"
+
+  override def nullSafeEval(px: Any, py: Any, xss: Any, yss: Any): Any =
+    GeoKernels.ringsContain(px.asInstanceOf[Double], py.asInstanceOf[Double],
+      xss.asInstanceOf[ArrayData], yss.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (px, py, xss, yss) =>
+      s"graft.functions.GeoKernels.ringsContain($px, $py, $xss, $yss)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(f, s, t, q)
+}
+
 /** `VecDot(a, b)` — codegen'd sequential-fold dot product of two array<float>. */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType

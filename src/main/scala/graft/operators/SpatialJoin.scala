@@ -191,11 +191,13 @@ object SpatialJoin {
   }
 
   /** Even-odd containment across ALL rings: XOR of per-ring ray casts
-    * — the Column twin of `core.Polygon.contains` with holes. */
+    * — the twin of `core.Polygon.contains` with holes, as the NATIVE
+    * codegen'd [[graft.functions.RingsContain]] loop (the `aggregate`
+    * fold formulation is CodegenFallback — interpreted once per
+    * candidate pair, the refine hot path). Same crossing formula, IEEE
+    * ops in identical order. */
   def ringsContainCol(px: Column, py: Column, xss: Column, yss: Column): Column =
-    org.apache.spark.sql.functions.aggregate(
-      sequence(lit(1), size(xss)), lit(false), (acc, r) =>
-        acc =!= ringContainsCol(px, py, element_at(xss, r), element_at(yss, r)))
+    c(graft.functions.RingsContain(e(px), e(py), e(xss), e(yss)))
 
   /**
    * Even-odd ray cast over parallel vertex arrays — the Column twin of
