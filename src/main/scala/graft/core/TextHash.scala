@@ -61,6 +61,53 @@ object TextHash {
    * Returns null when the text has fewer than w words (no shingles) —
    * the DuckDB twin's empty-list semantics.
    */
+  /**
+   * Sorted DISTINCT 60-bit shingle ids of the text's word w-shingles
+   * (same in-place byte-span hashing as [[minhashSig]], without the
+   * mod-2^31 reduction): the set representation the n-gram Jaccard
+   * verify compares — an `array<long>` per document instead of the
+   * shingle STRING array, so candidate pairs carry 8 bytes per shingle
+   * across the verify join. Empty array when the text has < w words.
+   */
+  def shingleIds(s: UTF8String, w: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < n) {
+      if (bytes(i) == 0x20) starts.add(i + 1)
+      i += 1
+    }
+    val nWords = starts.size()
+    val nShingles = nWords - (w - 1)
+    if (nShingles <= 0) return Array.emptyLongArray
+    val md = Md5.get()
+    val ids = new Array[Long](nShingles)
+    var sIdx = 0
+    while (sIdx < nShingles) {
+      val from = starts.get(sIdx)
+      val until = if (sIdx + w < nWords) starts.get(sIdx + w) - 1 else n
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      ids(sIdx) = v >>> 4
+      sIdx += 1
+    }
+    java.util.Arrays.sort(ids)
+    // dedupe in place (sorted)
+    var out = 0
+    var k = 0
+    while (k < ids.length) {
+      if (out == 0 || ids(k) != ids(out - 1)) { ids(out) = ids(k); out += 1 }
+      k += 1
+    }
+    if (out == ids.length) ids else java.util.Arrays.copyOf(ids, out)
+  }
+
   def minhashSig(s: UTF8String, w: Int, as: Array[Long], bs: Array[Long]): Array[Long] = {
     val bytes = s.getBytes // materialize once; spans index into this
     val n = bytes.length

@@ -231,6 +231,29 @@ case class MinHashSig(child: Expression, w: Int,
 }
 
 /**
+ * `ShingleIds(text)` — sorted distinct 60-bit shingle ids (see
+ * [[graft.core.TextHash.shingleIds]]): the set the n-gram Jaccard
+ * verify intersects, carried as `array<long>` instead of the shingle
+ * string array. Codegen'd single pass; empty array under w words.
+ */
+case class ShingleIds(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_ids"
+
+  override def nullSafeEval(t: Any): Any =
+    new GenericArrayData(graft.core.TextHash.shingleIds(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.core.TextHash.shingleIds($t, $w))")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/**
  * `CentroidScores(vec)` — array of per-centroid squared-L2 scores
  * (minus the per-row constant; argmin = nearest centroid). `mul2`/`c2`
  * are derived once from the centroid matrix at construction and ship as

@@ -116,14 +116,24 @@ object Dedup {
   /** Default band-bucket safety cap (2^16 reps per bucket = ~2G pairs). */
   val DefaultMaxBucket: Int = 65536
 
+  /** Sorted distinct 60-bit shingle ids — native expression
+    * ([[graft.functions.ShingleIds]]). */
+  def shingleIdsCol(text: Column, w: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.ShingleIds(
+      org.apache.spark.sql.GraftBridge.expression(text), w))
+
   /**
    * n-gram Jaccard near-dup pairs over exact-dup REPRESENTATIVES:
    * candidates come from the MinHash LSH bands (the same banded
    * equi-join as [[minhashLsh]] — shuffle key is (band, band_key), never
-   * pairwise), each candidate then VERIFIED with the exact shingle-set
-   * Jaccard. Returns (id_a, id_b, inter, uni, jaccard) for representative
-   * pairs over `threshold`; expand to full duplicate groups by joining
-   * [[exact]]'s (keep_id -> text_md5) mapping when group members matter.
+   * pairwise), each candidate then VERIFIED with the exact Jaccard over
+   * 60-bit SHINGLE-ID sets ([[shingleIdsCol]] — 8 bytes per shingle
+   * cross the verify join instead of the shingle strings; a same-pair
+   * id collision would need ~2^61/n^2 odds and only perturbs one count
+   * by one). Returns (id_a, id_b, inter, uni, jaccard) for
+   * representative pairs over `threshold`; expand to full duplicate
+   * groups by joining [[exact]]'s (keep_id -> text_md5) mapping when
+   * group members matter.
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    w: Int = 3, threshold: Double = 0.5,
@@ -132,7 +142,7 @@ object Dedup {
     // signature expressions into both sides of the band self-join —
     // recomputed per candidate row (tracked for release via Caches)
     val reps = Caches.track(representatives(df, idCol, textCol))
-    val withSh = Caches.track(reps.select(col("id"), shingles(col("text"), w).as("sh")))
+    val withSh = Caches.track(reps.select(col("id"), shingleIdsCol(col("text"), w).as("sh")))
     val sig = Caches.track(
       reps.select(col("id"), minhashSignature(col("text"), w).as("sig")))
     val cand = bandCandidates(sig, maxBucket)
@@ -140,7 +150,7 @@ object Dedup {
     val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "uni", "jaccard")

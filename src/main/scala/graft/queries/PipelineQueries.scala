@@ -192,23 +192,29 @@ object PipelineQueries {
    */
   private def jaccardOracle(corpus: String): String = {
     val sig = Dedup.minhashSignatureSql("ws", 3)
+    // 60-bit shingle-id SETS (the verify representation — ids, not
+    // strings): distinct sorted md5-prefix hashes of each shingle
+    val ids = s"list_sort(list_distinct([CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)" +
+      s" for s in ${Dedup.shinglesSql("ws", 3)}]))"
     val bandEq = (0 until 4).map { bi =>
       val ka = (1 to 4).map(r => s"CAST(sa.sig[${bi * 4 + r}] AS VARCHAR)").mkString(" || ',' || ")
       val kb = (1 to 4).map(r => s"CAST(sb.sig[${bi * 4 + r}] AS VARCHAR)").mkString(" || ',' || ")
       s"($ka) = ($kb)"
     }.mkString(" OR ")
+    val inter = "len(list_intersect(a.sh, b.sh))"
+    val uni = s"(len(a.sh) + len(b.sh) - $inter)"
     s"""WITH c AS (SELECT doc_id, string_split(text, ' ') AS ws
        |   FROM ${Dedup.representativesSql(corpus)}),
-       | withsh AS (SELECT doc_id, ${Dedup.shinglesSql("ws", 3)} AS sh FROM c),
+       | withsh AS (SELECT doc_id, $ids AS sh FROM c),
        | sigs AS (SELECT doc_id, $sig AS sig FROM c)
        |SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
-       |  len(list_intersect(a.sh, b.sh)) AS inter,
-       |  len(list_distinct(list_concat(a.sh, b.sh))) AS uni,
-       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+       |  $inter AS inter,
+       |  $uni AS uni,
+       |  CAST($inter AS DOUBLE) / CAST($uni AS DOUBLE) AS jaccard
        |FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id AND ($bandEq)
        |JOIN withsh a ON a.doc_id = sa.doc_id
        |JOIN withsh b ON b.doc_id = sb.doc_id
-       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.4""".stripMargin
+       |WHERE CAST($inter AS DOUBLE) / CAST($uni AS DOUBLE) >= 0.4""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
