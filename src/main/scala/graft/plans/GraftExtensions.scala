@@ -42,6 +42,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("cell_disk", args => CellDisk(args(0), args(1)))
     reg("url_lon", args => UrlLon(args.head))
     reg("url_lat", args => UrlLat(args.head))
+    reg("text_fingerprint", args => graft.functions.TextFingerprint(args.head))
+    reg("vec_dot", args => graft.functions.VecDot(args(0), args(1)))
+    reg("rings_contain", args =>
+      graft.functions.RingsContain(args(0), args(1), args(2), args(3)))
+    // minhash_sig(text) / shingle_ids(text): the engine's fixed w=3 /
+    // 16-hash parameterization (Dedup.MinhashParams)
+    reg("minhash_sig", args => graft.functions.MinHashSig(args.head, 3,
+      graft.operators.Dedup.MinhashParams.map(_._1),
+      graft.operators.Dedup.MinhashParams.map(_._2)))
+    reg("shingle_ids", args => graft.functions.ShingleIds(args.head, 3))
+    // top_k(struct, k) aggregate — k must be a foldable int literal
+    reg("top_k", args => graft.functions.BoundedTopK(args(0),
+      args(1).eval().asInstanceOf[Int]))
 
     e.injectOptimizerRule(_ => CellParentPruning)
     e.injectPlannerStrategy(_ => PipAssignStrategy)

@@ -36,6 +36,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(4) === 9)
   }
 
+  test("round-4 SQL functions: fingerprint / vec_dot / minhash_sig / shingle_ids / rings_contain / top_k") {
+    val r = spark.sql(
+      """SELECT text_fingerprint('hello world') AS fp,
+        |       vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |               array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d,
+        |       size(minhash_sig('one two three four')) AS nsig,
+        |       size(shingle_ids('one two three four')) AS nsh,
+        |       rings_contain(0.0D, 0.0D,
+        |         array(array(-1.0D, 1.0D, 1.0D, -1.0D)),
+        |         array(array(-1.0D, -1.0D, 1.0D, 1.0D))) AS inside
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) === graft.core.TextHash.fingerprint(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
+    assert(r.getDouble(1) === 1.5 * 2.0 + 2.0 * 0.5)
+    assert(r.getInt(2) === 16)
+    assert(r.getInt(3) === 2) // 4 words -> 2 distinct 3-shingles
+    assert(r.getBoolean(4))
+    // aggregate: top_k over a grouped relation from SQL
+    val agg = spark.sql(
+      """SELECT g, top_k(struct(v, id), 2) AS t FROM VALUES
+        | (1, 5L, 10L), (1, 3L, 11L), (1, 4L, 12L), (2, 7L, 13L)
+        | AS tab(g, v, id) GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(agg(0).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) === Seq(3L, 4L))
+    assert(agg(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) === Seq(7L))
+  }
+
   test("CellParentPruning rewrites parent-equality into a cell-id range (stats-prunable)") {
     import spark.implicits._
     val df = spark.range(100000)
