@@ -246,6 +246,10 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"),
         posexplode(col("__sc")))
       .withColumn("cid", (col("pos") + 1).cast("long"))
+    // probe-list selection stays a window ON PURPOSE: each query ranks
+    // exactly nCentroids rows (the exploded score array — a few dozen
+    // at most), so the per-group sort is bounded by the quantizer size,
+    // and a top_k aggregate would need an extra join to re-attach qv/qn
     val wq = Window.partitionBy(col("query_id")).orderBy(col("col"), col("cid"))
     val probes = qexp.withColumn("__rn", row_number().over(wq)).where(col("__rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cid"))
