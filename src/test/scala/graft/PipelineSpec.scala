@@ -374,6 +374,15 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         col("vec_id") % 25 === 0, 10, 16, 4, 64).count() > 0)
       assert(Similarity.nearDupPairs(vecs, "vec_id", "embedding",
         0.999999, 4, 64).count() >= 0)
+      // the text/geo kernels compile too (minhash/shingle-ids/ray cast)
+      assert(docs.select(Dedup.minhashSignature(col("text"), 3).as("s"),
+        Dedup.shingleIdsCol(col("text"), 3).as("ids")).count() > 0)
+      assert(docs.limit(50).select(
+        graft.operators.SpatialJoin.ringsContainCol(
+          (col("doc_id") % 100).cast("double"), lit(0.0),
+          array(array(lit(-50.0), lit(50.0), lit(50.0), lit(-50.0))),
+          array(array(lit(-1.0), lit(-1.0), lit(1.0), lit(1.0)))).as("in"))
+        .where(col("in")).count() > 0)
       graft.plans.Caches.flush()
     } finally {
       prev match {
