@@ -107,12 +107,30 @@ object Points {
    * vertex-keyed hash-agg per round). Returns (keep_id, n_points) per
    * cluster.
    */
+  /** Candidate-cell resolution for `minDist` (cell height >= minDist). */
+  private def distRes(minDist: Double): Int = math.max(0, math.min(28,
+    (math.log(180.0 / minDist) / math.log(2.0)).floor.toInt))
+
+  /**
+   * Audit for [[filterPointsDist]]'s skew hazard (the `hotBands`
+   * discipline): cells at the candidate resolution holding more than
+   * `threshold` points — each contributes O(n_points^2) candidate
+   * pairs to one join key. The operator takes no silent cap (thinning
+   * must see every close pair to be exact); a hot cell here means the
+   * data is locally denser than the minDist scale and AQE skew-split
+   * carries the join — run this beside the operator when that matters.
+   */
+  def hotCells(df: DataFrame, idCol: String, lonCol: String, latCol: String,
+               minDist: Double, threshold: Long = 65536L): DataFrame =
+    df.select(graft.functions.cell_encode(col(lonCol), col(latCol), distRes(minDist)).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_points"))
+      .where(col("n_points") > threshold)
+
   def filterPointsDist(df: DataFrame, idCol: String, lonCol: String, latCol: String,
                        minDist: Double, keep: String = "first",
                        checkpointDir: Option[String] = None): DataFrame = {
     require(keep == "first" || keep == "last", s"keep must be first|last, got '$keep'")
-    val res = math.max(0, math.min(28,
-      (math.log(180.0 / minDist) / math.log(2.0)).floor.toInt))
+    val res = distRes(minDist)
     val pts = df.select(col(idCol).cast("long").as("id"),
       col(lonCol).as("__lon"), col(latCol).as("__lat"))
     val probes = pts

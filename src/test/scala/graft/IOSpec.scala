@@ -141,6 +141,11 @@ class IOSpec extends AnyFunSuite with SparkSpec {
     val borderKeep = Points.filterPointsDist(border.toDF("id", "lon", "lat"),
       "id", "lon", "lat", minDist = 0.5).collect().map(_.getLong(0)).sorted
     assert(borderKeep === Array(1L, 3L))
+    // skew audit: a cell stuffed past the threshold is reported
+    val hot = (0L until 50L).map(i => (i, 10.0 + i * 1e-6, 10.0)) :+ (99L, -100.0, -40.0)
+    val audited = Points.hotCells(hot.toDF("id", "lon", "lat"),
+      "id", "lon", "lat", minDist = 0.5, threshold = 10L).collect()
+    assert(audited.length === 1 && audited.head.getLong(1) === 50L)
   }
 
   test("filter_points cell-snap keeps min id per cell, never two points in one cell") {
