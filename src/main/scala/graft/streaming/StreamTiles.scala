@@ -9,8 +9,11 @@ import graft.functions._
 
 /** Event routed to a tile (input row of [[StreamTiles.firstKPerTile]]). */
 final case class TileEvent(tile: Long, id: Long, tsMillis: Long)
-/** One (band, bandKey) arrival of a document (near-dup ingest path). */
-final case class BandArrival(bucket: String, id: Long)
+/** One (band, bandKey) arrival of a document (near-dup ingest path);
+  * ts is null when the caller runs without event time. The TIMESTAMP
+  * column itself rides along so the upstream watermark survives column
+  * pruning (event-time timeout requires it in the plan). */
+final case class BandArrival(bucket: String, id: Long, ts: java.sql.Timestamp)
 /** Ids already resident in a band bucket (bounded by the cap). */
 final case class BucketState(ids: List[Long])
 /** Candidate near-duplicate pair (id_a < id_b). */
@@ -175,38 +178,71 @@ object StreamTiles {
    * distinct in the batch twin). Works identically on a batch frame
    * (state starts empty) — spec-asserted against the batch
    * `Dedup.bandCandidates` relation.
+   *
+   * State expiry: pass `tsCol` to bound state by EVENT TIME — bucket
+   * lists expire one `watermark` horizon after their last arrival
+   * (event-time timeout; the dedupText pattern), so an unbounded
+   * ingest's state is the ACTIVE buckets of the horizon, not the
+   * corpus. Without `tsCol` the state lives for the job (fine for a
+   * bounded compaction run).
    */
   def nearDupCandidatesStream(df: DataFrame, idCol: String, textCol: String,
-                              w: Int = 3, maxBucket: Int = 64): Dataset[CandPair] = {
+                              w: Int = 3, maxBucket: Int = 64,
+                              tsCol: Option[String] = None,
+                              watermark: String = "1 hour"): Dataset[CandPair] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sig = df.select(col(idCol).cast("long").as("id"),
+    val base = tsCol match {
+      case Some(tc) => df.withColumn("__ts", col(tc).cast("timestamp"))
+        .withWatermark("__ts", watermark)
+      case None => df.withColumn("__ts", lit(null).cast("timestamp"))
+    }
+    val sig = base.select(col(idCol).cast("long").as("id"), col("__ts").as("ts"),
       graft.operators.Dedup.minhashSignature(col(textCol), w).as("sig"))
-    val banded = sig.select(col("id"),
+    val banded = sig.select(col("id"), col("ts"),
       posexplode(transform(sequence(lit(0), lit(3)),
         bi => concat_ws(",", (1 to 4).map(r => element_at(col("sig"), bi * 4 + r)): _*))))
-      .select(concat_ws("|", col("pos"), col("col")).as("bucket"), col("id"))
+      .select(concat_ws("|", col("pos"), col("col")).as("bucket"),
+        col("id"), col("ts"))
       .as[BandArrival]
+    val timeout =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     banded.groupByKey(_.bucket)
-      .flatMapGroupsWithState[BucketState, CandPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[BucketState, CandPair](OutputMode.Append(), timeout) {
         (_: String, it: Iterator[BandArrival], state: GroupState[BucketState]) =>
-          var ids = if (state.exists) state.get.ids else Nil
-          var size = ids.size
-          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-          // deterministic intra-batch admission order (arrival order
-          // within a micro-batch is partition-dependent)
-          it.toSeq.sortBy(_.id).foreach { a =>
-            if (!ids.contains(a.id) && size < maxBucket) {
-              ids.foreach { b =>
-                out += (if (a.id < b) CandPair(a.id, b) else CandPair(b, a.id))
+          if (state.hasTimedOut) {
+            // horizon passed with no new arrival: drop the bucket list
+            state.remove()
+            Iterator.empty
+          } else {
+            var ids = if (state.exists) state.get.ids else Nil
+            var size = ids.size
+            var maxTs = 0L
+            val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+            // deterministic intra-batch admission order (arrival order
+            // within a micro-batch is partition-dependent)
+            it.toSeq.sortBy(_.id).foreach { a =>
+              if (a.ts != null && a.ts.getTime > maxTs) maxTs = a.ts.getTime
+              if (!ids.contains(a.id) && size < maxBucket) {
+                ids.foreach { b =>
+                  out += (if (a.id < b) CandPair(a.id, b) else CandPair(b, a.id))
+                }
+                ids = a.id :: ids
+                size += 1
               }
-              ids = a.id :: ids
-              size += 1
             }
+            state.update(BucketState(ids))
+            // expiry re-arms on activity: last arrival + one horizon
+            // (Try: a BATCH run of the same code has no watermark and
+            // GroupState refuses timeout calls — batch state dies with
+            // the job anyway, so expiry is meaningless there)
+            if (tsCol.isDefined) scala.util.Try {
+              state.setTimeoutTimestamp(math.max(maxTs,
+                state.getCurrentWatermarkMs() + 1), watermark)
+            }
+            out.iterator
           }
-          state.update(BucketState(ids))
-          out.iterator
       }
   }
 

@@ -150,6 +150,21 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got === bands)
     // the planted near-dups (identical except 3 appended tokens) collide
     assert(got.exists { case (a, b) => b - a == 100000L })
+
+    // EVENT-TIME mode (state bounded by the watermark horizon): same
+    // pair set when every arrival lands inside one horizon
+    val withTs = planted.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_seconds(lit(1577836800L) + col("doc_id") % 60L))
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_snd_ts").toString
+    withTs.write.parquet(s"$tmp2/in")
+    val streamingTs = StreamTiles.nearDupCandidatesStream(
+      spark.readStream.schema(withTs.schema).parquet(s"$tmp2/in"), "doc_id", "text",
+      tsCol = Some("ts"), watermark = "1 hour")
+    val q2 = streamingTs.writeStream.outputMode("append")
+      .format("memory").queryName("snd_ts_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(pairSet(spark.table("snd_ts_out")) === bands)
   }
 
   test("stream-static extract: streaming events gain stack layer values, stream == batch") {
