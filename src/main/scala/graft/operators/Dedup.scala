@@ -138,13 +138,15 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    w: Int = 3, threshold: Double = 0.5,
                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    // persist barriers: otherwise CollapseProject inlines the shingle /
-    // signature expressions into both sides of the band self-join —
-    // recomputed per candidate row (tracked for release via Caches)
-    val reps = Caches.track(representatives(df, idCol, textCol))
-    val withSh = Caches.track(reps.select(col("id"), shingleIdsCol(col("text"), w).as("sh")))
-    val sig = Caches.track(
-      reps.select(col("id"), minhashSignature(col("text"), w).as("sig")))
+    // ONE persist barrier holding (id, shingle-ids, sig) — no document
+    // text in memory, one representatives pass, and CollapseProject
+    // cannot re-inline the hash expressions into both sides of the band
+    // self-join (tracked for release via Caches)
+    val projected = Caches.track(representatives(df, idCol, textCol)
+      .select(col("id"), shingleIdsCol(col("text"), w).as("sh"),
+        minhashSignature(col("text"), w).as("sig")))
+    val withSh = projected.select("id", "sh")
+    val sig = projected.select("id", "sig")
     val cand = bandCandidates(sig, maxBucket)
     val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
