@@ -386,22 +386,53 @@ object Bench {
     val (skNaive, skAqe, skSalted) = skewDemo()
 
     // COMPACT single line (3-decimal seconds, no spaces), printed LAST
-    // and explicitly flushed: the driver parses the stdout TAIL, and the
-    // round-3 full-precision line was head-truncated ("parsed": null)
-    val qs = results.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    // and explicitly flushed. The driver parses the stdout TAIL and its
+    // window is ~2,000 chars with sbt's trailing [success] line inside
+    // it, so the budget is a HARD <= 1800 chars (rounds 2-4 all shipped
+    // "parsed": null from overflow). Three measures keep it under:
+    //  1. per-query keys are the bare qNN prefix (unique by construction;
+    //     the full-name map ships in bench_detail.json);
+    //  2. the raw low/high sample arrays live in bench_detail.json, not
+    //     the line (BENCH.md documents them);
+    //  3. a self-check drops least-essential blocks (skew detail, then
+    //     the per-query map) until the line fits — the scaling pipeline
+    //     block (the north rule) is never dropped.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    require(results.map(n => shortKey(n._1)).distinct.size == results.size,
+      "qNN bench keys must be unique")
+    val qs = results.map { case (k, v) => s""""${shortKey(k)}":${r3(v)}""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+    val pipelineJson =
       s""""pipeline":{"rows":$benchRows,"cores_low":$cLow,"cores_high":$cHigh,""" +
       s""""secs_low":${r3(tLow)},"secs_high":${r3(tHigh)},""" +
       s""""rows_per_sec_low":${rpsLow.toLong},"rows_per_sec_high":${rpsHigh.toLong},""" +
       s""""scaling_efficiency":${r3(eff)},""" +
       s""""scaling_efficiency_min_min":${r3(effMinMin)},""" +
-      s""""scaling_efficiency_med_med":${r3(effMedMed)},""" +
-      s""""samples":$samplesJson},""" +
+      s""""scaling_efficiency_med_med":${r3(effMedMed)}}"""
+    val skewJson =
       s""""skew_hot_cell":{"rows":20000000,"hot_frac":0.5,""" +
       s""""secs_naive":${r3(skNaive)},"secs_aqe_skewjoin":${r3(skAqe)},""" +
-      s""""secs_salted":${r3(skSalted)}}}""")
+      s""""secs_salted":${r3(skSalted)}}"""
+    def line(withQueries: Boolean, withSkew: Boolean): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      (if (withQueries) s""""queries":$qs,""" else "") +
+      s""""sf":"$sfDir",$pipelineJson""" +
+      (if (withSkew) s",$skewJson" else "") + "}"
+    // full-fidelity companion artifact: samples, full query names, skew
+    val detail =
+      s"""{"samples":$samplesJson,""" +
+      s""""queries_full":${results.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")},""" +
+      s"""$pipelineJson,$skewJson}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      detail.getBytes)
+    val candidates =
+      Seq(line(withQueries = true, withSkew = true),
+          line(withQueries = true, withSkew = false),
+          line(withQueries = false, withSkew = false))
+    val out = candidates.find(_.length <= 1800).getOrElse(candidates.last)
+    System.err.println(s"bench line length: ${out.length} (budget 1800)")
+    println(out)
     System.out.flush()
   }
 }

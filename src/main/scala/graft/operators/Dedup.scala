@@ -82,7 +82,11 @@ object Dedup {
    * explicit safety valve, not a silent cap.
    */
   private[graft] def bandCandidates(sig: DataFrame, maxBucket: Int): DataFrame = {
-    val banded = sig.select(col("id"),
+    // sub-w-word docs carry a NULL signature and concat_ws SKIPS null
+    // elements — unfiltered they would all share the 4 empty band keys
+    // and emit spurious pairs (ADVICE r4). The oracle's NULL-propagating
+    // || excludes them; match it.
+    val banded = sig.where(col("sig").isNotNull).select(col("id"),
       posexplode(transform(sequence(lit(0), lit(3)),
         bi => concat_ws(",", (1 to 4).map(r => element_at(col("sig"), bi * 4 + r)): _*))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
@@ -105,7 +109,8 @@ object Dedup {
                w: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sig = representatives(df, idCol, textCol)
       .select(col("id"), minhashSignature(col("text"), w).as("sig"))
-    val banded = sig.select(col("id"),
+    // same null-signature exclusion as bandCandidates
+    val banded = sig.where(col("sig").isNotNull).select(col("id"),
       posexplode(transform(sequence(lit(0), lit(3)),
         bi => concat_ws(",", (1 to 4).map(r => element_at(col("sig"), bi * 4 + r)): _*))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")

@@ -88,6 +88,16 @@ object Extract {
    */
   def lines(stack: Stack, ls: Seq[graft.core.Polyline]): DataFrame =
     Rasterize.lines(stack.df.sparkSession, ls, stack.meta).join(stack.df, Seq("row", "col"))
+
+  /**
+   * extract_vector(LineStrings) from a TABLE of polylines — the
+   * vector-FILE path ([[graft.sources.GeoJson.readLines]] feeds this):
+   * same semantics as [[lines]], but the geometries stay distributed
+   * (`linesTable` walks each row's segments in its task — no driver
+   * geometry list, so a million-line layer never collects).
+   */
+  def linesFrom(stack: Stack, linesDf: DataFrame): DataFrame =
+    Rasterize.linesTable(linesDf, stack.meta).join(stack.df, Seq("row", "col"))
 }
 
 /**
@@ -138,6 +148,29 @@ object Rasterize {
         .map { case (r, c) => (r, c, id) }
     }.toDF("row", "col", "line_id")
     burned.groupBy("row", "col").agg(max(col("line_id")).as("line_id"))
+  }
+
+  /**
+   * Supercover rasterization of a polyline TABLE `(line_id, xs, ys)` —
+   * the distributed path for vector-file layers
+   * ([[graft.sources.GeoJson.readLines]]): each row's segments walk
+   * inside its own task (Amanatides-Woo, identical to [[lines]]),
+   * last-wins max(id) per pixel in one hash-agg shuffle with map-side
+   * partials. The layer never materializes on the driver.
+   */
+  def linesTable(linesDf: DataFrame, meta: GridMeta): DataFrame = {
+    require(meta.b == 0.0 && meta.d == 0.0, "rasterize requires a north-up grid")
+    val spark = linesDf.sparkSession
+    import spark.implicits._
+    linesDf.select(col("line_id").cast("int"),
+        col("xs").cast("array<double>"), col("ys").cast("array<double>"))
+      .as[(Int, Seq[Double], Seq[Double])]
+      .flatMap { case (id, xs, ys) =>
+        (0 until math.min(xs.length, ys.length) - 1).iterator.flatMap(i =>
+          segment(xs(i), ys(i), xs(i + 1), ys(i + 1), meta))
+          .map { case (r, c) => (r, c, id) }
+      }.toDF("row", "col", "line_id")
+      .groupBy("row", "col").agg(max(col("line_id")).as("line_id"))
   }
 
   /** Pixels whose CENTER is inside the polygon (even-odd over all rings). */

@@ -53,7 +53,8 @@ object Similarity {
     // dot product and two multiplies, bit-identical to computing sqrt
     // folds inline since the inputs are the same floats
     val nv = graft.plans.Caches.track(
-      vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm")))
+      vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+        .where(col("nrm") > 0.0)) // zero-norm guard: see rankTopK
     val q = nv.where(isQuery).select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("nrm").as("qn"))
     val c = nv.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"), col("nrm").as("cn"))
     rankTopK(q.join(broadcast(c), col("query_id") =!= col("nbr_id"))
@@ -66,8 +67,11 @@ object Similarity {
    * key (-cos, nbr_id) ascending — exact sign flip, same order) instead
    * of a rank window: map-side partials ship at most k candidates per
    * query and no task sorts a query's full candidate set. NaN cosines
-   * (zero-norm vectors) would rank LAST here where a desc window ranks
-   * them first — filter zero-norm vectors upstream if they can occur.
+   * (zero-norm vectors) would rank LAST here where a desc window (and
+   * the DuckDB oracles' ORDER BY cos DESC) ranks them first — so every
+   * ANN path ENFORCES the precondition by filtering `nrm > 0` in its
+   * base projection (ADVICE r4): a zero-norm vector has no defined
+   * cosine and never enters ranking on either engine.
    */
   private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
     pairs.groupBy(col("query_id"))
@@ -119,7 +123,8 @@ object Similarity {
     // embedding crosses the wire once, not once per matching table.
     val base = graft.plans.Caches.track(
       vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
-        isQuery.as("__isq")))
+        isQuery.as("__isq"))
+        .where(col("nrm") > 0.0)) // zero-norm guard: see rankTopK
     val bucketed = base.select(col(idCol), col("__isq"),
       posexplode(array((0 until nTables).map(t =>
         tableBucket(col(vecCol), t, nPlanes, dim)): _*)))
@@ -238,6 +243,7 @@ object Similarity {
     val base = graft.plans.Caches.track(
       vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
         isQuery.as("__isq"))
+        .where(col("nrm") > 0.0) // zero-norm guard: see rankTopK
         .withColumn("__sc", scores))
     val corpus = base
       .withColumn("cell", expr("array_position(__sc, array_min(__sc))"))
@@ -279,7 +285,8 @@ object Similarity {
                    threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
     val base = graft.plans.Caches.track(vecs.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), nPlanes, dim).as("bucket"),
-      norm(col(vecCol)).as("nrm")))
+      norm(col(vecCol)).as("nrm"))
+      .where(col("nrm") > 0.0)) // zero-norm guard: see rankTopK
     val a = base.select(col("bucket"), col(idCol).as("id_a"))
     val b = base.select(col("bucket"), col(idCol).as("id_b"))
     val pairs = a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))

@@ -143,6 +143,44 @@ object Warp {
   }
 
   /**
+   * UTM zone CRS (EPSG:326xx / 327xx), target->source direction: target
+   * world coordinates in UTM METERS back-project to source lon/lat
+   * DEGREES through the inverse Krüger series ([[Utm.invLonLat]]) —
+   * covers the reference's most common real projected `to_crs` targets
+   * (raster.py:1711-1866 via pyproj; tests/test_tocrs.py:22-37). The
+   * Column tree and the SQL twins are instantiations of the SAME
+   * generic series ([[Utm.Ar]]), so their IEEE order is identical by
+   * construction.
+   */
+  final case class UtmToLonLat(zone: Int, north: Boolean) extends CrsTransform {
+    override def sourceX(x: Column, y: Column): Column =
+      Utm.invLonLat(x, y, zone, north)(Utm.ColAr)._1
+    override def sourceY(x: Column, y: Column): Column =
+      Utm.invLonLat(x, y, zone, north)(Utm.ColAr)._2
+    override def inverse: CrsTransform = LonLatToUtm(zone, north)
+    override def toSourcePt(x: Double, y: Double): (Double, Double) =
+      Utm.invLonLat(x, y, zone, north)(Utm.DblAr)
+    def sxSql(x: String, y: String): String = Utm.invLonLat(x, y, zone, north)(Utm.SqlAr)._1
+    def sySql(x: String, y: String): String = Utm.invLonLat(x, y, zone, north)(Utm.SqlAr)._2
+    /** EPSG name: 326xx north, 327xx south. */
+    def epsg: String = f"EPSG:${if (north) 32600 + zone else 32700 + zone}%d"
+  }
+
+  /** Forward UTM (lon/lat degrees -> zone meters) — srcToTarget for the
+    * pooling kernels and the defaultTarget bounds projection. */
+  final case class LonLatToUtm(zone: Int, north: Boolean) extends CrsTransform {
+    override def sourceX(x: Column, y: Column): Column =
+      Utm.fwdEN(x, y, zone, north)(Utm.ColAr)._1
+    override def sourceY(x: Column, y: Column): Column =
+      Utm.fwdEN(x, y, zone, north)(Utm.ColAr)._2
+    override def inverse: CrsTransform = UtmToLonLat(zone, north)
+    override def toSourcePt(x: Double, y: Double): (Double, Double) =
+      Utm.fwdEN(x, y, zone, north)(Utm.DblAr)
+    def sxSql(x: String, y: String): String = Utm.fwdEN(x, y, zone, north)(Utm.SqlAr)._1
+    def sySql(x: String, y: String): String = Utm.fwdEN(x, y, zone, north)(Utm.SqlAr)._2
+  }
+
+  /**
    * Nearest-neighbor warp of `stack` onto `target`. Returns a Stack on
    * the target grid. The join is a plain equi-join on source (row, col)
    * — shuffle-free probe side when the source stack is bucketed by tile.

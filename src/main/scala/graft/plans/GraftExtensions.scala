@@ -32,6 +32,22 @@ import graft.functions.{CellDisk, CellEncode, CellParentAt, UrlLat, UrlLon}
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Require a foldable integral literal (INT or BIGINT in int range). */
+  private def intLiteral(ex: Expression, what: String): Int = ex match {
+    case e if e.foldable => e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case other => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3000",
+        messageParameters = Map("message" ->
+          s"$what must be an integer literal, got $other"))
+    }
+    case _ => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3000",
+      messageParameters = Map("message" ->
+        s"$what must be a foldable integer literal, got ${ex.sql}"))
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     def reg(name: String, builder: Seq[Expression] => Expression): Unit =
       e.injectFunction((FunctionIdentifier(name),
@@ -52,9 +68,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.operators.Dedup.MinhashParams.map(_._1),
       graft.operators.Dedup.MinhashParams.map(_._2)))
     reg("shingle_ids", args => graft.functions.ShingleIds(args.head, 3))
-    // top_k(struct, k) aggregate — k must be a foldable int literal
-    reg("top_k", args => graft.functions.BoundedTopK(args(0),
-      args(1).eval().asInstanceOf[Int]))
+    // top_k(struct, k) aggregate — k must be a foldable integral
+    // literal; validated explicitly (a blind eval().asInstanceOf[Int]
+    // ClassCastExceptions on BIGINT literals and garbage-evals
+    // non-foldable expressions — ADVICE r4)
+    reg("top_k", args => graft.functions.BoundedTopK(args(0), intLiteral(args(1), "top_k k")))
 
     e.injectOptimizerRule(_ => CellParentPruning)
     e.injectPlannerStrategy(_ => PipAssignStrategy)

@@ -201,8 +201,31 @@ object GeoQueries {
       Warp.gauss(st, TargetG, Crs).df
         .select(col("row"), col("col"),
           floor(col("b1") * 1000.0).as("b1_q"), floor(col("b4") * 1000.0).as("b4_q"))
+    }),
+
+    // to_crs onto a UTM zone (EPSG:32631) — the general projected-CRS
+    // family beyond the mercator pair (raster.py:1711-1866 accepts any
+    // pyproj CRS; tests/test_tocrs.py:22-37): nearest-warp a zone-31
+    // lon/lat source window onto the DERIVED meter grid (grid-less
+    // overload -> Warp.defaultTarget), target pixels back-projected
+    // through the inverse Krüger series. The oracle instantiates the
+    // SAME generic series as SQL text (Utm.SqlAr), so evaluation order
+    // is identical by construction.
+    "q68_to_crs_utm" -> ((s, _) => {
+      import graft.sources.RasterStack
+      val st = graft.operators.Stack(
+        RasterStack.stack(s, UtmSrcG).drop("x", "y"), UtmSrcG,
+        RasterStack.NcBands.map(_.name)).select(Seq("b2", "b5"))
+      st.toCrs(UtmCrs, "nearest", UtmCrs.epsg).df.select("row", "col", "b2", "b5")
     })
   )
+
+  /** UTM fixture: a zone-31-north source window (lon 0..6, lat 30..54). */
+  val UtmSrcG: GridMeta = GridMeta.northUp(0.0, 30.0, 6.0, 54.0, width = 160, height = 200)
+  val UtmCrs: Warp.UtmToLonLat = Warp.UtmToLonLat(31, north = true)
+  /** Derived meter target — the oracle interpolates these literals, so
+    * the defaultTarget derivation is pinned exactly like q49's MercG. */
+  val UtmG: GridMeta = Warp.defaultTarget(UtmSrcG, UtmCrs, UtmCrs.epsg)
 
   /** Web-Mercator target grid (meters, EPSG:3857): DERIVED from the
     * source grid + transform by Warp.defaultTarget — exactly what the
@@ -479,6 +502,23 @@ object GeoQueries {
          |labeled AS (SELECT p.id, COALESCE(c.component, p.id) AS component
          |            FROM pts p LEFT JOIN comp c ON c.id = p.id)
          |SELECT MIN(id) AS keep_id, COUNT(*) AS n_points FROM labeled GROUP BY component""".stripMargin
+    },
+
+    "q68_to_crs_utm" -> {
+      val tx = RasterStack.xSql(UtmG, "tcol"); val ty = RasterStack.ySql(UtmG, "trow")
+      val sx = UtmCrs.sxSql(tx, ty)
+      val sy = UtmCrs.sySql(tx, ty)
+      val srow = s"CAST(FLOOR(($sy - ${OracleLit.d(UtmSrcG.f)}) / (${OracleLit.d(UtmSrcG.e)})) AS BIGINT)"
+      val scol = s"CAST(FLOOR(($sx - ${OracleLit.d(UtmSrcG.c)}) / (${OracleLit.d(UtmSrcG.a)})) AS BIGINT)"
+      s"""SELECT t.trow AS row, t.tcol AS col, g.b2, g.b5
+         |FROM (SELECT CAST(range // ${UtmG.width} AS BIGINT) AS trow,
+         |             CAST(range % ${UtmG.width} AS BIGINT) AS tcol,
+         |             $srow AS srow, $scol AS scol
+         |      FROM range(${UtmG.cells})) t
+         |LEFT JOIN (SELECT row, col,
+         |    ${RasterStack.NcBands.filter(b => Set("b2", "b5")(b.name)).map(b => RasterStack.bandSql("row", "col", b) + s" AS ${b.name}").mkString(", ")}
+         |  FROM ${RasterStack.gridSql(UtmSrcG)}) g
+         |ON g.row = t.srow AND g.col = t.scol""".stripMargin
     },
 
     "q49_to_crs_mercator" -> {

@@ -117,6 +117,27 @@ object StackQueries {
     "q41_extract_lines" -> ((s, _) =>
       Extract.lines(stack(s), Fixtures.Lines).select("row", "col", "line_id", "b1", "b4")),
 
+    // extract_vector(LineStrings) from a parsed vector FILE: the same
+    // line layer round-trips through GeoJSON (the reference dispatches
+    // gpd.read_file geometries, raster.py:2436-2458) and the geometry
+    // stays DISTRIBUTED end-to-end (GeoJson.readLines ->
+    // Rasterize.linesTable walks segments per task). Coordinates
+    // round-trip bit-exactly through Double.toString/JSON, so this is
+    // the q41 relation via the file path — same oracle.
+    "q69_lines_geojson" -> ((s, _) => {
+      val lines = graft.sources.GeoJson.readLines(s, Fixtures.linesGeoJsonFile())
+      Extract.linesFrom(stack(s), lines).select("row", "col", "line_id", "b1", "b4")
+    }),
+
+    // extract_vector(points) from a parsed vector FILE (GeoJson.readPoints
+    // -> Extract.xy): Point + MultiPoint features, out-of-bounds probes
+    // keep null layers (the outer-preserving broadcast path).
+    "q70_points_geojson" -> ((s, _) => {
+      val pts = graft.sources.GeoJson.readPoints(s, Fixtures.pointsGeoJsonFile())
+      Extract.xy(stack(s), pts, "x", "y")
+        .select("point_id", "row", "col", "b1", "b4")
+    }),
+
     // Stratified sample WITH replacement (raster.py:2244-2287 draws with
     // replacement; q13 covers the without-replacement contract).
     "q43_sample_replacement" -> ((s, _) => {
@@ -286,7 +307,24 @@ object StackQueries {
     "q46_append" ->
       s"SELECT row, col, b1, b1 AS b1_1, b2 FROM $pixSql",
 
-    "q41_extract_lines" -> {
+    "q41_extract_lines" -> extractLinesOracle,
+
+    // identical relation through the GeoJSON-file path (coordinates
+    // round-trip bit-exactly; only the physical plan differs)
+    "q69_lines_geojson" -> extractLinesOracle,
+
+    "q70_points_geojson" -> {
+      import graft.sources.OracleLit.d
+      val row = s"CAST(FLOOR((p.y - ${d(G.f)}) / (${d(G.e)})) AS BIGINT)"
+      val c = s"CAST(FLOOR((p.x - ${d(G.c)}) / (${d(G.a)})) AS BIGINT)"
+      s"""SELECT p.point_id, $row AS row, $c AS col, g.b1, g.b4
+         |FROM ${Fixtures.pointsValuesSql} p
+         |LEFT JOIN $pixSql g ON g.row = $row AND g.col = $c""".stripMargin
+    }
+  ) ++ oracles2
+
+  /** q41/q69 shared oracle. */
+  private lazy val extractLinesOracle: String = {
       // The oracle REPLAYS the Amanatides-Woo supercover walk as a
       // recursive CTE: identical IEEE doubles step-for-step (init tMax,
       // += tDelta accumulation, < comparison), so the visited-cell set is
@@ -336,7 +374,10 @@ object StackQueries {
          | GROUP BY 1, 2)
          |SELECT b.row, b.col, b.line_id, g.b1, g.b4
          |FROM burn b JOIN $pixSql g ON g.row = b.row AND g.col = b.col""".stripMargin
-    },
+  }
+
+  // lazy: referenced from `oracles` above its definition point
+  private lazy val oracles2: Map[String, String] = Map(
 
     "q43_sample_replacement" -> {
       // survivor-prefix draw semantics (Stack.sampleStrataWithReplacement):

@@ -64,6 +64,62 @@ object Fixtures {
     rows.mkString("(SELECT * FROM (VALUES ", ", ", ") AS t(line_id, x0, y0, x1, y1))")
   }
 
+  /**
+   * Deterministic point layer for the vector-FILE point-extraction path
+   * (GeoJson.readPoints -> Extract.xy): in-bounds, out-of-bounds (the
+   * null-layer outer-join contract) and a MultiPoint feature. "Generic"
+   * decimals keep points off pixel edges.
+   */
+  val Points: IndexedSeq[(Int, Double, Double)] = IndexedSeq(
+    (0, -100.3, -50.7), (1, -20.1, 10.3), (2, 30.7, 55.1), (3, 80.9, -20.3),
+    (4, 119.1, 59.3), (5, -140.7, 10.1) /* out of bounds */, (6, 0.3, -70.9) /* oob */,
+    (7, 95.1, 40.7), (8, -60.3, 22.7), (9, 15.9, -42.3))
+
+  /** Inline VALUES relation of the point layer. */
+  def pointsValuesSql: String = {
+    import OracleLit.d
+    Points.map { case (id, x, y) => s"($id, ${d(x)}, ${d(y)})" }
+      .mkString("(SELECT * FROM (VALUES ", ", ", ") AS t(point_id, x, y))")
+  }
+
+  /**
+   * The [[Lines]] layer as a GeoJSON FeatureCollection (LineString
+   * features carrying an `id` property), written once per JVM to a
+   * deterministic temp file — the vector-FILE fixture for
+   * `GeoJson.readLines`. Double.toString round-trips exactly through
+   * JSON, so the parsed coordinates are bit-identical to [[Lines]] and
+   * the q41 oracle replays unchanged.
+   */
+  def linesGeoJsonFile(): String = writeOnce("graft_fixture_lines.geojson", {
+    val feats = Lines.map { l =>
+      val coords = l.pts.map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
+      s"""{"type":"Feature","properties":{"id":${l.id}},"geometry":{"type":"LineString","coordinates":$coords}}"""
+    }
+    s"""{"type":"FeatureCollection","features":[${feats.mkString(",")}]}"""
+  })
+
+  /** The [[Points]] layer as GeoJSON: points 0-7 as Point features, 8-9
+    * folded into ONE MultiPoint-per-id pair to exercise the MultiPoint
+    * explode (each still a distinct feature id). */
+  def pointsGeoJsonFile(): String = writeOnce("graft_fixture_points.geojson", {
+    val feats = Points.map { case (id, x, y) =>
+      if (id < 8)
+        s"""{"type":"Feature","properties":{"id":$id},"geometry":{"type":"Point","coordinates":[$x,$y]}}"""
+      else
+        s"""{"type":"Feature","properties":{"id":$id},"geometry":{"type":"MultiPoint","coordinates":[[$x,$y]]}}"""
+    }
+    s"""{"type":"FeatureCollection","features":[${feats.mkString(",")}]}"""
+  })
+
+  private def writeOnce(name: String, content: => String): String = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), name)
+    val bytes = content.getBytes("UTF-8")
+    if (!java.nio.file.Files.exists(p) ||
+        !java.util.Arrays.equals(java.nio.file.Files.readAllBytes(p), bytes))
+      java.nio.file.Files.write(p, bytes)
+    p.toString
+  }
+
   /** Inline VALUES relation of the rect layer for join-shaped oracles. */
   def rectsValuesSql: String =
     Rects.map(r => s"(${r.id}, ${r.xmin}, ${r.ymin}, ${r.xmax}, ${r.ymax}, '${r.label}')")

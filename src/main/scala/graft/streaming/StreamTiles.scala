@@ -122,17 +122,24 @@ object StreamTiles {
    * first, which coincides when arrivals are processed in event order).
    * Deterministic and oracle-expressible, unlike `dropDuplicates`.
    *
-   * Scale shape: (ts, id) packs into ONE long (ts * 2^31 + id — ids
-   * must be < 2^31 and ts in epoch-seconds range, which the packing
-   * `require`s via the id bound being checked downstream naturally),
-   * so the group-by is a primitive-typed HASH aggregate with map-side
+   * Scale shape: (ts, id) packs into ONE long (ts * 2^31 + id), so the
+   * group-by is a primitive-typed HASH aggregate with map-side
    * partials — a min over a (ts, id) STRUCT would plan an
    * ObjectHashAggregate/SortAggregate (the Dedup.representatives
    * lesson: never aggregate non-primitive columns on the hot path).
+   * Packing domain is ENFORCED, not assumed (ADVICE r4): ids must be in
+   * [0, 2^31) and timestamps non-null epoch-seconds >= 0 — violations
+   * raise instead of silently corrupting first_ts/first_id.
    */
   def dedupTextBatch(df: DataFrame, tsCol: String, idCol: String,
                      textCol: String): DataFrame = {
-    val packed = (col(tsCol).cast("timestamp").cast("long") * TsPack) + col(idCol).cast("long")
+    val id = col(idCol).cast("long")
+    val ts = col(tsCol).cast("timestamp").cast("long")
+    val packed = when(id >= 0L && id < TsPack && ts >= 0L, ts * TsPack + id)
+      .otherwise(raise_error(concat(
+        lit(s"dedupTextBatch: id must be in [0, $TsPack) and $tsCol a non-null epoch-seconds >= 0 timestamp; got id="),
+        coalesce(id.cast("string"), lit("null")), lit(" ts="),
+        coalesce(ts.cast("string"), lit("null")))).cast("long"))
     df.select(md5(col(textCol).cast("binary")).as("text_md5"), packed.as("__arr"))
       .groupBy("text_md5")
       .agg(min(col("__arr")).as("__f"), count(lit(1)).as("n_arrivals"))
@@ -199,6 +206,11 @@ object StreamTiles {
     }
     val sig = base.select(col(idCol).cast("long").as("id"), col("__ts").as("ts"),
       graft.operators.Dedup.minhashSignature(col(textCol), w).as("sig"))
+      // sub-w-word docs carry a NULL signature; concat_ws would collapse
+      // them all into the 4 empty-key band buckets (ADVICE r4) — exclude
+      // them exactly like Dedup.bandCandidates and the oracle's
+      // null-propagating ||
+      .where(col("sig").isNotNull)
     val banded = sig.select(col("id"), col("ts"),
       posexplode(transform(sequence(lit(0), lit(3)),
         bi => concat_ws(",", (1 to 4).map(r => element_at(col("sig"), bi * 4 + r)): _*))))

@@ -203,3 +203,78 @@ class SpatialJoinSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan.take(800))
   }
 }
+
+/**
+ * GeoJSON point/line readers + the strict-id contract (ADVICE r4) and
+ * the distributed lines-table rasterizer (Extract.linesFrom ≡
+ * Extract.lines on the same geometry).
+ */
+class GeoJsonVectorSpec extends AnyFunSuite with SparkSpec {
+
+  private def write(name: String, content: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gj_")
+    val f = dir.resolve(name)
+    java.nio.file.Files.write(f, content.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("readLines: LineString + MultiLineString parts, feature ids carried") {
+    val gj =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"id":7},"geometry":{"type":"LineString",
+        | "coordinates":[[-10.5,2.25],[14.25,8.5]]}},
+        |{"type":"Feature","properties":{"id":9},"geometry":{"type":"MultiLineString",
+        | "coordinates":[[[0.5,0.5],[3.5,0.5]],[[5.5,5.5],[5.5,9.5],[7.5,9.5]]]}},
+        |{"type":"Feature","properties":{"id":1},"geometry":{"type":"Point","coordinates":[1.0,2.0]}}
+        |]}""".stripMargin
+    val got = graft.sources.GeoJson.readLines(spark, write("l.geojson", gj)).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getSeq[Double](2)))
+    assert(got.map(_._1).sorted === Array(7, 9, 9)) // MultiLineString -> 2 parts, same id
+    val bend = got.filter(_._1 == 9).find(_._2.length == 3).get
+    assert(bend._2 === Seq(5.5, 5.5, 7.5) && bend._3 === Seq(5.5, 9.5, 9.5))
+  }
+
+  test("linesFrom(table) ≡ lines(driver geometries) on the fixture layer") {
+    val g = graft.core.GridMeta.TestGrid
+    val st = graft.operators.Stack(
+      graft.sources.RasterStack.stack(spark, g).drop("x", "y"), g,
+      graft.sources.RasterStack.NcBands.map(_.name))
+    val fromFile = graft.operators.Extract.linesFrom(st,
+        graft.sources.GeoJson.readLines(spark, Fixtures.linesGeoJsonFile()))
+      .select("row", "col", "line_id", "b1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.get(3))).toSet
+    val fromDriver = graft.operators.Extract.lines(st, Fixtures.Lines)
+      .select("row", "col", "line_id", "b1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.get(3))).toSet
+    assert(fromFile === fromDriver)
+    assert(fromFile.nonEmpty)
+  }
+
+  test("readPoints: Point + MultiPoint, strict ids") {
+    val gj =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"id":3},"geometry":{"type":"Point","coordinates":[1.5,-2.25]}},
+        |{"type":"Feature","properties":{"id":4},"geometry":{"type":"MultiPoint","coordinates":[[0.5,0.5],[9.5,3.5]]}}
+        |]}""".stripMargin
+    val got = graft.sources.GeoJson.readPoints(spark, write("p.geojson", gj)).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got === Set((3, 1.5, -2.25), (4, 0.5, 0.5), (4, 9.5, 3.5)))
+  }
+
+  test("strict id contract: a feature missing the id property RAISES; positional mode works") {
+    val gj =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"id":3},"geometry":{"type":"Point","coordinates":[1.5,2.5]}},
+        |{"type":"Feature","properties":{"name":"x"},"geometry":{"type":"Point","coordinates":[3.5,4.5]}}
+        |]}""".stripMargin
+    val path = write("bad.geojson", gj)
+    val ex = intercept[Exception] {
+      graft.sources.GeoJson.readPoints(spark, path).collect()
+    }
+    assert(ex.getMessage.contains("missing or non-integer") ||
+      Option(ex.getCause).exists(_.getMessage.contains("missing or non-integer")))
+    val pos = graft.sources.GeoJson.readPoints(spark, path, idProperty = None).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(pos === Set((0, 1.5), (1, 3.5))) // positional ids
+  }
+}
