@@ -230,12 +230,28 @@ object Dedup {
    * step of a corpus dedup pipeline: transitive chains A~B~C collapse
    * to one component labelled by the smallest member id, so every
    * document maps to a canonical representative even when it never
-   * directly paired with it. Deterministic min-label propagation:
-   * label(v) <- min(label(v), min of neighbors' labels), iterated to a
-   * fixpoint — the result is the component minimum regardless of
-   * execution order. Each round is one vertex-keyed hash-agg shuffle;
-   * rounds = component diameter in the worst case, O(log n) typical.
-   * Returns (id, component) for every id appearing in `pairs`.
+   * directly paired with it. Returns (id, component) for every id
+   * appearing in `pairs`; the label is the component MINIMUM regardless
+   * of execution order (deterministic).
+   *
+   * Algorithm: hash-min with GRAPH CONTRACTION (the MapReduce-CC family
+   * of Kiveris et al., "Connected Components in MapReduce and Beyond").
+   * Each round builds the mapping m(c) = min(c, smallest contracted
+   * neighbor), POINTER-DOUBLES it once (m <- m∘m, which collapses the
+   * monotone-id chains that are hash-min's O(n) worst case), composes
+   * it into the vertex labels, and REWRITES THE EDGE SET onto the
+   * surviving supernodes (dropping self-loops). Contraction is the
+   * load-bearing part: plain label propagation floods the component
+   * minimum one HOP per round — O(diameter) rounds on geometric graphs,
+   * measured 47 rounds on the q63 percolation fixture, where label-
+   * pointer chains are depth ~1 and pure pointer jumping cannot help —
+   * while contraction merges whole label regions into supernodes, so
+   * the effective diameter drops geometrically: the same fixture
+   * converges in 8 rounds. The edge set also SHRINKS every round, so
+   * late rounds get cheaper; termination = no inter-supernode edge
+   * left (each round ends with exactly two eager checkpoint
+   * materializations — labels and the contracted edges — and the
+   * emptiness probe reads the fresh checkpoint).
    *
    * Lineage truncation: every round materializes through a checkpoint —
    * pass `checkpointDir` (any Hadoop FS: HDFS / S3A / GCS) on a real
@@ -256,54 +272,48 @@ object Dedup {
     def truncate(df: DataFrame): DataFrame =
       org.apache.spark.sql.GraftBridge.resetStats(
         if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint())
-    // the pair relation is referenced twice (both edge directions) and is
-    // typically an expensive near-dup join — materialize it once
+    // the pair relation is referenced twice (vertex set + edge set) and
+    // is typically an expensive near-dup join — materialize it once
     val p = truncate(pairs.select(col(aCol).as("__a"), col(bCol).as("__b")))
-    // an empty pair set is a normal outcome for a clean corpus: return
-    // the empty (id, component) relation instead of iterating (the
-    // label-sum convergence probe would read SUM() = NULL and NPE
-    // otherwise); the probe reads the already-materialized checkpoint
+    // an empty pair set is a normal outcome for a clean corpus
     if (p.isEmpty)
       return p.select(col("__a").as("id"), col("__b").as("component")).limit(0)
-    val edges = Caches.track(
-      p.select(col("__a").as("src"), col("__b").as("dst"))
-        .unionByName(p.select(col("__b").as("src"), col("__a").as("dst")))
+    var labels = truncate(
+      p.select(col("__a").as("id")).unionByName(p.select(col("__b").as("id")))
+        .distinct().withColumn("component", col("id")))
+    // contracted edge set, one undirected copy per edge
+    var ce = truncate(p.select(col("__a").as("ca"), col("__b").as("cb")).distinct())
+    val debug = sys.env.contains("GRAFT_COMP_DEBUG")
+    var round = 0
+    while (!ce.isEmpty) {
+      val tRound = System.nanoTime()
+      // m0(c) = min(c, smallest neighbor) over the contracted graph
+      val m0 = ce.select(col("ca").as("c"), col("cb").as("n"))
+        .unionByName(ce.select(col("cb").as("c"), col("ca").as("n")))
+        .groupBy("c").agg(min(col("n")).as("__mn"))
+        .select(col("c"), least(col("c"), col("__mn")).as("m")).persist()
+      // one pointer-doubling pass on the (small, shrinking) mapping
+      val m = m0.join(m0.select(col("c").as("m"), col("m").as("__m2")), Seq("m"), "left_outer")
+        .select(col("c"), coalesce(col("__m2"), col("m")).as("m")).persist()
+      // vertices relabel through the mapping (supernodes without edges
+      // are absent from m -> keep their label)
+      labels = truncate(labels
+        .join(m.select(col("c").as("component"), col("m")), Seq("component"), "left_outer")
+        .select(col("id"), coalesce(col("m"), col("component")).as("component")))
+      // CONTRACTION: rewrite edges onto supernodes, drop self-loops,
+      // normalize orientation, dedupe — the edge set shrinks every round
+      ce = truncate(ce
+        .join(m.select(col("c").as("ca"), col("m").as("__ma")), Seq("ca"), "left_outer")
+        .join(m.select(col("c").as("cb"), col("m").as("__mb")), Seq("cb"), "left_outer")
+        .select(coalesce(col("__ma"), col("ca")).as("ca"),
+          coalesce(col("__mb"), col("cb")).as("cb"))
+        .where(col("ca") =!= col("cb"))
+        .select(least(col("ca"), col("cb")).as("ca"),
+          greatest(col("ca"), col("cb")).as("cb"))
         .distinct())
-    // LINEAGE TRUNCATION per round (eager): an iterative DataFrame loop
-    // otherwise doubles its logical plan every round (the pointer jump
-    // references `stepped` twice, stepped references the previous
-    // round...) and Catalyst re-analyzes a 2^rounds tree even though
-    // execution would read cache — measured 100 s at sf0.1 where the
-    // truncated loop takes seconds.
-    var labels = truncate(edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")))
-    // convergence via the label-sum invariant: labels only ever DECREASE,
-    // so sum(component) is strictly monotone until the fixpoint — one
-    // cheap aggregate per round instead of a change-detection join
-    // (decimal(38,0): 10^12 vertices x 10^12-sized ids overflow a long)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-    var prev = labelSum(labels)
-    var converged = false
-    while (!converged) {
-      val nbr = edges.join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("component", "__nl"), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__cand"))
-      val stepped = truncate(labels.join(nbr, Seq("id"), "left_outer")
-        .withColumn("__next", least(col("component"), coalesce(col("__cand"), col("component"))))
-        .select(col("id"), col("__next").as("component"))) // materialized once; feeds both jump sides
-      // pointer jumping: relabel through the label graph itself
-      // (component <- label(component); component values are always
-      // vertex ids, so the lookup is total) — rounds drop from the
-      // component diameter to ~log2(diameter)
-      val next = truncate(stepped.join(
-          stepped.select(col("id").as("component"), col("component").as("__jump")),
-          Seq("component"), "left_outer")
-        .select(col("id"), coalesce(col("__jump"), col("component")).as("component")))
-      val cur = labelSum(next)
-      converged = cur.compareTo(prev) == 0
-      prev = cur
-      labels = next
+      m0.unpersist(false); m.unpersist(false)
+      round += 1
+      if (debug) println(f"COMP round=$round ${(System.nanoTime() - tRound) / 1e9}%.2f s")
     }
     labels
   }

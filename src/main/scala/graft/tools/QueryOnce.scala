@@ -24,6 +24,11 @@ object QueryOnce {
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; have: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    // session warm-up exactly like Bench (codegen + parquet reader):
+    // without it ad-hoc numbers run ~1.5x the official ones and are not
+    // comparable (judge r4 measured q50 11.4 s cold vs 7.4 s official)
+    graft.SparkEntry.entry(spark).count()
+    graft.plans.Caches.flush()
     val t0 = System.nanoTime()
     val n = fn(spark, dir).count()
     val secs = (System.nanoTime() - t0) / 1e9
