@@ -148,6 +148,40 @@ object KNN {
   }
 
   /**
+   * CALLABLE weighting — the engine analogue of the reference's
+   * weights-callable surface (transformers.py:235-283 passes `weights`
+   * straight to sklearn's KNeighborsRegressor, which accepts a callable
+   * mapping the neighbor-distance array to weights): `weight` maps the
+   * distance Column to a weight Column, pure Column arithmetic, so a
+   * user kernel (gaussian `d => exp(-d*d/h2)`, tricube, rank-free
+   * integer weights...) stays inside WholeStageCodegen — no UDF.
+   * Weighted mean = sum(w*y)/sum(w) per probe, one hash-agg shuffle
+   * with map-side partials. The weight function owns the zero-distance
+   * policy (the built-in "distance" mode's exact-hit rule lives in
+   * [[meanFeature]]); oracle-exactness requires integral weights (sums
+   * of floats are combine-order-dependent — q71 uses floor weights).
+   */
+  def meanFeatureWith(knn: DataFrame, probeId: String, yCol: String,
+                      weight: Column => Column, out: String = "knn_y"): DataFrame = {
+    val w = weight(col("__dist"))
+    knn.groupBy(col(probeId))
+      .agg(sum(w * col(yCol)).as("__wsum"), sum(w).as("__wtot"))
+      .withColumn(out, col("__wsum") / col("__wtot"))
+      .drop("__wsum", "__wtot")
+  }
+
+  /** [[modeFeature]] with a callable vote weight (same contract as
+    * [[meanFeatureWith]]). */
+  def modeFeatureWith(knn: DataFrame, probeId: String, yCol: String,
+                      weight: Column => Column, out: String = "knn_y"): DataFrame = {
+    val votes = knn.groupBy(col(probeId), col(yCol))
+      .agg(sum(weight(col("__dist"))).as("__votes"))
+    votes.groupBy(col(probeId))
+      .agg(top_k(struct((-col("__votes")).as("__nv"), col(yCol).as(yCol)), 1).as("__top"))
+      .select(col(probeId), element_at(col("__top"), 1).getField(yCol).as(out))
+  }
+
+  /**
    * Weighted MODE of a categorical `yCol` over the k neighbors; ties
    * break toward the smallest category (scipy.stats.mode semantics the
    * reference inherits).

@@ -66,6 +66,16 @@ object GeoQueries {
       KNN.meanFeature(knn, "pid", "y", weighting = "uniform")
     }),
 
+    // kNN CALLABLE weighting (transformers.py:235-283 accepts a weights
+    // callable): a user Column->Column kernel — integral floor weights
+    // keep the oracle's sums combine-order-free, hence exact.
+    "q71_knn_callable" -> ((s, dir) => {
+      val knn = KNN.join(probes(s, dir), "pid", "plon", "plat",
+        train(s, dir), "tlon", "tlat", "tid", K, KnnRes)
+      KNN.meanFeatureWith(knn, "pid", "y",
+        d => floor(lit(100.0) / (lit(1.0) + d)))
+    }),
+
     // to_crs nearest re-gridding through an affine pseudo-CRS
     // (raster.py:1711-1866, nearest = default resampling).
     "q23_to_crs" -> ((s, _) => {
@@ -289,6 +299,10 @@ object GeoQueries {
 
     "q22_knn_mean" ->
       s"SELECT pid, AVG(y) AS knn_y FROM (SELECT * FROM $knnRankedSql WHERE rnk <= $K) GROUP BY pid",
+
+    "q71_knn_callable" ->
+      s"""SELECT pid, SUM(FLOOR(100.0 / (1.0 + dist)) * y) / SUM(FLOOR(100.0 / (1.0 + dist))) AS knn_y
+         |FROM (SELECT * FROM $knnRankedSql WHERE rnk <= $K) GROUP BY pid""".stripMargin,
 
     "q23_to_crs" -> {
       val tx = RasterStack.xSql(TargetG, "tcol"); val ty = RasterStack.ySql(TargetG, "trow")

@@ -95,6 +95,28 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(m === 3.0)
   }
 
+  test("kNN callable weights: uniform callable ≡ built-in uniform; gaussian kernel runs") {
+    import spark.implicits._
+    val probes = Seq((1L, 0.0, 0.0), (2L, 3.0, 3.0)).toDF("pid", "plon", "plat")
+    val train = Seq((10L, 0.1, 0.0, 7.0), (11L, 0.0, 0.1, 5.0), (12L, 1.1, 1.1, 3.0),
+      (13L, 3.2, 3.0, 1.0), (14L, 3.0, 3.3, 9.0)).toDF("tid", "tlon", "tlat", "y")
+    val knn = KNN.join(probes, "pid", "plon", "plat", train, "tlon", "tlat", "tid", 3, 4)
+    def byPid(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val uniform = byPid(KNN.meanFeature(knn, "pid", "y", "uniform"))
+    val callable = byPid(KNN.meanFeatureWith(knn, "pid", "y", _ => lit(1.0)))
+    assert(uniform === callable)
+    // a real kernel (gaussian, h=1): weights differ, result stays a
+    // convex combination of the neighbor targets
+    val gauss = byPid(KNN.meanFeatureWith(knn, "pid", "y",
+      d => exp(-(d * d) / lit(2.0))))
+    gauss.foreach { case (_, v) => assert(v >= 1.0 && v <= 9.0) }
+    assert(gauss(1L) !== uniform(1L)) // weighting actually applied
+    // callable mode: heavily weighting the farthest vote flips the winner
+    val far = byPid(KNN.modeFeatureWith(knn, "pid", "y", d => d * d * d))
+    assert(far(1L) === 3.0) // tid 12 is farthest of probe 1's top-3
+  }
+
   test("q39 fixture invariant: documents text is pure ASCII (oracle frames bytes via ord())") {
     import spark.implicits._
     // the q39 oracle sums ord() per character; Spark sums UTF-8 bytes —
@@ -383,6 +405,33 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
           array(array(lit(-50.0), lit(50.0), lit(50.0), lit(-50.0))),
           array(array(lit(-1.0), lit(-1.0), lit(1.0), lit(1.0)))).as("in"))
         .where(col("in")).count() > 0)
+      graft.plans.Caches.flush()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
+  test("vector kernels stay constant-size at dim=1024: production-dim codegen proof") {
+    // the looping-kernel claim is that generated code size is CONSTANT in
+    // dim (matrices ship via ctx.addReferenceObj) — pin it at a real
+    // production embedding width, not just the dim=64 fixture
+    val dim = 1024
+    val big = spark.range(400).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        i => pmod(col("id") * 31L + i.cast("long"), lit(97L)).cast("float") - lit(48.0f))
+        .as("embedding"))
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(Similarity.lshTopK(big, "vec_id", "embedding",
+        col("vec_id") % 25 === 0, 5, 8, dim, 2).count() > 0)
+      assert(Similarity.ivfTopK(big, "vec_id", "embedding",
+        col("vec_id") % 25 === 0, 5, 16, 4, dim).count() > 0)
+      assert(Similarity.nearDupPairs(big, "vec_id", "embedding",
+        0.999999, 8, dim).count() >= 0)
       graft.plans.Caches.flush()
     } finally {
       prev match {

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * PLAN-SHAPE regression audit (the round-4 rewrites, promoted from an
+ * ad-hoc printer to failing tests): every top-k path must stay a
+ * bounded-heap ObjectHashAggregate — reintroducing a rank window (or a
+ * cartesian/nested-loop join) in any of these operators fails here.
+ * IOSpec separately asserts the zero-Exchange bucketed-join layouts.
+ */
+class PlanAuditSpec extends AnyFunSuite with SparkSpec {
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def assertShape(name: String, df: DataFrame,
+                          mustContain: Seq[String] = Nil,
+                          mustNotContain: Seq[String] = Seq(
+                            "Window", "CartesianProduct", "BroadcastNestedLoopJoin")): Unit = {
+    val plan = planOf(df)
+    mustNotContain.foreach(bad =>
+      assert(!plan.contains(bad), s"$name: plan regressed — contains $bad\n$plan"))
+    mustContain.foreach(good =>
+      assert(plan.contains(good), s"$name: plan lost $good\n$plan"))
+  }
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val pages = graft.sources.Pages.withIdPoint(
+    graft.sources.Pages.fromDocuments(spark, "/root/testdata/sf0.001"), "doc_id")
+
+  test("kNN join: bounded-heap top_k aggregate, no rank window, no cross join") {
+    assertShape("knn", graft.operators.KNN.join(
+      pages.select(col("doc_id").as("pid"), col("lon").as("plon"), col("lat").as("plat")),
+      "pid", "plon", "plat",
+      pages.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("tid"), col("lon").as("tlon"), col("lat").as("tlat")),
+      "tlon", "tlat", "tid", 5, 4),
+      mustContain = Seq("ObjectHashAggregate"))
+    graft.plans.Caches.flush()
+  }
+
+  test("ANN LSH: top_k aggregate + native kernels, no window, no cross join") {
+    assertShape("ann_lsh", graft.operators.Similarity.lshTopK(
+      vecs, "vec_id", "embedding", col("vec_id") % 25 === 0, 10, 4, 64, 3),
+      mustContain = Seq("ObjectHashAggregate"))
+    graft.plans.Caches.flush()
+  }
+
+  test("sampleStrata: single top_k aggregate, no threshold/window machinery") {
+    assertShape("sample_strata", graft.queries.StackQueries.stack(spark)
+      .sampleStrata(graft.sources.RasterStack.strata(spark, graft.core.GridMeta.TestGrid), 20, 11),
+      mustContain = Seq("ObjectHashAggregate"))
+  }
+
+  test("jaccardPairs: band-join candidates, no window, no cross join") {
+    assertShape("jaccard", graft.operators.Dedup.jaccardPairs(
+      docs.select("doc_id", "text"), "doc_id", "text", threshold = 0.4))
+    graft.plans.Caches.flush()
+  }
+
+  test("pipJoinTableRings: cell-keyed equi-join, no broadcast nested loop") {
+    import spark.implicits._
+    val polys = Seq((1, Seq(Seq(-60.0, 40.0, 40.0, -60.0)), Seq(Seq(-40.0, -40.0, 40.0, 40.0))))
+      .toDF("poly_id", "xss", "yss")
+    assertShape("pip_rings",
+      graft.operators.SpatialJoin.pipJoinTableRings(pages, "lon", "lat", polys, "poly_id", 4))
+  }
+
+  test("warp mode: top_k winner aggregate, no rank window") {
+    val st = graft.queries.StackQueries.stack(spark).select(Seq("b1"))
+    assertShape("warp_mode", graft.operators.Warp.mode(st,
+      graft.queries.GeoQueries.TargetG, graft.operators.Warp.Identity).df,
+      mustContain = Seq("ObjectHashAggregate"))
+    graft.plans.Caches.flush()
+  }
+}
