@@ -98,6 +98,16 @@ object Extract {
    */
   def linesFrom(stack: Stack, linesDf: DataFrame): DataFrame =
     Rasterize.linesTable(linesDf, stack.meta).join(stack.df, Seq("row", "col"))
+
+  /**
+   * extract_vector(polygons) from a rings TABLE — the vector-FILE path
+   * ([[graft.sources.GeoJson.readPolygons]] feeds this): same semantics
+   * as [[vector]] (all_touched default, last-wins), geometries stay
+   * distributed ([[Rasterize.polyTable]]).
+   */
+  def vectorFrom(stack: Stack, polysDf: DataFrame,
+                 allTouched: Boolean = true): DataFrame =
+    Rasterize.polyTable(polysDf, stack.meta, allTouched).join(stack.df, Seq("row", "col"))
 }
 
 /**
@@ -148,6 +158,34 @@ object Rasterize {
         .map { case (r, c) => (r, c, id) }
     }.toDF("row", "col", "line_id")
     burned.groupBy("row", "col").agg(max(col("line_id")).as("line_id"))
+  }
+
+  /**
+   * Rasterization of a polygon RINGS TABLE `(poly_id, xss, yss)` — the
+   * distributed path for vector-file layers
+   * ([[graft.sources.GeoJson.readPolygons]] feeds this): each row's
+   * rings (shell + holes, even-odd) scanline-fill and boundary-walk
+   * inside its own task, identical kernels to [[apply]]; last-wins
+   * max(id) per pixel in one hash-agg shuffle. GeoJSON's duplicated
+   * closing vertex contributes a zero-length edge (no crossing, no new
+   * boundary cell) — harmless, kept as-is.
+   */
+  def polyTable(polysDf: DataFrame, meta: GridMeta,
+                allTouched: Boolean = true): DataFrame = {
+    require(meta.b == 0.0 && meta.d == 0.0, "rasterize requires a north-up grid")
+    val spark = polysDf.sparkSession
+    import spark.implicits._
+    polysDf.select(col("poly_id").cast("int"),
+        col("xss").cast("array<array<double>>"), col("yss").cast("array<array<double>>"))
+      .as[(Int, Seq[Seq[Double]], Seq[Seq[Double]])]
+      .flatMap { case (id, xss, yss) =>
+        val rings = xss.zip(yss).map { case (xs, ys) => xs.zip(ys).toArray }
+        val p = graft.core.Polygon(id, rings.head, rings.tail.toArray)
+        val fill = scanlineFill(p, meta)
+        val touched = if (allTouched) boundary(p, meta) else Iterator.empty
+        (fill ++ touched).map { case (r, c) => (r, c, id) }
+      }.toDF("row", "col", "poly_id")
+      .groupBy("row", "col").agg(max(col("poly_id")).as("poly_id"))
   }
 
   /**

@@ -210,8 +210,9 @@ object Similarity {
    * means are combine-order-dependent in the last ulps).
    */
   def trainCentroids(vecs: DataFrame, vecCol: String, k: Int, dim: Int,
-                     iters: Int): Array[Array[Double]] = {
-    var cents = Array.tabulate(k, dim)((c, d) => centroidVal(c, d))
+                     iters: Int,
+                     init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
+    var cents = init.getOrElse(Array.tabulate(k, dim)((c, d) => centroidVal(c, d)))
     for (_ <- 0 until iters) {
       val assigned = vecs.select(col(vecCol).as("__v"))
         .withColumn("__sc", scoresOf(col("__v"), cents))
@@ -235,6 +236,105 @@ object Similarity {
     val v2 = dot(col(vecCol), col(vecCol))
     vecs.select((array_min(scoresOf(col(vecCol), cents)) + v2).as("__o"))
       .agg(avg(col("__o"))).collect()(0).getDouble(0)
+  }
+
+  // ---------------------------------------------------------------------
+  // IVF-PQ: product-quantized ANN — the memory-bound scale path. Corpus
+  // vectors compress to `mSub` small codes (argmin against deterministic
+  // sub-codebooks; the code table is mSub ints per vector instead of the
+  // raw floats), queries rank candidates by ADC (asymmetric distance:
+  // per-query lookup tables, summed per subspace) — at 100 TB the probed
+  // lists scan bytes-per-vector, not KB, and the raw embeddings never
+  // cross the candidate join. Non-residual variant (codes quantize the
+  // vector itself, not v - centroid; ScaNN-style), which keeps the
+  // oracle a pure replay of the same folds. Deterministic codebooks from
+  // the shared plane stream (rows 128+, disjoint from LSH 0..11 and IVF
+  // 64+); a trained codebook drops in through the same scoresOf calls.
+  // ---------------------------------------------------------------------
+
+  /** Sub-codebook `m` (ks entries x sub dims), plane stream 128+ — the
+    * deterministic INITIALIZATION; real recall needs Lloyd-trained
+    * books ([[trainPqCodebooks]] -> frozen literals, the q62 pattern:
+    * untrained random codebooks quantize so coarsely that ADC recall
+    * collapses, measured 0.14 vs the 0.475 IVF-pruning ceiling on the
+    * sf0.001 fixture — trained books recover most of the ceiling). */
+  def pqCodebook(m: Int, ks: Int, sub: Int): Array[Array[Double]] =
+    Array.tabulate(ks, sub)((k, d) => planeVal(128 + m * ks + k, d))
+
+  /** Lloyd-train the `mSub` PQ sub-codebooks (one small k-means per
+    * subspace over the SLICED vectors, initialized from the
+    * deterministic books). Freeze the result as literals for
+    * oracle-exact plans (`tools.FreezePq` -> `queries.TrainedPq`). */
+  def trainPqCodebooks(vecs: DataFrame, vecCol: String, mSub: Int, ks: Int,
+                       dim: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val sub = dim / mSub
+    require(mSub * sub == dim, s"dim $dim must divide into $mSub subspaces")
+    (0 until mSub).toArray.map { m =>
+      val sliced = vecs.select(slice(col(vecCol), m * sub + 1, sub).as("__sv"))
+      trainCentroids(sliced, "__sv", ks, sub, iters, Some(pqCodebook(m, ks, sub)))
+    }
+  }
+
+  /**
+   * IVF-PQ top-k: coarse IVF lists prune candidates (same probe plan as
+   * [[ivfTopK]]); within probed lists, candidates rank by the ADC
+   * approximation of squared L2 (sum over subspaces of the query's
+   * lookup-table entry at the corpus code — exact ranking equivalence to
+   * ||q_m - c||^2 per subspace since the per-query ||q_m||^2 constant
+   * drops). Returns (query_id, rnk, nbr_id, adc); ties break by nbr_id.
+   */
+  def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                isQuery: Column, k: Int, nCentroids: Int, nProbe: Int,
+                mSub: Int, ks: Int, dim: Int): DataFrame =
+    ivfPqTopKWith(vecs, idCol, vecCol, isQuery, k, nCentroids, nProbe, dim,
+      Array.tabulate(mSub)(m => pqCodebook(m, ks, dim / mSub)))
+
+  /** [[ivfPqTopK]] over EXPLICIT sub-codebooks (e.g. the Lloyd-trained
+    * frozen `queries.TrainedPq.Codebooks`). */
+  def ivfPqTopKWith(vecs: DataFrame, idCol: String, vecCol: String,
+                    isQuery: Column, k: Int, nCentroids: Int, nProbe: Int,
+                    dim: Int, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val mSub = codebooks.length
+    val sub = dim / mSub
+    require(mSub * sub == dim, s"dim $dim must divide into $mSub subspaces")
+    var b = vecs.select(col(idCol), col(vecCol), isQuery.as("__isq"))
+      .withColumn("__sc", ivfScores(col(vecCol), nCentroids, dim))
+    for (m <- 0 until mSub)
+      b = b.withColumn(s"__pq_$m",
+        scoresOf(slice(col(vecCol), m * sub + 1, sub), codebooks(m)))
+    val base = graft.plans.Caches.track(b)
+    // corpus side: list id + the mSub codes — 4 bytes per subspace, no vectors
+    val corpus = base
+      .withColumn("cell", expr("array_position(__sc, array_min(__sc))"))
+      .select(Seq(col("cell"), col(idCol).as("nbr_id")) ++ (0 until mSub).map(m =>
+        expr(s"array_position(__pq_$m, array_min(__pq_$m))").as(s"__code_$m")): _*)
+    // query side: nProbe nearest lists + the ADC lookup tables (bounded
+    // window — nCentroids rows per query, the ivfTopKScored rationale)
+    val qexp = base.where(col("__isq"))
+      .select(Seq(col(idCol).as("query_id")) ++ (0 until mSub).map(m => col(s"__pq_$m")) :+
+        posexplode(col("__sc")): _*)
+      .withColumn("cid", (col("pos") + 1).cast("long"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("col"), col("cid"))
+    val probes = qexp.withColumn("__rn", row_number().over(wq)).where(col("__rn") <= nProbe)
+      .select(Seq(col("query_id"), col("cid")) ++ (0 until mSub).map(m => col(s"__pq_$m")): _*)
+    val adc = (0 until mSub).map(m =>
+      element_at(col(s"__pq_$m"), col(s"__code_$m").cast("int"))).reduce(_ + _)
+    val pairs = probes.join(corpus, col("cid") === col("cell"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("__adc", adc)
+    pairs.groupBy(col("query_id"))
+      .agg(graft.functions.top_k(struct(col("__adc").as("__adc"),
+        col("nbr_id").as("nbr_id")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("col.nbr_id").as("nbr_id"), col("col.__adc").as("adc"))
+  }
+
+  /** SQL twin of the per-subspace ADC table (scores of the sliced query
+    * vector against sub-codebook `m`) — DuckDB 1-based inclusive slice. */
+  def pqTableSql(v: String, m: Int, cb: Array[Array[Double]]): String = {
+    val sub = cb.head.length
+    scoresOfSql(s"($v[${m * sub + 1}:${(m + 1) * sub}])", cb)
   }
 
   private def ivfTopKScored(vecs: DataFrame, idCol: String, vecCol: String,

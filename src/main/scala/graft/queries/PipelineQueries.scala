@@ -154,6 +154,14 @@ object PipelineQueries {
       Similarity.ivfTopKTrained(vecs(s, dir), "vec_id", "embedding",
         col("vec_id") % 25 === 0, k = 10, nProbe = 4, TrainedIvf.Centroids)),
 
+    // ANN: IVF-PQ — product-quantized candidates (8 subspaces x 16
+    // codes; corpus crosses the probe join as CODES, never vectors) with
+    // ADC ranking. The memory-bound third scale path beside LSH/IVF-flat.
+    "q73_ann_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopKWith(vecs(s, dir), "vec_id", "embedding",
+        col("vec_id") % 25 === 0, k = 10, nCentroids = 16, nProbe = 4,
+        dim = Dim, codebooks = TrainedPq.Codebooks)),
+
     // Embedding-cosine near-duplicate pairs (planted near-dups above).
     "q38_near_dup_embed" -> ((s, dir) =>
       Similarity.nearDupPairs(vecsNear(s, dir), "vec_id", "embedding",
@@ -342,6 +350,32 @@ object PipelineQueries {
          |   ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY $cos DESC, c.nbr_id) AS rnk
          | FROM probes p JOIN corpus c ON c.cell = p.cid
          | JOIN embeddings qe ON qe.vec_id = p.query_id
+         | WHERE c.nbr_id <> p.query_id)
+         |WHERE rnk <= 10""".stripMargin
+    },
+
+    "q73_ann_ivfpq" -> {
+      val mSub = TrainedPq.Codebooks.length
+      val tabs = (0 until mSub).map(m =>
+        s"${Similarity.pqTableSql("embedding", m, TrainedPq.Codebooks(m))} AS pq$m").mkString(",\n   ")
+      val codes = (0 until mSub).map(m =>
+        s"CAST(list_position(pq$m, list_min(pq$m)) AS INT) AS code$m").mkString(", ")
+      val adc = (0 until mSub).map(m => s"p.pq$m[c.code$m]")
+        .reduce((a, b) => s"($a + $b)")
+      s"""WITH base AS (SELECT vec_id, embedding,
+         |   ${Similarity.ivfScoresSql("embedding", 16, Dim)} AS sc,
+         |   $tabs FROM embeddings),
+         |corpus AS (SELECT vec_id AS nbr_id,
+         |   CAST(list_position(sc, list_min(sc)) AS BIGINT) AS cell, $codes FROM base),
+         |probes AS (SELECT query_id, cid, ${(0 until mSub).map(m => s"pq$m").mkString(", ")} FROM (
+         |   SELECT vec_id AS query_id, CAST(t.i AS BIGINT) AS cid,
+         |     ${(0 until mSub).map(m => s"pq$m").mkString(", ")},
+         |     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc[t.i], t.i) AS rn
+         |   FROM base, range(1, 17) t(i) WHERE vec_id % 25 = 0) WHERE rn <= 4)
+         |SELECT query_id, rnk, nbr_id, adc FROM (
+         | SELECT p.query_id, c.nbr_id, $adc AS adc,
+         |   ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY $adc, c.nbr_id) AS rnk
+         | FROM probes p JOIN corpus c ON c.cell = p.cid
          | WHERE c.nbr_id <> p.query_id)
          |WHERE rnk <= 10""".stripMargin
     },

@@ -181,6 +181,16 @@ object StackQueries {
         .select("row", "col", "poly_id", "b1", "b4")
     }),
 
+    // extract_vector(polygons) from a parsed vector FILE: the same
+    // polygon layer round-trips through GeoJSON and rasterizes
+    // DISTRIBUTED from the rings table (GeoJson.readPolygons ->
+    // Rasterize.polyTable) — the q18 relation via the file path.
+    "q72_polys_geojson" -> ((s, _) => {
+      val polys = graft.sources.GeoJson.readPolygons(s, Fixtures.polysGeoJsonFile())
+      Extract.vectorFrom(stack(s), polys)
+        .select("row", "col", "poly_id", "b1", "b4")
+    }),
+
     // Band math + mask algebra (rasterlayer.py:152-347, §2.7/2.8).
     "q19_band_math" -> ((s, _) => {
       val d = stack(s).df
@@ -323,6 +333,29 @@ object StackQueries {
     }
   ) ++ oracles2
 
+  /** q18/q72 shared oracle: all_touched = center-inside OR boundary
+    * supercover. For the axis-aligned rect fixtures the Amanatides-Woo
+    * boundary walk reduces to the cell-space OUTLINE rectangle, whose
+    * corner cells are computed with the SAME (x - c)/a floor floats as
+    * the walker. */
+  private lazy val extractPolygonsOracle: String = {
+    def boundarySql(r: Fixtures.Rect): String = {
+      val cx0 = math.floor((r.xmin - G.c) / G.a).toLong
+      val cx1 = math.floor((r.xmax - G.c) / G.a).toLong
+      val ry0 = math.floor((r.ymax - G.f) / G.e).toLong
+      val ry1 = math.floor((r.ymin - G.f) / G.e).toLong
+      val (cL, cR) = (math.min(cx0, cx1), math.max(cx0, cx1))
+      val (rT, rB) = (math.min(ry0, ry1), math.max(ry0, ry1))
+      s"(((row = $rT OR row = $rB) AND col BETWEEN $cL AND $cR)" +
+        s" OR ((col = $cL OR col = $cR) AND row BETWEEN $rT AND $rB))"
+    }
+    val winner = Fixtures.Rects
+      .map(r => s"CASE WHEN ${Fixtures.rectSql(r, "x", "y")} OR ${boundarySql(r)} THEN ${r.id} ELSE -1 END")
+      .mkString("GREATEST(", ", ", ")")
+    s"""SELECT row, col, $winner AS poly_id, b1, b4 FROM $pixXySql
+       |WHERE $winner >= 0""".stripMargin
+  }
+
   /** q41/q69 shared oracle. */
   private lazy val extractLinesOracle: String = {
       // The oracle REPLAYS the Amanatides-Woo supercover walk as a
@@ -442,27 +475,10 @@ object StackQueries {
          |FROM ${gridSql(G)} l JOIN $pixSql g ON g.row = l.row AND g.col = l.col
          |WHERE ${RasterStack.labelsSqlWhere("l.row", "l.col")}""".stripMargin,
 
-    "q18_extract_polygons" -> {
-      // all_touched = center-inside OR boundary supercover. For the
-      // axis-aligned rect fixtures the Amanatides-Woo boundary walk
-      // reduces to the cell-space OUTLINE rectangle, whose corner cells
-      // are computed with the SAME (x - c)/a floor floats as the walker.
-      def boundarySql(r: Fixtures.Rect): String = {
-        val cx0 = math.floor((r.xmin - G.c) / G.a).toLong
-        val cx1 = math.floor((r.xmax - G.c) / G.a).toLong
-        val ry0 = math.floor((r.ymax - G.f) / G.e).toLong
-        val ry1 = math.floor((r.ymin - G.f) / G.e).toLong
-        val (cL, cR) = (math.min(cx0, cx1), math.max(cx0, cx1))
-        val (rT, rB) = (math.min(ry0, ry1), math.max(ry0, ry1))
-        s"(((row = $rT OR row = $rB) AND col BETWEEN $cL AND $cR)" +
-          s" OR ((col = $cL OR col = $cR) AND row BETWEEN $rT AND $rB))"
-      }
-      val winner = Fixtures.Rects
-        .map(r => s"CASE WHEN ${Fixtures.rectSql(r, "x", "y")} OR ${boundarySql(r)} THEN ${r.id} ELSE -1 END")
-        .mkString("GREATEST(", ", ", ")")
-      s"""SELECT row, col, $winner AS poly_id, b1, b4 FROM $pixXySql
-         |WHERE $winner >= 0""".stripMargin
-    },
+    "q18_extract_polygons" -> extractPolygonsOracle,
+
+    // identical relation through the GeoJSON-file path
+    "q72_polys_geojson" -> extractPolygonsOracle,
 
     "q19_band_math" ->
       s"""SELECT row, col,

@@ -111,6 +111,20 @@ object Fixtures {
     s"""{"type":"FeatureCollection","features":[${feats.mkString(",")}]}"""
   })
 
+  /** The [[Rects]] polygon layer as GeoJSON (closed rings, `id`
+    * property) — the vector-FILE fixture for `GeoJson.readPolygons`
+    * feeding `Rasterize.polyTable`; coordinates round-trip bit-exactly
+    * so the q18 oracle replays unchanged. */
+  def polysGeoJsonFile(): String = writeOnce("graft_fixture_polys.geojson", {
+    val feats = Rects.map { r =>
+      val ring = Seq((r.xmin, r.ymin), (r.xmax, r.ymin), (r.xmax, r.ymax),
+        (r.xmin, r.ymax), (r.xmin, r.ymin))
+        .map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
+      s"""{"type":"Feature","properties":{"id":${r.id}},"geometry":{"type":"Polygon","coordinates":[$ring]}}"""
+    }
+    s"""{"type":"FeatureCollection","features":[${feats.mkString(",")}]}"""
+  })
+
   private def writeOnce(name: String, content: => String): String = {
     val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), name)
     val bytes = content.getBytes("UTF-8")

@@ -441,6 +441,36 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("IVF-PQ: trained ADC recall beats untrained; ranks dense; overlap with exact") {
+    val k = 10
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      col("vec_id") % 25 === 0, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact & pairs).size.toDouble / exact.size
+    }
+    val det = Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
+      col("vec_id") % 25 === 0, k, nCentroids = 16, nProbe = 4,
+      mSub = 8, ks = 16, dim = 64).collect()
+    val trained = Similarity.ivfPqTopKWith(vecs, "vec_id", "embedding",
+      col("vec_id") % 25 === 0, k, nCentroids = 16, nProbe = 4, dim = 64,
+      graft.queries.TrainedPq.Codebooks).collect()
+    // context for the bars: the synthetic embeddings are i.i.d. random,
+    // so distances CONCENTRATE — the IVF-pruning ceiling itself is
+    // ~0.48 recall on this fixture and 64-bit PQ keeps ~45% of it
+    // (measured: untrained 0.14, trained 0.21). The spec pins the
+    // mechanism (dense exact ranks, deterministic) and the Lloyd lift,
+    // not SOTA recall on structureless data.
+    val rd = recallOf(det); val rt = recallOf(trained)
+    assert(rt >= rd, s"trained PQ books ($rt) must not lose to untrained ($rd)")
+    assert(rt > 0.15, s"trained IVF-PQ recall $rt vs exact")
+    trained.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1).toLong).sorted.toSeq === (1L to k))
+    }
+    graft.plans.Caches.flush()
+  }
+
   test("native minhash signature ≡ the Column tower, null under w words") {
     import spark.implicits._
     // real corpus texts plus edge shapes: double spaces (empty tokens),

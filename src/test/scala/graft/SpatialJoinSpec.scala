@@ -278,3 +278,38 @@ class GeoJsonVectorSpec extends AnyFunSuite with SparkSpec {
     assert(pos === Set((0, 1.5), (1, 3.5))) // positional ids
   }
 }
+
+/** Distributed rings-table rasterizer ≡ the driver-geometry rasterizer. */
+class PolyTableSpec extends AnyFunSuite with SparkSpec {
+  test("polyTable(GeoJSON rings) ≡ Rasterize(driver PolygonSet) on the rect layer") {
+    val g = graft.core.GridMeta.TestGrid
+    val fromFile = graft.operators.Rasterize.polyTable(
+        graft.sources.GeoJson.readPolygons(spark, Fixtures.polysGeoJsonFile()), g)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fromDriver = graft.operators.Rasterize(spark, Fixtures.Polys, g, allTouched = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromFile === fromDriver)
+    assert(fromFile.nonEmpty)
+  }
+
+  test("polyTable: holes subtract (even-odd across rings)") {
+    import spark.implicits._
+    val g = graft.core.GridMeta.northUp(0.0, 0.0, 10.0, 10.0, width = 20, height = 20)
+    // donut: shell 1..9, hole 3..7 (closed rings like GeoJSON)
+    val rings = Seq((5,
+      Seq(Seq(1.1, 8.9, 8.9, 1.1, 1.1), Seq(3.1, 6.9, 6.9, 3.1, 3.1)),
+      Seq(Seq(1.1, 1.1, 8.9, 8.9, 1.1), Seq(3.1, 3.1, 6.9, 6.9, 3.1))))
+      .toDF("poly_id", "xss", "yss")
+    val cells = graft.operators.Rasterize.polyTable(rings, g, allTouched = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pixel centers: (row, col) center = (0.5*(col+0.5), 10-0.5*(row+0.5))
+    def center(r: Long, c: Long) = (g.x(r, c), g.y(r, c))
+    val shellPoly = graft.core.Polygon(5,
+      Array((1.1, 1.1), (8.9, 1.1), (8.9, 8.9), (1.1, 8.9)),
+      Array(Array((3.1, 3.1), (6.9, 3.1), (6.9, 6.9), (3.1, 6.9))))
+    for (r <- 0L until 20L; c <- 0L until 20L) {
+      val (x, y) = center(r, c)
+      assert(cells.contains((r, c)) === shellPoly.contains(x, y), s"($r,$c) center ($x,$y)")
+    }
+  }
+}

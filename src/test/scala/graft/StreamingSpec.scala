@@ -117,6 +117,53 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     sPerTile.foreach { case (t, n) => assert(n <= k, s"tile $t") }
   }
 
+  test("firstKPerTileEventTime: late-but-in-horizon arrivals admit in GLOBAL event-time order") {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_seconds}
+    val events = spark.read.parquet(s"${sf("")}/events.parquet")
+      .select("event_id").limit(40)
+    val k = 3
+    // batch 1 = LATER events (ts 1000+id), batch 2 = EARLIER events
+    // (ts 10+id) — arrival order inverts event-time order across
+    // micro-batches; the horizon ("2 hours") keeps batch 2 non-late
+    val later = events.where(col("event_id") % 2 === 0)
+      .withColumn("ts", timestamp_seconds(lit(1577836800L) + lit(1000L) + col("event_id")))
+    val earlier = events.where(col("event_id") % 2 === 1)
+      .withColumn("ts", timestamp_seconds(lit(1577836800L) + lit(10L) + col("event_id")))
+    // batch 3 pushes the WATERMARK past batches 1+2 so their
+    // admissions finalize and emit before the query ends
+    val flush = events.limit(4)
+      .withColumn("ts", timestamp_seconds(lit(1577836800L) + lit(100000L) + col("event_id")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_firstk_et").toString
+    later.coalesce(1).write.parquet(s"$tmp/in")
+    Thread.sleep(1100) // distinct mtimes -> maxFilesPerTrigger ordering
+    earlier.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    Thread.sleep(1100)
+    flush.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val all = later.unionByName(earlier).unionByName(flush)
+    // batch twin = exact global top-k by (ts, id) per tile
+    val expected = StreamTiles.firstKPerTileEventTime(all, "ts", "event_id", G, 6, k)
+      .collect().map(a => (a.tile, a.id, a.arrival_rank)).toSet
+    // streaming: one file per micro-batch, later file before earlier
+    val sDf = StreamTiles.firstKPerTileEventTime(
+      spark.readStream.schema(later.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in"), "ts", "event_id", G, 6, k, watermark = "10 minutes")
+    val q = sDf.writeStream.outputMode("append")
+      .format("memory").queryName("firstk_et_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("firstk_et_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch-3 events stay pending at stop (the watermark never passes
+    // them), so the stream emits the finalized batch-1+2 admissions —
+    // which must agree exactly with the global event-time relation
+    assert(streamed.nonEmpty, "watermark flush emitted nothing")
+    assert(streamed.subsetOf(expected),
+      s"streamed admissions disagree with global event-time order:\n${streamed.diff(expected)}")
+    // the inverted arrival order is the point: EARLIER (odd-id) events
+    // arriving in a LATER micro-batch still claim their slots
+    assert(streamed.exists(_._2 % 2 == 1), "no late-arriving earlier event was admitted")
+  }
+
   test("streaming near-dup candidates at ingest: stream == batch twin == band relation") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val dir = sf("")
@@ -165,6 +212,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .trigger(Trigger.AvailableNow()).start()
     q2.processAllAvailable(); q2.stop()
     assert(pairSet(spark.table("snd_ts_out")) === bands)
+  }
+
+  test("hotBucketsStream: a planted hot bucket surfaces in streaming AND batch mode") {
+    import org.apache.spark.sql.functions.{col, concat, lit, timestamp_seconds}
+    val dir = sf("")
+    val d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    // plant 100 byte-identical docs: identical signatures -> 4 shared
+    // band buckets with >= 100 arrivals each (dedupText was NOT run,
+    // which is exactly the situation the audit exists to expose)
+    val hot = spark.range(100).crossJoin(d.limit(1).select(col("text")))
+      .select((col("id") + 500000L).as("doc_id"), col("text"))
+    val planted = d.unionByName(hot)
+      .withColumn("ts", timestamp_seconds(lit(1577836800L) + col("doc_id") % 60L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hotb").toString
+    planted.coalesce(1).write.parquet(s"$tmp/in")
+    // a far-future straggler in a SECOND micro-batch pushes the
+    // watermark past the first window so its buckets EMIT (append-mode
+    // windowed aggs only release closed windows); its own 1-doc bucket
+    // is under the threshold on both sides
+    Thread.sleep(1100)
+    val flushDoc = planted.limit(1)
+      .withColumn("ts", timestamp_seconds(lit(1577836800L + 172800L)))
+    flushDoc.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val streaming = StreamTiles.hotBucketsStream(
+      spark.readStream.schema(planted.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in"),
+      "ts", "doc_id", "text", threshold = 64L, watermark = "10 seconds")
+    val q = streaming.writeStream.outputMode("append")
+      .format("memory").queryName("hotb_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      df.select("bucket", "n_docs").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = buckets(spark.table("hotb_out"))
+    // the hot doc's 4 bands all exceed the cap
+    assert(got.size >= 4 && got.values.forall(_ >= 100L))
+    // batch twin: identical over-threshold relation (batch mode has no
+    // watermark gating, so run it over the same input incl. straggler)
+    val twin = buckets(StreamTiles.hotBucketsStream(
+      spark.read.parquet(s"$tmp/in"), "ts", "doc_id", "text",
+      threshold = 64L, watermark = "10 seconds"))
+    assert(got === twin)
   }
 
   test("stream-static extract: streaming events gain stack layer values, stream == batch") {
