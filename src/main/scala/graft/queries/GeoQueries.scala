@@ -227,6 +227,19 @@ object GeoQueries {
         RasterStack.stack(s, UtmSrcG).drop("x", "y"), UtmSrcG,
         RasterStack.NcBands.map(_.name)).select(Seq("b2", "b5"))
       st.toCrs(UtmCrs, "nearest", UtmCrs.epsg).df.select("row", "col", "b2", "b5")
+    }),
+
+    // to_crs average-pooling onto the UTM meter grid: the POOLING
+    // kernels consume the FORWARD series (source lon/lat pixel centers
+    // project through LonLatToUtm = crs.inverse of q68's transform) —
+    // pins the bidirectional contract on a real projected CRS. Exact:
+    // integral band sums, single division.
+    "q74_warp_utm_average" -> ((s, _) => {
+      import graft.sources.RasterStack
+      val st = graft.operators.Stack(
+        RasterStack.stack(s, UtmSrcG).drop("x", "y"), UtmSrcG,
+        RasterStack.NcBands.map(_.name)).select(Seq("b1", "b4"))
+      st.toCrs(UtmG, UtmCrs, "average").df.select("row", "col", "b1", "b4")
     })
   )
 
@@ -533,6 +546,26 @@ object GeoQueries {
          |    ${RasterStack.NcBands.filter(b => Set("b2", "b5")(b.name)).map(b => RasterStack.bandSql("row", "col", b) + s" AS ${b.name}").mkString(", ")}
          |  FROM ${RasterStack.gridSql(UtmSrcG)}) g
          |ON g.row = t.srow AND g.col = t.scol""".stripMargin
+    },
+
+    "q74_warp_utm_average" -> {
+      import OracleLit.d
+      val fwd = Warp.LonLatToUtm(31, north = true)
+      val x = RasterStack.xSql(UtmSrcG); val y = RasterStack.ySql(UtmSrcG)
+      val fx = fwd.sxSql(x, y); val fy = fwd.sySql(x, y)
+      val trow = s"CAST(FLOOR(($fy - ${d(UtmG.f)}) / (${d(UtmG.e)})) AS BIGINT)"
+      val tcol = s"CAST(FLOOR(($fx - ${d(UtmG.c)}) / (${d(UtmG.a)})) AS BIGINT)"
+      val pix = s"(SELECT row, col, ${Seq("b1", "b4").map(n => RasterStack.bandSql("row", "col", RasterStack.NcBands.find(_.name == n).get) + s" AS $n").mkString(", ")} FROM ${RasterStack.gridSql(UtmSrcG)})"
+      s"""SELECT t.row, t.col,
+         | CASE WHEN s.c1 > 0 THEN s.s1 / s.c1 END AS b1,
+         | CASE WHEN s.c4 > 0 THEN s.s4 / s.c4 END AS b4
+         |FROM ${RasterStack.gridSql(UtmG)} t
+         |LEFT JOIN (
+         | SELECT trow, tcol, SUM(b1) AS s1, COUNT(b1) AS c1, SUM(b4) AS s4, COUNT(b4) AS c4
+         | FROM (SELECT $trow AS trow, $tcol AS tcol, b1, b4 FROM $pix)
+         | WHERE trow >= 0 AND trow < ${UtmG.height} AND tcol >= 0 AND tcol < ${UtmG.width}
+         | GROUP BY 1, 2) s
+         |ON s.trow = t.row AND s.tcol = t.col""".stripMargin
     },
 
     "q49_to_crs_mercator" -> {
