@@ -72,6 +72,27 @@ object Utm {
     def sqrt(a: Double): Double = math.sqrt(a)
   }
 
+  /** Catalyst-Expression instance — for SQL function registration
+    * (`GraftExtensions`), where the builder must return a fully
+    * RESOLVED expression tree (round-tripping a composite Column
+    * through GraftBridge leaves unresolved function nodes). */
+  object ExprAr extends Ar[org.apache.spark.sql.catalyst.expressions.Expression] {
+    import org.apache.spark.sql.catalyst.expressions._
+    type E = Expression
+    def lit(d: Double): E = Literal(d)
+    def add(a: E, b: E): E = Add(a, b)
+    def sub(a: E, b: E): E = Subtract(a, b)
+    def mul(a: E, b: E): E = Multiply(a, b)
+    def div(a: E, b: E): E = Divide(a, b)
+    def neg(a: E): E = UnaryMinus(a)
+    def sin(a: E): E = Sin(a)
+    def cos(a: E): E = Cos(a)
+    def atan(a: E): E = Atan(a)
+    def exp(a: E): E = Exp(a)
+    def ln(a: E): E = Log(a)
+    def sqrt(a: E): E = Sqrt(a)
+  }
+
   object SqlAr extends Ar[String] {
     def lit(d: Double): String = graft.sources.OracleLit.d(d)
     def add(a: String, b: String): String = s"($a + $b)"

@@ -73,6 +73,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ClassCastExceptions on BIGINT literals and garbage-evals
     // non-foldable expressions — ADVICE r4)
     reg("top_k", args => graft.functions.BoundedTopK(args(0), intLiteral(args(1), "top_k k")))
+    // UTM transverse-Mercator surface for SQL users: zone and
+    // north (0/1) must be integer literals (they select plan constants)
+    import graft.operators.Utm
+    def utm(args: Seq[Expression],
+            f: (Expression, Expression, Int, Boolean) => Expression): Expression =
+      f(args(0), args(1), intLiteral(args(2), "utm zone"),
+        intLiteral(args(3), "utm north flag") != 0)
+    reg("utm_lon", args => utm(args, (e, n, z, nf) => Utm.invLonLat(e, n, z, nf)(Utm.ExprAr)._1))
+    reg("utm_lat", args => utm(args, (e, n, z, nf) => Utm.invLonLat(e, n, z, nf)(Utm.ExprAr)._2))
+    reg("utm_easting", args => utm(args, (lo, la, z, nf) => Utm.fwdEN(lo, la, z, nf)(Utm.ExprAr)._1))
+    reg("utm_northing", args => utm(args, (lo, la, z, nf) => Utm.fwdEN(lo, la, z, nf)(Utm.ExprAr)._2))
 
     e.injectOptimizerRule(_ => CellParentPruning)
     e.injectPlannerStrategy(_ => PipAssignStrategy)

@@ -62,6 +62,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(agg(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) === Seq(7L))
   }
 
+  test("round-5 SQL functions: utm_easting/northing + utm_lon/lat round-trip; literal validation") {
+    val r = spark.sql(
+      """SELECT utm_easting(3.0D, 0.0D, 31, 1) AS e0,
+        |       utm_northing(3.0D, 0.0D, 31, 1) AS n0,
+        |       utm_lon(utm_easting(5.1D, 47.3D, 31, 1),
+        |               utm_northing(5.1D, 47.3D, 31, 1), 31, 1) AS lon2,
+        |       utm_lat(utm_easting(5.1D, 47.3D, 31, 1),
+        |               utm_northing(5.1D, 47.3D, 31, 1), 31, 1) AS lat2
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) === 500000.0) // central meridian
+    assert(r.getDouble(1) === 0.0)      // equator
+    assert(math.abs(r.getDouble(2) - 5.1) < 1e-7)
+    assert(math.abs(r.getDouble(3) - 47.3) < 1e-7)
+    val ex = intercept[Exception](spark.sql("SELECT utm_lon(1.0D, 2.0D, id, 1) FROM range(1)"))
+    assert(ex.getMessage.contains("integer literal"))
+  }
+
   test("CellParentPruning rewrites parent-equality into a cell-id range (stats-prunable)") {
     import spark.implicits._
     val df = spark.range(100000)
