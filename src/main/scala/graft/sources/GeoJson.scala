@@ -54,6 +54,15 @@ object GeoJson {
     spark.read.option("multiLine", "true").schema(Schema).json(path)
       .select(posexplode(col("features"))).toDF("fidx", "f")
 
+  /** Loud-failure guard: a matching feature whose coordinates text did
+    * not parse into the expected nesting (from_json -> NULL) RAISES
+    * instead of silently dropping the geometry. */
+  private def parsedOrRaise(parsed: Column, what: String): Column =
+    when(parsed.isNotNull, parsed)
+      .otherwise(raise_error(concat(
+        lit(s"GeoJSON $what feature at position "), col("fidx").cast("string"),
+        lit(" has malformed coordinates"))))
+
   /** Feature id column under the strict-or-positional contract above. */
   private def featureId(idProperty: Option[String]): Column = idProperty match {
     case Some(p) =>
@@ -79,11 +88,12 @@ object GeoJson {
         from_json(coords, ArrayType(ArrayType(ArrayType(DoubleType)))))
       .when(gt === "MultiPolygon",
         flatten(from_json(coords, ArrayType(ArrayType(ArrayType(ArrayType(DoubleType)))))))
+    val ok = parsedOrRaise(rings, "polygon")
     features(spark, path).where(gt.isin("Polygon", "MultiPolygon"))
       .select(
         featureId(idProperty).as("poly_id"),
-        transform(rings, ring => transform(ring, v => element_at(v, 1))).as("xss"),
-        transform(rings, ring => transform(ring, v => element_at(v, 2))).as("yss"))
+        transform(ok, ring => transform(ring, v => element_at(v, 1))).as("xss"),
+        transform(ok, ring => transform(ring, v => element_at(v, 2))).as("yss"))
   }
 
   /**
@@ -95,12 +105,15 @@ object GeoJson {
                  idProperty: Option[String] = Some("id")): DataFrame = {
     val gt = col("f.geometry.type")
     val coords = col("f.geometry.coordinates")
+    // guards sit INSIDE the branches: array(null) is not null, so a
+    // wrapped malformed parse would sneak past an outer check
     val pts = when(gt === "Point",
-        array(from_json(coords, ArrayType(DoubleType))))
+        array(parsedOrRaise(from_json(coords, ArrayType(DoubleType)), "point")))
       .when(gt === "MultiPoint",
-        from_json(coords, ArrayType(ArrayType(DoubleType))))
+        parsedOrRaise(from_json(coords, ArrayType(ArrayType(DoubleType))), "point"))
     features(spark, path).where(gt.isin("Point", "MultiPoint"))
-      .select(featureId(idProperty).as("point_id"), explode(pts).as("__pt"))
+      .select(featureId(idProperty).as("point_id"),
+        explode(pts).as("__pt"))
       .select(col("point_id"),
         element_at(col("__pt"), 1).as("x"), element_at(col("__pt"), 2).as("y"))
   }
@@ -115,12 +128,14 @@ object GeoJson {
                 idProperty: Option[String] = Some("id")): DataFrame = {
     val gt = col("f.geometry.type")
     val coords = col("f.geometry.coordinates")
+    // inner guards: see readPoints
     val parts = when(gt === "LineString",
-        array(from_json(coords, ArrayType(ArrayType(DoubleType)))))
+        array(parsedOrRaise(from_json(coords, ArrayType(ArrayType(DoubleType))), "line")))
       .when(gt === "MultiLineString",
-        from_json(coords, ArrayType(ArrayType(ArrayType(DoubleType)))))
+        parsedOrRaise(from_json(coords, ArrayType(ArrayType(ArrayType(DoubleType)))), "line"))
     features(spark, path).where(gt.isin("LineString", "MultiLineString"))
-      .select(featureId(idProperty).as("line_id"), explode(parts).as("__part"))
+      .select(featureId(idProperty).as("line_id"),
+        explode(parts).as("__part"))
       .select(col("line_id"),
         transform(col("__part"), v => element_at(v, 1)).as("xs"),
         transform(col("__part"), v => element_at(v, 2)).as("ys"))

@@ -313,3 +313,22 @@ class PolyTableSpec extends AnyFunSuite with SparkSpec {
     }
   }
 }
+
+/** Malformed-geometry guard: bad coordinates RAISE, never silently drop. */
+class GeoJsonMalformedSpec extends AnyFunSuite with SparkSpec {
+  test("malformed Point coordinates raise instead of dropping") {
+    val gj =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"id":1},"geometry":{"type":"Point","coordinates":"oops"}}
+        |]}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_gj_bad")
+    val f = dir.resolve("bad.geojson")
+    java.nio.file.Files.write(f, gj.getBytes("UTF-8"))
+    val ex = intercept[Exception] {
+      graft.sources.GeoJson.readPoints(spark, f.toString).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("malformed coordinates")), msgs(ex).mkString(" | "))
+  }
+}
