@@ -101,6 +101,29 @@ package object functions {
     row >= 0L && row < g.height.toLong && col >= 0L && col < g.width.toLong
 
   /**
+   * FRACTIONAL grid position of a world point relative to pixel
+   * CENTERS (the interpolating warps' sampling coordinate: integer
+   * values sit exactly on centers). North-up grids keep the historic
+   * `(x - c) / a - 0.5` operation order (the warp oracles replay that
+   * text exactly); rotated/sheared grids go through the full inverse
+   * affine — the hazard this closes: the warp kernels used the
+   * north-up shortcut UNCONDITIONALLY, silently mis-sampling any
+   * b/d != 0 source grid.
+   */
+  def grid_colf(x: Column, y: Column, g: GridMeta): Column =
+    if (g.b == 0.0 && g.d == 0.0) (x - lit(g.c)) / lit(g.a) - lit(0.5)
+    else {
+      val det = g.a * g.e - g.b * g.d
+      (lit(g.e) * (x - lit(g.c)) - lit(g.b) * (y - lit(g.f))) / lit(det) - lit(0.5)
+    }
+  def grid_rowf(x: Column, y: Column, g: GridMeta): Column =
+    if (g.b == 0.0 && g.d == 0.0) (y - lit(g.f)) / lit(g.e) - lit(0.5)
+    else {
+      val det = g.a * g.e - g.b * g.d
+      (lit(-g.d) * (x - lit(g.c)) + lit(g.a) * (y - lit(g.f))) / lit(det) - lit(0.5)
+    }
+
+  /**
    * Tile id of pixel (row, col) for (th x tw) tiles, row-major with edge
    * clipping — the partition unit, Spark analogue of the reference's
    * block/window generator (reference raster.py:673-698).

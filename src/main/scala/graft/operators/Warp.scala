@@ -208,8 +208,8 @@ object Warp {
       .withColumn("__ty", grid_y(col("row"), col("col"), target))
       .withColumn("__sx", crs.sourceX(col("__tx"), col("__ty")))
       .withColumn("__sy", crs.sourceY(col("__tx"), col("__ty")))
-      .withColumn("__gx", (col("__sx") - lit(m.c)) / lit(m.a) - lit(0.5))
-      .withColumn("__gy", (col("__sy") - lit(m.f)) / lit(m.e) - lit(0.5))
+      .withColumn("__gx", grid_colf(col("__sx"), col("__sy"), m))
+      .withColumn("__gy", grid_rowf(col("__sx"), col("__sy"), m))
       .withColumn("__c0", floor(col("__gx")).cast("long"))
       .withColumn("__r0", floor(col("__gy")).cast("long"))
       .withColumn("__wx", col("__gx") - col("__c0").cast("double"))
@@ -383,8 +383,8 @@ object Warp {
       .withColumn("__ty", grid_y(col("row"), col("col"), target))
       .withColumn("__sx", crs.sourceX(col("__tx"), col("__ty")))
       .withColumn("__sy", crs.sourceY(col("__tx"), col("__ty")))
-      .withColumn("__gx", (col("__sx") - lit(m.c)) / lit(m.a) - lit(0.5))
-      .withColumn("__gy", (col("__sy") - lit(m.f)) / lit(m.e) - lit(0.5))
+      .withColumn("__gx", grid_colf(col("__sx"), col("__sy"), m))
+      .withColumn("__gy", grid_rowf(col("__sx"), col("__sy"), m))
       .withColumn("__c0", floor(col("__gx")).cast("long"))
       .withColumn("__r0", floor(col("__gy")).cast("long"))
       .withColumn("__wx", col("__gx") - col("__c0").cast("double"))

@@ -550,3 +550,47 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(cand.count() <= 15)
   }
 }
+
+/** Rotated/sheared source grids: the interpolating warps must sample
+  * through the FULL inverse affine (the north-up shortcut silently
+  * mis-sampled b/d != 0 grids before round 5). */
+class WarpRotatedSpec extends AnyFunSuite with SparkSpec {
+  test("bilinear on a sheared source grid matches the scalar gather") {
+    val g = graft.core.GridMeta(a = 0.5, b = 0.1, c = -10.0,
+      d = -0.05, e = -0.4, f = 8.0, width = 40, height = 30)
+    val st = graft.operators.Stack(
+      graft.sources.RasterStack.stack(spark, g).drop("x", "y"), g, Seq("b1"))
+    val target = graft.core.GridMeta.northUp(-8.0, -4.0, 6.0, 6.0, width = 20, height = 16)
+    val got = graft.operators.Warp.bilinear(st, target, graft.operators.Warp.Identity)
+      .df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // scalar twin of the synthetic band + the full-affine gather
+    val b = graft.sources.RasterStack.NcBands.head
+    def band(row: Long, c: Long): Option[Double] =
+      if (!g.inBounds(row, c)) None
+      else if ((row * 13 + c * 7 + b.k * 29) % 97 < 3) None
+      else Some(((row * b.p + c * b.q) % b.m).toDouble)
+    val det = g.a * g.e - g.b * g.d
+    var checked = 0
+    for (tr <- 0L until target.height.toLong; tc <- 0L until target.width.toLong) {
+      val x = target.x(tr, tc); val y = target.y(tr, tc)
+      val gx = (g.e * (x - g.c) - g.b * (y - g.f)) / det - 0.5
+      val gy = (-g.d * (x - g.c) + g.a * (y - g.f)) / det - 0.5
+      val c0 = math.floor(gx).toLong; val r0 = math.floor(gy).toLong
+      val wx = gx - c0; val wy = gy - r0
+      val vs = Seq(band(r0, c0), band(r0, c0 + 1), band(r0 + 1, c0), band(r0 + 1, c0 + 1))
+      val exp =
+        if (vs.exists(_.isEmpty)) None
+        else {
+          val Seq(v00, v01, v10, v11) = vs.map(_.get)
+          Some((1.0 - wy) * ((1.0 - wx) * v00 + wx * v01) + wy * ((1.0 - wx) * v10 + wx * v11))
+        }
+      (got((tr, tc)), exp) match {
+        case (Some(a1), Some(e1)) => assert(math.abs(a1 - e1) < 1e-9, s"($tr,$tc)"); checked += 1
+        case (None, None) =>
+        case (a1, e1) => fail(s"($tr,$tc): got $a1, expected $e1")
+      }
+    }
+    assert(checked > 50, s"only $checked interior pixels verified")
+  }
+}
