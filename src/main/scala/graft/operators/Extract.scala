@@ -180,6 +180,8 @@ object Rasterize {
       .as[(Int, Seq[Seq[Double]], Seq[Seq[Double]])]
       .flatMap { case (id, xss, yss) =>
         val rings = xss.zip(yss).map { case (xs, ys) => xs.zip(ys).toArray }
+        require(rings.nonEmpty && rings.head.length >= 3,
+          s"polygon $id has no valid shell ring (${rings.map(_.length).mkString(",")} vertices)")
         val p = graft.core.Polygon(id, rings.head, rings.tail.toArray)
         val fill = scanlineFill(p, meta)
         val touched = if (allTouched) boundary(p, meta) else Iterator.empty

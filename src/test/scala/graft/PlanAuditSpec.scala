@@ -69,6 +69,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       graft.operators.SpatialJoin.pipJoinTableRings(pages, "lon", "lat", polys, "poly_id", 4))
   }
 
+  test("IVF-PQ: codes-only candidate join, top_k aggregate, no cross join") {
+    // the bounded probe-list Window (nCentroids rows/query) is allowed —
+    // assert only against cartesian/nested-loop regressions + the agg
+    assertShape("ivfpq", graft.operators.Similarity.ivfPqTopKWith(
+      vecs, "vec_id", "embedding", col("vec_id") % 25 === 0,
+      10, 16, 4, 64, graft.queries.TrainedPq.Codebooks),
+      mustContain = Seq("ObjectHashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+    graft.plans.Caches.flush()
+  }
+
+  test("polyTable rasterize: hash-agg burn, no cartesian join") {
+    import spark.implicits._
+    val rings = Seq((1, Seq(Seq(-50.0, 40.0, 40.0, -50.0, -50.0)),
+      Seq(Seq(-30.0, -30.0, 30.0, 30.0, -30.0)))).toDF("poly_id", "xss", "yss")
+    assertShape("poly_table", graft.operators.Rasterize.polyTable(
+      rings, graft.core.GridMeta.TestGrid),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"))
+  }
+
   test("warp mode: top_k winner aggregate, no rank window") {
     val st = graft.queries.StackQueries.stack(spark).select(Seq("b1"))
     assertShape("warp_mode", graft.operators.Warp.mode(st,
