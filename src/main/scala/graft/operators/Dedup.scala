@@ -278,13 +278,16 @@ object Dedup {
     // an empty pair set is a normal outcome for a clean corpus
     if (p.isEmpty)
       return p.select(col("__a").as("id"), col("__b").as("component")).limit(0)
-    var labels = truncate(
+    var labels =
       p.select(col("__a").as("id")).unionByName(p.select(col("__b").as("id")))
-        .distinct().withColumn("component", col("id")))
+        .distinct().withColumn("component", col("id"))
     // contracted edge set, one undirected copy per edge
     var ce = truncate(p.select(col("__a").as("ca"), col("__b").as("cb")).distinct())
     val debug = sys.env.contains("GRAFT_COMP_DEBUG")
     var round = 0
+    // the per-round mappings stay PERSISTED until the final label
+    // materialization (the lazy label chain references every one)
+    val ms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (!ce.isEmpty) {
       val tRound = System.nanoTime()
       // m0(c) = min(c, smallest neighbor) over the contracted graph
@@ -295,13 +298,19 @@ object Dedup {
       // one pointer-doubling pass on the (small, shrinking) mapping
       val m = m0.join(m0.select(col("c").as("m"), col("m").as("__m2")), Seq("m"), "left_outer")
         .select(col("c"), coalesce(col("__m2"), col("m")).as("m")).persist()
+      ms += m0; ms += m
       // vertices relabel through the mapping (supernodes without edges
-      // are absent from m -> keep their label)
-      labels = truncate(labels
+      // are absent from m -> keep their label). LAZY on purpose: the
+      // label chain is only ~log(d) joins deep over persisted mappings,
+      // so it composes at the END in one job — materializing the full
+      // vertex frame every round was half the round constant
+      labels = labels
         .join(m.select(col("c").as("component"), col("m")), Seq("component"), "left_outer")
-        .select(col("id"), coalesce(col("m"), col("component")).as("component")))
+        .select(col("id"), coalesce(col("m"), col("component")).as("component"))
       // CONTRACTION: rewrite edges onto supernodes, drop self-loops,
-      // normalize orientation, dedupe — the edge set shrinks every round
+      // normalize orientation, dedupe — the edge set shrinks every
+      // round (this is the round's ONE eager materialization, and it
+      // also computes the m caches the lazy label chain will read)
       ce = truncate(ce
         .join(m.select(col("c").as("ca"), col("m").as("__ma")), Seq("ca"), "left_outer")
         .join(m.select(col("c").as("cb"), col("m").as("__mb")), Seq("cb"), "left_outer")
@@ -311,11 +320,12 @@ object Dedup {
         .select(least(col("ca"), col("cb")).as("ca"),
           greatest(col("ca"), col("cb")).as("cb"))
         .distinct())
-      m0.unpersist(false); m.unpersist(false)
       round += 1
       if (debug) println(f"COMP round=$round ${(System.nanoTime() - tRound) / 1e9}%.2f s")
     }
-    labels
+    val out = truncate(labels)
+    ms.foreach(_.unpersist(false))
+    out
   }
 
   /**
