@@ -58,6 +58,49 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /**
+   * STUB nearest-neighbor resize of a srcW x srcH byte raster payload
+   * to dstW x dstH (a real implementation would decode + rescale via a
+   * codec; the deterministic fake picks stride-sampled bytes, which
+   * pins the batch plumbing and is byte-replayable by the oracle).
+   * Payloads shorter than srcW*srcH resize to NULL (explicit, not a
+   * crash — filter or handle downstream).
+   */
+  def stubResize(bytes: Array[Byte], srcW: Int, srcH: Int,
+                 dstW: Int, dstH: Int): Array[Byte] = {
+    if (bytes == null || bytes.length < srcW * srcH) return null
+    val out = new Array[Byte](dstW * dstH)
+    var y = 0
+    while (y < dstH) {
+      val sy = y * srcH / dstH
+      var x = 0
+      while (x < dstW) {
+        out(y * dstW + x) = bytes(sy * srcW + x * srcW / dstW)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /**
+   * Resize operator: payload -> `resized` binary column, metadata
+   * passes through (`keep`). Batched per partition like
+   * [[sampleFrames]] — the mapInPandas-analogue plumbing is real, only
+   * the pixel math is the stub.
+   */
+  def resize(df: DataFrame, keep: Seq[String], binCol: String,
+             srcW: Int, srcH: Int, dstW: Int, dstH: Int): DataFrame = {
+    val keepFields = keep.map(n => df.schema(n))
+    val outSchema = StructType(keepFields :+ StructField("resized", BinaryType))
+    val keepIdx = keep.map(df.schema.fieldIndex)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.map { r =>
+      val base = keepIdx.map(r.get)
+      Row.fromSeq(base :+ stubResize(r.getAs[Array[Byte]](binIdx), srcW, srcH, dstW, dstH))
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Pure-Column twin of the stub (oracle-checkable): frame count + total byte sum. */
   def frameStats(df: DataFrame, binCol: String, frameLen: Int): DataFrame =
     df.withColumn("n_bytes", octet_length(col(binCol)))

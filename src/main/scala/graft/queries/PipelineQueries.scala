@@ -179,6 +179,17 @@ object PipelineQueries {
 
     // Multimodal plumbing: binary payload frame stats; the batched
     // frame-sampler (Dataset flatMap) feeds the per-doc frame count.
+    // Multimodal RESIZE plumbing (stub nearest-neighbor pixel math over
+    // a 16x16 byte raster view of the payload -> 4x4): batch shape +
+    // binary-out schema are real; the oracle replays the exact sampled
+    // byte positions and md5s the result.
+    "q75_resize_stub" -> ((s, dir) => {
+      val pages = graft.sources.Pages.fromDocuments(s, dir)
+        .where(octet_length(col("html")) >= 256)
+      Multimodal.resize(pages, Seq("doc_id"), "html", 16, 16, 4, 4)
+        .select(col("doc_id"), md5(col("resized")).as("rs_md5"))
+    }),
+
     "q39_multimodal" -> ((s, dir) => {
       val pages = graft.sources.Pages.fromDocuments(s, dir)
       val stats = Multimodal.frameStats(pages, "html", 64)
@@ -389,6 +400,17 @@ object PipelineQueries {
          |JOIN (SELECT bucket, vec_id AS id_b, embedding AS vb FROM bk) b
          |  ON a.bucket = b.bucket AND a.id_a < b.id_b
          |WHERE $cos >= 0.9""".stripMargin
+    },
+
+    "q75_resize_stub" -> {
+      // sampled positions: y,x in 0..3 -> src byte (y*4)*16 + x*4,
+      // 1-based substr over the ASCII html string (md5(string) ==
+      // md5(bytes) for ASCII — the q39 fixture invariant)
+      val html = "('<html><body>' || text || '</body></html>')"
+      val terms = (for (y <- 0 until 4; x <- 0 until 4)
+        yield s"substr($html, ${(y * 4) * 16 + x * 4 + 1}, 1)").mkString(" || ")
+      s"""SELECT doc_id, md5($terms) AS rs_md5
+         |FROM documents WHERE octet_length(encode($html)) >= 256""".stripMargin
     },
 
     "q39_multimodal" -> {
