@@ -38,6 +38,12 @@ object Warp {
     def inverse: CrsTransform
     /** Scalar twin of sourceX/sourceY (driver-side grid derivation). */
     def toSourcePt(x: Double, y: Double): (Double, Double)
+    /** True for transforms whose Column tree is large enough to blow
+      * janino's 64 KB method limit when INLINED into a fused hash-agg
+      * stage (the Krüger series): the pooling kernels then materialize
+      * the forward projection once instead of fusing it into the
+      * aggregation (silent interpreted fallback otherwise). */
+    def heavy: Boolean = false
   }
 
   /** Affine pseudo-CRS: sx = a*x + b*y + c, sy = d*x + e*y + f. */
@@ -162,6 +168,7 @@ object Warp {
       Utm.invLonLat(x, y, zone, north)(Utm.DblAr)
     def sxSql(x: String, y: String): String = Utm.invLonLat(x, y, zone, north)(Utm.SqlAr)._1
     def sySql(x: String, y: String): String = Utm.invLonLat(x, y, zone, north)(Utm.SqlAr)._2
+    override def heavy: Boolean = true
     /** EPSG name: 326xx north, 327xx south. */
     def epsg: String = f"EPSG:${if (north) 32600 + zone else 32700 + zone}%d"
   }
@@ -178,6 +185,7 @@ object Warp {
       Utm.fwdEN(x, y, zone, north)(Utm.DblAr)
     def sxSql(x: String, y: String): String = Utm.fwdEN(x, y, zone, north)(Utm.SqlAr)._1
     def sySql(x: String, y: String): String = Utm.fwdEN(x, y, zone, north)(Utm.SqlAr)._2
+    override def heavy: Boolean = true
   }
 
   /**
@@ -400,9 +408,22 @@ object Warp {
       max(when(col("__tag") === t, col(n))).as(s"__${n}_$t")))
     val agg = joined.groupBy(col("row"), col("col"), col("__wx"), col("__wy"))
       .agg(gathers.head, gathers.tail: _*)
-    val wxs = (0 until taps).map(i => expr(wF(i, "__wx")))
-    val wys = (0 until taps).map(j => expr(wF(j, "__wy")))
-    val out = stack.layers.foldLeft(agg) { (d, n) =>
+    // HOIST each separable weight into its own column before the
+    // interpolation projection: every weight is referenced `taps` times
+    // per layer downstream, so CollapseProject keeps this projection (it
+    // will not duplicate non-cheap expressions) and the generated output
+    // method computes each weight ONCE — inlining the 2x36 lanczos SIN
+    // weight texts blew janino's 64 KB method limit and the q57 stage
+    // silently ran interpreted. Values are bit-identical (same
+    // expressions, same order); only the generated-code shape changes.
+    val wAgg = agg.select(
+      (Seq(col("row"), col("col")) ++
+        stack.layers.flatMap(n => (0 until n2).map(t => col(s"__${n}_$t"))) ++
+        (0 until taps).map(i => expr(wF(i, "__wx")).as(s"__wxw_$i")) ++
+        (0 until taps).map(j => expr(wF(j, "__wy")).as(s"__wyw_$j"))): _*)
+    val wxs = (0 until taps).map(i => col(s"__wxw_$i"))
+    val wys = (0 until taps).map(j => col(s"__wyw_$j"))
+    val out = stack.layers.foldLeft(wAgg) { (d, n) =>
       val v = (0 until n2).map(t => col(s"__${n}_$t")) // t = j*taps + i
       val anyNull = v.map(_.isNull).reduce(_ || _)
       // separable fixed order: rowsum_j = sum_i wx_i * v[j*taps+i]; then
@@ -485,7 +506,7 @@ object Warp {
   private def forwardProject(stack: Stack, target: GridMeta,
                              srcToTarget: CrsTransform): DataFrame = {
     val m = stack.meta
-    stack.df
+    val proj = stack.df
       .withColumn("__x", grid_x(col("row"), col("col"), m))
       .withColumn("__y", grid_y(col("row"), col("col"), m))
       .withColumn("__tx", srcToTarget.sourceX(col("__x"), col("__y")))
@@ -493,6 +514,16 @@ object Warp {
       .withColumn("__trow", grid_row(col("__tx"), col("__ty"), target))
       .withColumn("__tcol", grid_col(col("__tx"), col("__ty"), target))
       .where(in_bounds(col("__trow"), col("__tcol"), target))
+    // heavy transforms (Krüger series) materialize once: fused into the
+    // downstream hash-agg the series exceeds janino's 64 KB method
+    // limit and the WHOLE agg stage bailed out of fusion. With the
+    // persist barrier the aggregation groups on bare cached attributes
+    // (fused, compiled); only the one-time cache BUILD projection may
+    // still exceed the fused-method limit, in which case it runs as a
+    // plain ProjectExec whose UnsafeProjection splits the expression
+    // into many small methods — codegen'd either way, never
+    // row-interpreted.
+    if (srcToTarget.heavy) graft.plans.Caches.track(proj) else proj
   }
 
   /**

@@ -179,6 +179,18 @@ object PipelineQueries {
 
     // Multimodal plumbing: binary payload frame stats; the batched
     // frame-sampler (Dataset flatMap) feeds the per-doc frame count.
+    // Hot-bucket audit, batch twin (hotBucketsStream on a batch frame):
+    // the boiler corpus' 500 byte-identical docs land their 4 band
+    // buckets over the 64-doc threshold — the silent-truncation guard
+    // the maxBucket cap discipline requires, oracle-checked.
+    "q76_hot_buckets" -> ((s, dir) => {
+      val c = corpusBoiler(s, dir)
+        .withColumn("ts", timestamp_seconds(lit(1577836800L) + col("doc_id") % 3600L))
+      graft.streaming.StreamTiles.hotBucketsStream(c, "ts", "doc_id", "text", threshold = 64L)
+        .select(col("window.start").cast("long").as("w_start"),
+          col("bucket"), col("n_docs"))
+    }),
+
     // Multimodal RESIZE plumbing (stub nearest-neighbor pixel math over
     // a 16x16 byte raster view of the payload -> 4x4): batch shape +
     // binary-out schema are real; the oracle replays the exact sampled
@@ -400,6 +412,19 @@ object PipelineQueries {
          |JOIN (SELECT bucket, vec_id AS id_b, embedding AS vb FROM bk) b
          |  ON a.bucket = b.bucket AND a.id_a < b.id_b
          |WHERE $cos >= 0.9""".stripMargin
+    },
+
+    "q76_hot_buckets" -> {
+      val sig = Dedup.minhashSignatureSql("string_split(text, ' ')", 3)
+      val bands = (0 until 4).map { bi =>
+        val key = (1 to 4).map(r => s"CAST(sig[${bi * 4 + r}] AS VARCHAR)").mkString(" || ',' || ")
+        s"SELECT w_start, CAST('$bi' AS VARCHAR) || '|' || ($key) AS bucket FROM sigs WHERE sig[1] IS NOT NULL"
+      }.mkString(" UNION ALL ")
+      s"""WITH sigs AS (SELECT doc_id,
+         |   (1577836800 + doc_id % 3600) // 3600 * 3600 AS w_start,
+         |   $sig AS sig FROM $corpusBoilerSql)
+         |SELECT CAST(w_start AS BIGINT) AS w_start, bucket, COUNT(*) AS n_docs
+         |FROM ($bands) GROUP BY 1, 2 HAVING COUNT(*) > 64""".stripMargin
     },
 
     "q75_resize_stub" -> {

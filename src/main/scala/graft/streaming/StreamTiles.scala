@@ -364,10 +364,28 @@ object StreamTiles {
                        watermark: String = "1 hour"): DataFrame = {
     val base = df.withColumn("__ts", col(tsCol).cast("timestamp"))
       .withWatermark("__ts", watermark)
-    bandProjection(base, idCol, textCol, w)
-      .groupBy(window(col("ts"), windowLen), col("bucket"))
+    // aggregate on NUMERIC keys (band idx + the 4 raw signature longs)
+    // and build the bucket STRING after the aggregation: concatenating
+    // the keys before the agg inlined the signature expression into the
+    // fused hash-agg codegen and blew janino's 64 KB method limit
+    // (silent interpreted fallback — the round-3 lesson)
+    val sig = base.select(col("__ts").as("ts"),
+        graft.operators.Dedup.minhashSignature(col(textCol), w).as("sig"))
+      .where(col("sig").isNotNull)
+    val banded = sig.select(Seq(col("ts"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          bi => slice(col("sig"), bi * 4 + lit(1), lit(4))))): _*)
+      .select(Seq(col("ts"), col("pos").as("band")) ++
+        (1 to 4).map(r => element_at(col("col"), r).as(s"__k$r")): _*)
+    banded
+      .groupBy(window(col("ts"), windowLen), col("band"),
+        col("__k1"), col("__k2"), col("__k3"), col("__k4"))
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") > threshold)
+      .select(col("window"),
+        concat_ws("|", col("band"),
+          concat_ws(",", col("__k1"), col("__k2"), col("__k3"), col("__k4"))).as("bucket"),
+        col("n_docs"))
   }
 
   /**
