@@ -67,6 +67,18 @@ object ScaleQueries {
         .toDF().select("tile", "id", "arrival_rank")
     }),
 
+    // EVENT-TIME admission variant, batch twin: on a complete batch
+    // frame the watermark-exact operator emits the global top-k by
+    // (event time, id) per tile directly — the same relation as q55's
+    // rank oracle, via the pending-buffer code path (StreamingSpec
+    // separately proves the stream mode finalizes the same admissions
+    // under inverted micro-batch arrival order).
+    "q77_firstk_eventtime" -> ((s, dir) => {
+      graft.streaming.StreamTiles.firstKPerTileEventTime(
+          s.read.parquet(s"$dir/events.parquet"), "ts", "event_id", G, res = 8, k = 5)
+        .toDF().select("tile", "id", "arrival_rank")
+    }),
+
     // Streaming exact-dedup BATCH TWIN (the compaction half of the
     // lambda split — StreamingSpec proves the md5 survivor set matches
     // the streaming dropDuplicatesWithinWatermark run): event-time-first
@@ -140,7 +152,14 @@ object ScaleQueries {
          |GROUP BY 1, 2""".stripMargin
     },
 
-    "q55_first_k_per_tile" -> {
+    "q55_first_k_per_tile" -> firstKOracle,
+
+    // same relation through the event-time admission code path
+    "q77_firstk_eventtime" -> firstKOracle
+  ) ++ oracles2
+
+  /** q55/q77 shared oracle. */
+  private lazy val firstKOracle: String = {
       val tpr = graft.core.Tiles.tilesPerRow(G.width, 64)
       // tsMillis replays Spark's timestamp->double->*1000->long cast
       // chain bit-exactly: us/1e6 double division, *1000.0, trunc
@@ -155,7 +174,10 @@ object ScaleQueries {
          |             FROM (SELECT ts, event_id, ${Pages.lonSql("event_id")} AS lon,
          |                          ${Pages.latSql("event_id")} AS lat FROM events))))
          |WHERE arrival_rank <= 5""".stripMargin
-    },
+  }
+
+  // lazy: referenced from `oracles` above its definition point
+  private lazy val oracles2: Map[String, String] = Map(
 
     "q60_stream_dedup" -> {
       val pack = graft.streaming.StreamTiles.TsPack
