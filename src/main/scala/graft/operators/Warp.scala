@@ -189,6 +189,45 @@ object Warp {
   }
 
   /**
+   * Lambert-conformal-conic CRS (e.g. RGF93 / Lambert-93 EPSG:2154,
+   * US State Plane), target->source direction: target world coordinates
+   * in LCC METERS back-project to source lon/lat DEGREES through the
+   * closed-form Snyder inverse ([[Lcc.invLonLat]]) — with UTM this
+   * covers the two projected families behind nearly every national
+   * grid the reference's `to_crs` reaches via pyproj
+   * (raster.py:1711-1866). Same [[Utm.Ar]] typeclass discipline: the
+   * Column tree and the SQL twins share one generic series, identical
+   * IEEE order by construction.
+   */
+  final case class LccToLonLat(p: Lcc.Params, epsg: String) extends CrsTransform {
+    override def sourceX(x: Column, y: Column): Column =
+      Lcc.invLonLat(x, y, p)(Utm.ColAr)._1
+    override def sourceY(x: Column, y: Column): Column =
+      Lcc.invLonLat(x, y, p)(Utm.ColAr)._2
+    override def inverse: CrsTransform = LonLatToLcc(p, epsg)
+    override def toSourcePt(x: Double, y: Double): (Double, Double) =
+      Lcc.invLonLat(x, y, p)(Utm.DblAr)
+    def sxSql(x: String, y: String): String = Lcc.invLonLat(x, y, p)(Utm.SqlAr)._1
+    def sySql(x: String, y: String): String = Lcc.invLonLat(x, y, p)(Utm.SqlAr)._2
+    override def heavy: Boolean = true
+  }
+
+  /** Forward LCC (lon/lat degrees -> conic meters) — srcToTarget for
+    * the pooling kernels and the defaultTarget bounds projection. */
+  final case class LonLatToLcc(p: Lcc.Params, epsg: String) extends CrsTransform {
+    override def sourceX(x: Column, y: Column): Column =
+      Lcc.fwdEN(x, y, p)(Utm.ColAr)._1
+    override def sourceY(x: Column, y: Column): Column =
+      Lcc.fwdEN(x, y, p)(Utm.ColAr)._2
+    override def inverse: CrsTransform = LccToLonLat(p, epsg)
+    override def toSourcePt(x: Double, y: Double): (Double, Double) =
+      Lcc.fwdEN(x, y, p)(Utm.DblAr)
+    def sxSql(x: String, y: String): String = Lcc.fwdEN(x, y, p)(Utm.SqlAr)._1
+    def sySql(x: String, y: String): String = Lcc.fwdEN(x, y, p)(Utm.SqlAr)._2
+    override def heavy: Boolean = true
+  }
+
+  /**
    * Nearest-neighbor warp of `stack` onto `target`. Returns a Stack on
    * the target grid. The join is a plain equi-join on source (row, col)
    * — shuffle-free probe side when the source stack is bucketed by tile.

@@ -240,6 +240,36 @@ object GeoQueries {
         RasterStack.stack(s, UtmSrcG).drop("x", "y"), UtmSrcG,
         RasterStack.NcBands.map(_.name)).select(Seq("b1", "b4"))
       st.toCrs(UtmG, UtmCrs, "average").df.select("row", "col", "b1", "b4")
+    }),
+
+    // to_crs onto a Lambert-conformal-conic grid (RGF93 / Lambert-93,
+    // EPSG:2154) — the SECOND projected family behind national grids
+    // (raster.py:1711-1866 accepts any pyproj CRS): nearest-warp a
+    // France lon/lat window onto the DERIVED conic meter grid
+    // (grid-less overload -> Warp.defaultTarget), target pixels
+    // back-projected through the closed-form Snyder inverse with the
+    // fixed-5x latitude iteration. The oracle instantiates the SAME
+    // generic series as SQL text (Utm.SqlAr via Lcc.invLonLat), so
+    // evaluation order is identical by construction.
+    "q78_to_crs_lcc" -> ((s, _) => {
+      import graft.sources.RasterStack
+      val st = graft.operators.Stack(
+        RasterStack.stack(s, LccSrcG).drop("x", "y"), LccSrcG,
+        RasterStack.NcBands.map(_.name)).select(Seq("b2", "b5"))
+      st.toCrs(LccCrs, "nearest", LccCrs.epsg).df.select("row", "col", "b2", "b5")
+    }),
+
+    // sum-pooling onto the Lambert-93 meter grid: the pooling kernels
+    // consume the FORWARD conic (source lon/lat pixel centers project
+    // through LonLatToLcc = crs.inverse of q78's transform) — pins the
+    // bidirectional LCC contract like q74 does for UTM. Exact:
+    // integral band sums, no division.
+    "q79_warp_lcc_sum" -> ((s, _) => {
+      import graft.sources.RasterStack
+      val st = graft.operators.Stack(
+        RasterStack.stack(s, LccSrcG).drop("x", "y"), LccSrcG,
+        RasterStack.NcBands.map(_.name)).select(Seq("b1", "b4"))
+      st.toCrs(LccG, LccCrs, "sum").df.select("row", "col", "b1", "b4")
     })
   )
 
@@ -249,6 +279,13 @@ object GeoQueries {
   /** Derived meter target — the oracle interpolates these literals, so
     * the defaultTarget derivation is pinned exactly like q49's MercG. */
   val UtmG: GridMeta = Warp.defaultTarget(UtmSrcG, UtmCrs, UtmCrs.epsg)
+
+  /** LCC fixture: a France lon/lat window inside the Lambert-93 cone. */
+  val LccSrcG: GridMeta = GridMeta.northUp(-1.0, 42.0, 7.0, 50.0, width = 160, height = 200)
+  val LccCrs: Warp.LccToLonLat = Warp.LccToLonLat(graft.operators.Lcc.Lambert93, "EPSG:2154")
+  /** Derived conic meter target (defaultTarget pinned via the oracle's
+    * interpolated literals, the UtmG pattern). */
+  val LccG: GridMeta = Warp.defaultTarget(LccSrcG, LccCrs, LccCrs.epsg)
 
   /** Web-Mercator target grid (meters, EPSG:3857): DERIVED from the
     * source grid + transform by Warp.defaultTarget — exactly what the
@@ -564,6 +601,41 @@ object GeoQueries {
          | SELECT trow, tcol, SUM(b1) AS s1, COUNT(b1) AS c1, SUM(b4) AS s4, COUNT(b4) AS c4
          | FROM (SELECT $trow AS trow, $tcol AS tcol, b1, b4 FROM $pix)
          | WHERE trow >= 0 AND trow < ${UtmG.height} AND tcol >= 0 AND tcol < ${UtmG.width}
+         | GROUP BY 1, 2) s
+         |ON s.trow = t.row AND s.tcol = t.col""".stripMargin
+    },
+
+    "q78_to_crs_lcc" -> {
+      val tx = RasterStack.xSql(LccG, "tcol"); val ty = RasterStack.ySql(LccG, "trow")
+      val sx = LccCrs.sxSql(tx, ty)
+      val sy = LccCrs.sySql(tx, ty)
+      val srow = s"CAST(FLOOR(($sy - ${OracleLit.d(LccSrcG.f)}) / (${OracleLit.d(LccSrcG.e)})) AS BIGINT)"
+      val scol = s"CAST(FLOOR(($sx - ${OracleLit.d(LccSrcG.c)}) / (${OracleLit.d(LccSrcG.a)})) AS BIGINT)"
+      s"""SELECT t.trow AS row, t.tcol AS col, g.b2, g.b5
+         |FROM (SELECT CAST(range // ${LccG.width} AS BIGINT) AS trow,
+         |             CAST(range % ${LccG.width} AS BIGINT) AS tcol,
+         |             $srow AS srow, $scol AS scol
+         |      FROM range(${LccG.cells})) t
+         |LEFT JOIN (SELECT row, col,
+         |    ${RasterStack.NcBands.filter(b => Set("b2", "b5")(b.name)).map(b => RasterStack.bandSql("row", "col", b) + s" AS ${b.name}").mkString(", ")}
+         |  FROM ${RasterStack.gridSql(LccSrcG)}) g
+         |ON g.row = t.srow AND g.col = t.scol""".stripMargin
+    },
+
+    "q79_warp_lcc_sum" -> {
+      import OracleLit.d
+      val fwd = Warp.LonLatToLcc(graft.operators.Lcc.Lambert93, "EPSG:2154")
+      val x = RasterStack.xSql(LccSrcG); val y = RasterStack.ySql(LccSrcG)
+      val fx = fwd.sxSql(x, y); val fy = fwd.sySql(x, y)
+      val trow = s"CAST(FLOOR(($fy - ${d(LccG.f)}) / (${d(LccG.e)})) AS BIGINT)"
+      val tcol = s"CAST(FLOOR(($fx - ${d(LccG.c)}) / (${d(LccG.a)})) AS BIGINT)"
+      val pix = s"(SELECT row, col, ${Seq("b1", "b4").map(n => RasterStack.bandSql("row", "col", RasterStack.NcBands.find(_.name == n).get) + s" AS $n").mkString(", ")} FROM ${RasterStack.gridSql(LccSrcG)})"
+      s"""SELECT t.row, t.col, s.s1 AS b1, s.s4 AS b4
+         |FROM ${RasterStack.gridSql(LccG)} t
+         |LEFT JOIN (
+         | SELECT trow, tcol, SUM(b1) AS s1, SUM(b4) AS s4
+         | FROM (SELECT $trow AS trow, $tcol AS tcol, b1, b4 FROM $pix)
+         | WHERE trow >= 0 AND trow < ${LccG.height} AND tcol >= 0 AND tcol < ${LccG.width}
          | GROUP BY 1, 2) s
          |ON s.trow = t.row AND s.tcol = t.col""".stripMargin
     },

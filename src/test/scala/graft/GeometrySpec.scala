@@ -135,3 +135,55 @@ class UtmSpec extends AnyFunSuite {
     assert(math.abs(ratio - 0.9996) < 2e-4)
   }
 }
+
+/**
+ * Lambert conformal conic (operators.Lcc, Lambert-93 preset):
+ * scalar-instance checks — the Column/SQL instances are the same
+ * generic code, and q78 pins them cross-engine.
+ */
+class LccSpec extends AnyFunSuite {
+  import graft.operators.Lcc
+  private val P = Lcc.Lambert93
+
+  test("projection origin maps exactly to the false origin (700000, 6600000)") {
+    val (e, n) = Lcc.fwdEN(3.0, 46.5, P)(graft.operators.Utm.DblAr)
+    assert(math.abs(e - 700000.0) < 1e-6)
+    assert(math.abs(n - 6600000.0) < 1e-6)
+  }
+
+  test("Paris lands in the published Lambert-93 neighborhood") {
+    // central Paris (2.3522 E, 48.8566 N) is ~ (652 km, 6862 km) in
+    // EPSG:2154 (IGN published grids); 2 km tolerance guards gross
+    // sign/constant errors without depending on an offline proj db
+    val (e, n) = Lcc.fwdEN(2.3522, 48.8566, P)(graft.operators.Utm.DblAr)
+    assert(math.abs(e - 652000.0) < 2000.0, s"easting $e")
+    assert(math.abs(n - 6862000.0) < 2000.0, s"northing $n")
+  }
+
+  test("forward/inverse round-trip over the France window: < 1e-9 deg") {
+    for (lon <- BigDecimal(-4.5) to BigDecimal(8.5) by 1.3;
+         lat <- BigDecimal(41.0) to BigDecimal(51.5) by 1.05) {
+      val (e, n) = Lcc.fwdEN(lon.toDouble, lat.toDouble, P)(graft.operators.Utm.DblAr)
+      val (lon2, lat2) = Lcc.invLonLat(e, n, P)(graft.operators.Utm.DblAr)
+      assert(math.abs(lon2 - lon.toDouble) < 1e-9, s"lon @($lon,$lat)")
+      assert(math.abs(lat2 - lat.toDouble) < 1e-9, s"lat @($lon,$lat)")
+    }
+  }
+
+  test("standard parallels carry unit scale; origin latitude is below it") {
+    // along a standard parallel the local E-W scale factor is 1; at the
+    // origin latitude (between the parallels) it dips below 1
+    def ewScale(latDeg: Double): Double = {
+      val (e1, _) = Lcc.fwdEN(2.9, latDeg, P)(graft.operators.Utm.DblAr)
+      val (e2, _) = Lcc.fwdEN(3.1, latDeg, P)(graft.operators.Utm.DblAr)
+      val rad = math.Pi / 180.0
+      val s = math.sin(latDeg * rad)
+      // true parallel arc for 0.2 deg of longitude on GRS80
+      val nu = P.majorA / math.sqrt(1.0 - P.e2 * s * s)
+      (e2 - e1) / (0.2 * rad * nu * math.cos(latDeg * rad))
+    }
+    assert(math.abs(ewScale(49.0) - 1.0) < 1e-6)
+    assert(math.abs(ewScale(44.0) - 1.0) < 1e-6)
+    assert(ewScale(46.5) < 1.0 - 1e-4)
+  }
+}
