@@ -275,55 +275,39 @@ final case class Stack(df: DataFrame, meta: GridMeta, layers: Seq[String]) {
    * semantics (raster.py:2244-2287 uses np.random with replacement):
    * `size` independent seeded draws per stratum; draw `i` of stratum `s`
    * selects the row ranked `lcg(s·1000003 + i, seed) mod basis + 1` in
-   * the stratum's (hash, key) order. Output carries `draw_idx`; a row
-   * drawn twice appears twice.
+   * the stratum's (hash, key) order, where `basis = min(cnt, 8·size)`
+   * — the draws select uniformly from a deterministic-uniform subset of
+   * the stratum (the global (hash, key) prefix; the whole stratum when
+   * it has ≤ 8·size rows). Output carries `draw_idx`; a row drawn
+   * twice appears twice.
    *
-   * Scale path (same trick as [[sampleStrata]]): the rank window sorts
-   * only the SURVIVORS of an adaptive per-stratum hash threshold
-   * (~8·size rows). Because the filter keeps a PREFIX of the (hash, key)
-   * order, a survivor's window rank equals its global stratum rank, so
-   * drawing `target mod survivorCount + 1` is a uniform draw over the
-   * survivor prefix — itself a deterministic-uniform subset of the
-   * stratum (the `basis` the draws select from). Strata whose survivor
-   * count falls below `size` (probability ~e^{-c·size}, but the contract
-   * is exactness, not probability) fall back to ranking the full
-   * stratum with `basis = cnt`. No task ever sorts more than O(size)
-   * rows except for deficient strata.
+   * Scale path: the prefix IS the [[graft.functions.top_k]] bounded-heap
+   * aggregate (ascending array), so draw `i` is just
+   * `element_at(top, target)` on the one-row-per-stratum aggregate —
+   * ONE ObjectHashAggregate with map-side partials (each mapper ships
+   * ≤ 8·size rows per stratum) and a generate, no window, no
+   * counts/deficiency joins. (The round-4 formulation filtered on an
+   * adaptive hash threshold and ranked ~8·size survivors under a
+   * window, with a full-stratum fallback for deficient strata; the
+   * aggregate's exact min-8·size prefix subsumes all of it.)
    */
   def sampleStrataWithReplacement(strata: DataFrame, size: Int, seed: Long): DataFrame = {
     val key = col("row") * meta.width.toLong + col("col")
     val noNull = layers.map(L(_).isNotNull).reduce(_ && _)
     val joined = df.where(noNull).join(strata, Seq("row", "col"))
-    val h = sample_hash(key, seed)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum")).orderBy(col("__h"), key)
-    val counts = joined.groupBy(col("stratum")).agg(count(lit(1)).as("__cnt"))
-    val thresh = least(lit(2147483648L),
-      idiv(lit(size.toLong * 8L * 2147483648L), col("__cnt")) + lit(1L))
-    val withH = joined.join(broadcast(counts), Seq("stratum")).withColumn("__h", h)
-    val survivors = graft.plans.Caches.track(
-      withH.where(col("__h") < thresh).drop("__cnt"))
-    val survCounts = survivors.groupBy(col("stratum")).agg(count(lit(1)).as("__scnt"))
-    // basis per stratum: survivor count, or the full count when deficient
-    // (strata with ZERO survivors are absent from survCounts — outer join)
-    val basis = counts.join(survCounts, Seq("stratum"), "left_outer")
-      .withColumn("__scnt", coalesce(col("__scnt"), lit(0L)))
-      .withColumn("__deficient", col("__scnt") < size.toLong)
-      .withColumn("__basis", when(col("__deficient"), col("__cnt")).otherwise(col("__scnt")))
-    val deficient = basis.where(col("__deficient")).select("stratum")
-    val rankedSurv = survivors.join(broadcast(deficient), Seq("stratum"), "left_anti")
-      .withColumn("__rn", row_number().over(w).cast("long"))
-    val rankedFull = withH.drop("__cnt")
-      .join(broadcast(deficient), Seq("stratum"), "left_semi")
-      .withColumn("__rn", row_number().over(w).cast("long"))
-    val picks = basis
+    val payload = joined.columns.toSeq.filter(_ != "stratum")
+    val item = struct((sample_hash(key, seed).as("__h") +: key.as("__key") +:
+      payload.map(c => col(c).as(c))): _*)
+    joined.groupBy(col("stratum"))
+      .agg(graft.functions.top_k(item, size * 8).as("__top"))
+      .withColumn("__basis",
+        org.apache.spark.sql.functions.size(col("__top")).cast("long"))
       .withColumn("draw_idx", explode(sequence(lit(0), lit(size - 1))))
       .withColumn("__target",
-        sample_hash(col("stratum").cast("long") * lit(1000003L) + col("draw_idx"), seed)
-          % col("__basis") + lit(1L))
-      .select(col("stratum").as("__ps"), col("draw_idx"), col("__target"))
-    rankedSurv.unionByName(rankedFull)
-      .join(broadcast(picks), col("stratum") === col("__ps") && col("__rn") === col("__target"))
-      .drop("__ps", "__rn", "__target", "__h")
+        (sample_hash(col("stratum").cast("long") * lit(1000003L) + col("draw_idx"), seed)
+          % col("__basis") + lit(1L)).cast("int"))
+      .withColumn("__it", element_at(col("__top"), col("__target")))
+      .select(payload.map(c => col(s"__it.$c").as(c)) ++
+        Seq(col("stratum"), col("draw_idx")): _*)
   }
 }

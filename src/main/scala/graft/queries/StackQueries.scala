@@ -413,11 +413,11 @@ object StackQueries {
   private lazy val oracles2: Map[String, String] = Map(
 
     "q43_sample_replacement" -> {
-      // survivor-prefix draw semantics (Stack.sampleStrataWithReplacement):
-      // basis = count of rows with h < thresh (a PREFIX of the (h, key)
-      // order, so survivor rank == global rank and the oracle can rank
-      // globally); target = pick mod basis + 1; deficient strata (< size
-      // survivors) fall back to basis = cnt
+      // prefix draw semantics (Stack.sampleStrataWithReplacement): the
+      // engine's top_k(8·size) aggregate holds the stratum's ascending
+      // (h, key) PREFIX, so element rank == global rank and the oracle
+      // ranks globally; basis = LEAST(cnt, 8·size); target = pick mod
+      // basis + 1
       val key = s"(row * ${G.width} + col)"
       val h = s"((($key * 1103515245 + 13) % 2147483648) * 69069 + 12345) % 2147483648"
       val pick = "(((((b.stratum * 1000003 + t.i) * 1103515245 + 13) % 2147483648) * 69069 + 12345) % 2147483648)"
@@ -426,16 +426,9 @@ object StackQueries {
          |   ROW_NUMBER() OVER (PARTITION BY (col * 6 // ${G.width}) ORDER BY $h, $key) AS rn,
          |   COUNT(*) OVER (PARTITION BY (col * 6 // ${G.width})) AS cnt
          | FROM $pixSql WHERE ${NcBands.map(_.name + " IS NOT NULL").mkString(" AND ")}),
-         |s AS (
-         | SELECT stratum, cnt,
-         |   LEAST(2147483648, (25 * 8 * 2147483648) // cnt + 1) AS thresh
-         | FROM (SELECT DISTINCT stratum, cnt FROM v)),
-         |sc AS (
-         | SELECT v.stratum, SUM(CASE WHEN v.h < s.thresh THEN 1 ELSE 0 END) AS scnt
-         | FROM v JOIN s ON s.stratum = v.stratum GROUP BY 1),
          |basis AS (
-         | SELECT s.stratum, CASE WHEN sc.scnt >= 25 THEN sc.scnt ELSE s.cnt END AS basis
-         | FROM s JOIN sc ON sc.stratum = s.stratum),
+         | SELECT stratum, LEAST(cnt, 200) AS basis
+         | FROM (SELECT DISTINCT stratum, cnt FROM v)),
          |picks AS (
          | SELECT b.stratum, CAST(t.i AS INT) AS draw_idx,
          |   $pick % b.basis + 1 AS target

@@ -158,14 +158,16 @@ class StackSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"), plan.take(600))
   }
 
-  test("sampleStrataWithReplacement: rank window sorts only the threshold survivors") {
+  test("sampleStrataWithReplacement: one bounded top_k aggregate, no window") {
     val s = st.sampleStrataWithReplacement(RasterStack.strata(spark, G), 15, seed = 3)
-    val plan = s.queryExecution.optimizedPlan.toString
-    // the survivor branch's window input is the adaptive hash-threshold
-    // filter (~8·size rows per stratum), not the full stratum: the
-    // threshold literal must appear in a Filter below the plan's windows
-    assert(plan.contains("least(2147483648"), plan.take(800))
-    assert(plan.contains("__h"), plan.take(800))
+    val opt = s.queryExecution.optimizedPlan.toString
+    val phys = s.queryExecution.executedPlan.toString
+    // the stratum prefix is the bounded-heap aggregate (map-side
+    // partials, ≤ 8·size rows per stratum per mapper); draws are
+    // element_at lookups — no rank window, no survivor/deficiency joins
+    assert(opt.contains("bounded_top_k"), opt.take(800))
+    assert(!opt.contains("Window"), opt.take(800))
+    assert(phys.contains("ObjectHashAggregate"), phys.take(800))
   }
 
   test("predict constants: dict overrides a feature, unknown key errors (_prediction.py:5-58)") {
