@@ -70,6 +70,107 @@ object Predict {
     }
   }
 
+  // -- tree ensembles (the reference's actual estimator family:
+  // tests/test_prediction.py trains RandomForestClassifier/Regressor
+  // and runs them through predict/predict_proba) --------------------
+
+  /** CART node: sklearn split semantics — `x(feature) <= thresh` goes
+    * lo. Leaves carry an output VECTOR (length 1 for regression, class
+    * distribution for classification) so one ADT serves both. */
+  sealed trait Tree extends Serializable
+  final case class Leaf(values: Array[Double]) extends Tree
+  final case class Split(feature: Int, thresh: Double, lo: Tree, hi: Tree) extends Tree
+
+  /** Output `c` of a tree as a nested-CASE Column — pure comparisons
+    * and literals, whole-stage-codegen'd. A null feature fails the
+    * predicate and takes the hi branch, same as the SQL CASE twin; the
+    * predict() mask nulls such pixels anyway. */
+  def treeCol(t: Tree, feats: Seq[Column], c: Int): Column = t match {
+    case Leaf(v) => lit(v(c))
+    case Split(f, th, lo, hi) =>
+      when(feats(f) <= lit(th), treeCol(lo, feats, c)).otherwise(treeCol(hi, feats, c))
+  }
+
+  /** SQL twin of [[treeCol]] — identical branch/literal text, so both
+    * engines return the same frozen leaf double. */
+  def treeSql(t: Tree, feats: Seq[String], c: Int): String = t match {
+    case Leaf(v) => graft.sources.OracleLit.d(v(c))
+    case Split(f, th, lo, hi) =>
+      s"(CASE WHEN ${feats(f)} <= ${graft.sources.OracleLit.d(th)} " +
+        s"THEN ${treeSql(lo, feats, c)} ELSE ${treeSql(hi, feats, c)} END)"
+  }
+
+  /** Scalar twin (driver-side / black-box parity). */
+  def treeEval(t: Tree, x: Array[Double], c: Int): Double = t match {
+    case Leaf(v) => v(c)
+    case Split(f, th, lo, hi) => if (x(f) <= th) treeEval(lo, x, c) else treeEval(hi, x, c)
+  }
+
+  /** Forest regressor: mean of the trees' outputs, left-associative sum
+    * then ONE division — the oracle's `((t1 + t2) + ...) / n` text
+    * reproduces it bit-for-bit (the LinearModel discipline). */
+  final case class ForestRegressorModel(trees: Array[Tree]) extends ColumnPredictor {
+    require(trees.nonEmpty)
+    override def predict(x: Array[Double]): Double =
+      trees.map(treeEval(_, x, 0)).reduce(_ + _) / trees.length
+    override def column(features: Seq[Column]): Column =
+      trees.toSeq.map(treeCol(_, features, 0)).reduce(_ + _) / lit(trees.length.toDouble)
+    def sql(feats: Seq[String]): String =
+      trees.toSeq.map(treeSql(_, feats, 0)).reduce((a, b) => s"($a + $b)") +
+        s" / ${trees.length}.0"
+  }
+
+  /** Probability models that compile to Columns (codegen fast path in
+    * [[predictProba]], like ColumnPredictor in [[predict]]). */
+  trait ColumnProbPredictor extends ProbPredictor {
+    def probColumns(features: Seq[Column]): Seq[Column]
+  }
+
+  /**
+   * Forest classifier with sklearn semantics: `predict_proba` = mean of
+   * the trees' leaf class distributions; `predict` = argmax with the
+   * numpy first-max tie rule (class i wins iff p_i >= every later p_j).
+   * Both compile to Columns; the SQL twins share the text.
+   */
+  final case class ForestClassifierModel(trees: Array[Tree], numClasses: Int)
+      extends ColumnProbPredictor with ColumnPredictor {
+    require(trees.nonEmpty && numClasses >= 2)
+
+    override def predictProba(x: Array[Double]): Array[Double] =
+      Array.tabulate(numClasses)(c =>
+        trees.map(treeEval(_, x, c)).reduce(_ + _) / trees.length)
+    override def probColumns(features: Seq[Column]): Seq[Column] =
+      (0 until numClasses).map(c =>
+        trees.toSeq.map(treeCol(_, features, c)).reduce(_ + _) / lit(trees.length.toDouble))
+    def probSql(feats: Seq[String], c: Int): String =
+      trees.toSeq.map(treeSql(_, feats, c)).reduce((a, b) => s"($a + $b)") +
+        s" / ${trees.length}.0"
+
+    override def predict(x: Array[Double]): Double = {
+      val p = predictProba(x)
+      // first index attaining the max (numpy argmax): the leftmost i
+      // with p_i >= every later p_j
+      (0 until numClasses).find(i => (i + 1 until numClasses).forall(j => p(i) >= p(j)))
+        .getOrElse(numClasses - 1).toDouble
+    }
+    override def column(features: Seq[Column]): Column = {
+      val ps = probColumns(features)
+      def arg(i: Int): Column =
+        if (i == numClasses - 1) lit(i.toDouble)
+        else when((i + 1 until numClasses).map(j => ps(i) >= ps(j)).reduce(_ && _),
+          lit(i.toDouble)).otherwise(arg(i + 1))
+      arg(0)
+    }
+    def predictSql(feats: Seq[String]): String = {
+      val ps = (0 until numClasses).map(probSql(feats, _))
+      def arg(i: Int): String =
+        if (i == numClasses - 1) s"$i.0"
+        else s"(CASE WHEN ${(i + 1 until numClasses).map(j => s"${ps(i)} >= ${ps(j)}").mkString(" AND ")} " +
+          s"THEN $i.0 ELSE ${arg(i + 1)} END)"
+      arg(0)
+    }
+  }
+
   /** `constants` semantics (_prediction.py:5-58). */
   def applyConstants(features: Seq[String], constantsList: Seq[Double] = Nil,
                      constantsMap: Map[String, Double] = Map.empty)
@@ -145,13 +246,22 @@ object Predict {
   def predictProba(df: DataFrame, features: Seq[String], model: ProbPredictor,
                    indexes: Seq[Int] = Nil): DataFrame = {
     val (_, cols) = applyConstants(features)
-    val u = udf((xs: Seq[Double]) => m2(model, xs))
-    val withArr = df.withColumn("__p", when(maskAnyNull(features), lit(null))
-      .otherwise(u(array(cols.map(c => coalesce(c, lit(0.0))): _*))))
     val classes = if (indexes.nonEmpty) indexes else 0 until model.numClasses
-    classes.foldLeft(withArr) { (d, i) =>
-      d.withColumn(s"prob_$i", element_at(col("__p"), i + 1))
-    }.drop("__p")
+    model match {
+      case m: ColumnProbPredictor => // codegen fast path (forests etc.)
+        val ps = m.probColumns(cols)
+        val mask = maskAnyNull(features)
+        classes.foldLeft(df) { (d, i) =>
+          d.withColumn(s"prob_$i", when(mask, lit(null)).otherwise(ps(i)).cast("double"))
+        }
+      case _ =>
+        val u = udf((xs: Seq[Double]) => m2(model, xs))
+        val withArr = df.withColumn("__p", when(maskAnyNull(features), lit(null))
+          .otherwise(u(array(cols.map(c => coalesce(c, lit(0.0))): _*))))
+        classes.foldLeft(withArr) { (d, i) =>
+          d.withColumn(s"prob_$i", element_at(col("__p"), i + 1))
+        }.drop("__p")
+    }
   }
   private def m2(model: ProbPredictor, xs: Seq[Double]): Seq[Double] =
     model.predictProba(xs.toArray).toSeq

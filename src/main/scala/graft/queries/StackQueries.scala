@@ -145,6 +145,27 @@ object StackQueries {
         .select("row", "col", "stratum", "draw_idx", "b1")
     }),
 
+    // predict() with a trained random-forest REGRESSOR — the
+    // reference's actual estimator family (tests/test_prediction.py
+    // fits RandomForestRegressor then stack.predict): deterministic
+    // CART forest trained driver-side on a seeded fixture sample
+    // (the reference's own extract-then-sklearn-fit workflow), frozen
+    // tree literals compiled to nested-CASE Columns.
+    "q80_predict_forest" -> ((s, _) => {
+      Predict.predict(stack(s).df, ForestFeats, RegForest)
+        .select("row", "col", "pred_raw_0")
+    }),
+
+    // predict_proba + predict with a random-forest CLASSIFIER
+    // (tests/test_prediction.py RandomForestClassifier): per-class
+    // probability = mean of leaf distributions, predicted class =
+    // numpy-argmax — all frozen-literal CASE trees, codegen fast path.
+    "q81_forest_proba" -> ((s, _) => {
+      val probs = Predict.predictProba(stack(s).df, ForestFeats, ClsForest)
+      Predict.predict(probs, ForestFeats, ClsForest)
+        .select("row", "col", "prob_0", "prob_1", "prob_2", "pred_raw_0")
+    }),
+
     // predict(): linear model, null where any input null (_prediction.py:101-112).
     "q14_predict" -> ((s, _) => {
       val m = Predict.LinearModel(Array(0.3, -0.2, 0.1, 0.05, -0.15, 0.25), 10.0)
@@ -409,8 +430,61 @@ object StackQueries {
          |FROM burn b JOIN $pixSql g ON g.row = b.row AND g.col = b.col""".stripMargin
   }
 
+  // -- forest fixtures (q80/q81) ------------------------------------
+  // The bands are pure integer formulas, so the training sample
+  // synthesizes on the driver with NO Spark session (RasterStack
+  // .bandScalar) — query and oracle share one frozen forest with no
+  // freeze tool. Sample: every 101st pixel key with all bands valid
+  // (~1.8k rows), features b1..b5; regression target b7, classifier
+  // target = b7 terciles.
+  // lazy: referenced from the queries/oracles maps that precede it
+  lazy val ForestFeats: Seq[String] = Seq("b1", "b2", "b3", "b4", "b5")
+
+  private lazy val forestSample: (Array[Array[Double]], Array[Double]) = {
+    val rows = for {
+      key <- 5L until G.cells by 101L
+      r = key / G.width; c = key % G.width
+      vals = NcBands.map(RasterStack.bandScalar(r, c, _))
+      if vals.forall(_.isDefined)
+    } yield (vals.init.map(_.get).toArray, vals.last.get)
+    (rows.map(_._1).toArray, rows.map(_._2).toArray)
+  }
+
+  lazy val RegForest: Predict.ForestRegressorModel = {
+    val (xs, ys) = forestSample
+    graft.operators.Cart.fitRegressionForest(xs, ys,
+      graft.operators.Cart.Config(nTrees = 10, maxDepth = 4, minLeaf = 5,
+        mtry = 5, seed = 29))
+  }
+
+  lazy val ClsForest: Predict.ForestClassifierModel = {
+    val (xs, ys) = forestSample
+    val cls = ys.map(y => if (y < 76.0) 0 else if (y < 151.0) 1 else 2)
+    graft.operators.Cart.fitClassificationForest(xs, cls, 3,
+      graft.operators.Cart.Config(nTrees = 8, maxDepth = 3, minLeaf = 5,
+        mtry = 2, seed = 31))
+  }
+
   // lazy: referenced from `oracles` above its definition point
   private lazy val oracles2: Map[String, String] = Map(
+
+    "q80_predict_forest" -> {
+      val mask = ForestFeats.map(_ + " IS NULL").mkString(" OR ")
+      s"""SELECT row, col,
+         | CASE WHEN $mask THEN NULL ELSE ${RegForest.sql(ForestFeats)} END AS pred_raw_0
+         |FROM $pixSql""".stripMargin
+    },
+
+    "q81_forest_proba" -> {
+      val mask = ForestFeats.map(_ + " IS NULL").mkString(" OR ")
+      val ps = (0 until 3).map(c => ClsForest.probSql(ForestFeats, c))
+      s"""SELECT row, col,
+         | CASE WHEN $mask THEN NULL ELSE ${ps(0)} END AS prob_0,
+         | CASE WHEN $mask THEN NULL ELSE ${ps(1)} END AS prob_1,
+         | CASE WHEN $mask THEN NULL ELSE ${ps(2)} END AS prob_2,
+         | CASE WHEN $mask THEN NULL ELSE ${ClsForest.predictSql(ForestFeats)} END AS pred_raw_0
+         |FROM $pixSql""".stripMargin
+    },
 
     "q43_sample_replacement" -> {
       // prefix draw semantics (Stack.sampleStrataWithReplacement): the

@@ -34,6 +34,12 @@ object RasterStack {
     s"CASE WHEN ($r * 13 + $c * 7 + ${b.k} * 29) % 97 < 3 THEN NULL " +
       s"ELSE CAST(($r * ${b.p} + $c * ${b.q}) % ${b.m} AS DOUBLE) END"
 
+  /** Scalar twin of [[bandValue]] — lets driver-side trainers (Cart)
+    * synthesize the identical sample with no Spark session. */
+  def bandScalar(row: Long, col: Long, b: BandDef): Option[Double] =
+    if ((row * 13L + col * 7L + b.k * 29L) % 97L < 3L) None
+    else Some(((row * b.p + col * b.q) % b.m).toDouble)
+
   /** The bare pixel grid: one row per pixel, (row, col). */
   def grid(spark: SparkSession, g: GridMeta): DataFrame =
     spark.range(g.cells)
