@@ -74,14 +74,16 @@ object Lcc {
   private val RadPerDeg = math.Pi / 180.0
   private val HalfPi = math.Pi / 2.0
 
-  /** t(phi) (Snyder 15-9) over the typeclass — phi in radians. */
-  private def tF[T](phi: T, p: Params)(implicit F: Ar[T]): T = {
+  /** t(phi) (Snyder 15-9) over the typeclass — phi in radians. Shared
+    * with [[PolarStereo]] (same conformal-latitude function). */
+  private[operators] def tF[T](phi: T, e: Double, halfE: Double)(implicit F: Ar[T]): T = {
     val s = F.sin(phi)
-    val es = F.mul(F.lit(p.e), s)
+    val es = F.mul(F.lit(e), s)
     F.mul(F.div(F.sub(F.lit(1.0), s), F.cos(phi)),
-      F.exp(F.mul(F.lit(p.halfE),
+      F.exp(F.mul(F.lit(halfE),
         F.ln(F.div(F.add(F.lit(1.0), es), F.sub(F.lit(1.0), es))))))
   }
+  private def tF[T](phi: T, p: Params)(implicit F: Ar[T]): T = tF(phi, p.e, p.halfE)
 
   /**
    * Forward LCC: (lon, lat) degrees -> (easting, northing) meters

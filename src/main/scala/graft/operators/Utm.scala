@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions
  */
 object Utm {
 
-  /** Minimal field-of-operations abstraction (see class doc). */
+  /** Minimal field-of-operations abstraction (see class doc). `gt` is
+    * the one conditional (if a > b then t else f): comparisons are
+    * exact in IEEE, all three engines branch lazily, and composing it
+    * yields atan2/wrap logic with identical text (PolarStereo). */
   trait Ar[T] {
     def lit(d: Double): T
     def add(a: T, b: T): T; def sub(a: T, b: T): T
@@ -40,6 +43,7 @@ object Utm {
     def neg(a: T): T
     def sin(a: T): T; def cos(a: T): T; def atan(a: T): T
     def exp(a: T): T; def ln(a: T): T; def sqrt(a: T): T
+    def gt(a: T, b: T, ifTrue: T, ifFalse: T): T
   }
 
   object ColAr extends Ar[Column] {
@@ -55,6 +59,8 @@ object Utm {
     def exp(a: Column): Column = functions.exp(a)
     def ln(a: Column): Column = functions.log(a)
     def sqrt(a: Column): Column = functions.sqrt(a)
+    def gt(a: Column, b: Column, t: Column, f: Column): Column =
+      functions.when(a > b, t).otherwise(f)
   }
 
   object DblAr extends Ar[Double] {
@@ -70,6 +76,7 @@ object Utm {
     def exp(a: Double): Double = math.exp(a)
     def ln(a: Double): Double = math.log(a)
     def sqrt(a: Double): Double = math.sqrt(a)
+    def gt(a: Double, b: Double, t: Double, f: Double): Double = if (a > b) t else f
   }
 
   /** Catalyst-Expression instance — for SQL function registration
@@ -91,6 +98,7 @@ object Utm {
     def exp(a: E): E = Exp(a)
     def ln(a: E): E = Log(a)
     def sqrt(a: E): E = Sqrt(a)
+    def gt(a: E, b: E, t: E, f: E): E = If(GreaterThan(a, b), t, f)
   }
 
   object SqlAr extends Ar[String] {
@@ -106,6 +114,8 @@ object Utm {
     def exp(a: String): String = s"EXP($a)"
     def ln(a: String): String = s"LN($a)"
     def sqrt(a: String): String = s"SQRT($a)"
+    def gt(a: String, b: String, t: String, f: String): String =
+      s"(CASE WHEN $a > $b THEN $t ELSE $f END)"
   }
 
   // -- WGS84 + Krüger coefficients (plain doubles, computed once) -------

@@ -228,6 +228,41 @@ object Warp {
   }
 
   /**
+   * Polar-stereographic CRS (e.g. NSIDC EPSG:3413), target->source:
+   * target meters back-project to lon/lat through the Snyder inverse
+   * with the composed full-quadrant atan2 ([[PolarStereo.invLonLat]])
+   * — the polar-grid family, completing UTM + LCC. Same typeclass
+   * discipline: Column and SQL twins share one generic series.
+   */
+  final case class PsToLonLat(p: PolarStereo.Params, epsg: String) extends CrsTransform {
+    override def sourceX(x: Column, y: Column): Column =
+      PolarStereo.invLonLat(x, y, p)(Utm.ColAr)._1
+    override def sourceY(x: Column, y: Column): Column =
+      PolarStereo.invLonLat(x, y, p)(Utm.ColAr)._2
+    override def inverse: CrsTransform = LonLatToPs(p, epsg)
+    override def toSourcePt(x: Double, y: Double): (Double, Double) =
+      PolarStereo.invLonLat(x, y, p)(Utm.DblAr)
+    def sxSql(x: String, y: String): String = PolarStereo.invLonLat(x, y, p)(Utm.SqlAr)._1
+    def sySql(x: String, y: String): String = PolarStereo.invLonLat(x, y, p)(Utm.SqlAr)._2
+    override def heavy: Boolean = true
+  }
+
+  /** Forward polar stereographic (lon/lat degrees -> polar meters) —
+    * srcToTarget for pooling and defaultTarget bounds projection. */
+  final case class LonLatToPs(p: PolarStereo.Params, epsg: String) extends CrsTransform {
+    override def sourceX(x: Column, y: Column): Column =
+      PolarStereo.fwdEN(x, y, p)(Utm.ColAr)._1
+    override def sourceY(x: Column, y: Column): Column =
+      PolarStereo.fwdEN(x, y, p)(Utm.ColAr)._2
+    override def inverse: CrsTransform = PsToLonLat(p, epsg)
+    override def toSourcePt(x: Double, y: Double): (Double, Double) =
+      PolarStereo.fwdEN(x, y, p)(Utm.DblAr)
+    def sxSql(x: String, y: String): String = PolarStereo.fwdEN(x, y, p)(Utm.SqlAr)._1
+    def sySql(x: String, y: String): String = PolarStereo.fwdEN(x, y, p)(Utm.SqlAr)._2
+    override def heavy: Boolean = true
+  }
+
+  /**
    * Nearest-neighbor warp of `stack` onto `target`. Returns a Stack on
    * the target grid. The join is a plain equi-join on source (row, col)
    * — shuffle-free probe side when the source stack is bucketed by tile.

@@ -270,6 +270,32 @@ object GeoQueries {
         RasterStack.stack(s, LccSrcG).drop("x", "y"), LccSrcG,
         RasterStack.NcBands.map(_.name)).select(Seq("b1", "b4"))
       st.toCrs(LccG, LccCrs, "sum").df.select("row", "col", "b1", "b4")
+    }),
+
+    // to_crs onto a polar-stereographic grid (NSIDC EPSG:3413) — the
+    // THIRD projected family (polar sea-ice/DEM grids): nearest-warp an
+    // Arctic lon/lat window (the full longitude circle) onto the
+    // DERIVED polar meter grid; target pixels back-project through the
+    // Snyder inverse whose longitude is the composed full-quadrant
+    // atan2 + antimeridian wrap — every branch text shared with the
+    // DuckDB twin via the typeclass.
+    "q82_to_crs_ps" -> ((s, _) => {
+      import graft.sources.RasterStack
+      val st = graft.operators.Stack(
+        RasterStack.stack(s, PsSrcG).drop("x", "y"), PsSrcG,
+        RasterStack.NcBands.map(_.name)).select(Seq("b2", "b5"))
+      st.toCrs(PsCrs, "nearest", PsCrs.epsg).df.select("row", "col", "b2", "b5")
+    }),
+
+    // max-pooling onto the polar grid: the pooling kernels consume the
+    // FORWARD stereographic (crs.inverse of q82) — bidirectional
+    // contract on the polar family like q74/q79. Exact: integral max.
+    "q83_warp_ps_max" -> ((s, _) => {
+      import graft.sources.RasterStack
+      val st = graft.operators.Stack(
+        RasterStack.stack(s, PsSrcG).drop("x", "y"), PsSrcG,
+        RasterStack.NcBands.map(_.name)).select(Seq("b1", "b4"))
+      st.toCrs(PsG, PsCrs, "max").df.select("row", "col", "b1", "b4")
     })
   )
 
@@ -286,6 +312,14 @@ object GeoQueries {
   /** Derived conic meter target (defaultTarget pinned via the oracle's
     * interpolated literals, the UtmG pattern). */
   val LccG: GridMeta = Warp.defaultTarget(LccSrcG, LccCrs, LccCrs.epsg)
+
+  /** Polar fixture: the full-circle Arctic window above the EPSG:3413
+    * standard parallel (all longitudes — exercises the quadrant
+    * branches and the antimeridian wrap). */
+  val PsSrcG: GridMeta = GridMeta.northUp(-180.0, 70.0, 180.0, 88.0, width = 240, height = 120)
+  val PsCrs: Warp.PsToLonLat =
+    Warp.PsToLonLat(graft.operators.PolarStereo.Epsg3413, "EPSG:3413")
+  val PsG: GridMeta = Warp.defaultTarget(PsSrcG, PsCrs, PsCrs.epsg)
 
   /** Web-Mercator target grid (meters, EPSG:3857): DERIVED from the
     * source grid + transform by Warp.defaultTarget — exactly what the
@@ -636,6 +670,41 @@ object GeoQueries {
          | SELECT trow, tcol, SUM(b1) AS s1, SUM(b4) AS s4
          | FROM (SELECT $trow AS trow, $tcol AS tcol, b1, b4 FROM $pix)
          | WHERE trow >= 0 AND trow < ${LccG.height} AND tcol >= 0 AND tcol < ${LccG.width}
+         | GROUP BY 1, 2) s
+         |ON s.trow = t.row AND s.tcol = t.col""".stripMargin
+    },
+
+    "q82_to_crs_ps" -> {
+      val tx = RasterStack.xSql(PsG, "tcol"); val ty = RasterStack.ySql(PsG, "trow")
+      val sx = PsCrs.sxSql(tx, ty)
+      val sy = PsCrs.sySql(tx, ty)
+      val srow = s"CAST(FLOOR(($sy - ${OracleLit.d(PsSrcG.f)}) / (${OracleLit.d(PsSrcG.e)})) AS BIGINT)"
+      val scol = s"CAST(FLOOR(($sx - ${OracleLit.d(PsSrcG.c)}) / (${OracleLit.d(PsSrcG.a)})) AS BIGINT)"
+      s"""SELECT t.trow AS row, t.tcol AS col, g.b2, g.b5
+         |FROM (SELECT CAST(range // ${PsG.width} AS BIGINT) AS trow,
+         |             CAST(range % ${PsG.width} AS BIGINT) AS tcol,
+         |             $srow AS srow, $scol AS scol
+         |      FROM range(${PsG.cells})) t
+         |LEFT JOIN (SELECT row, col,
+         |    ${RasterStack.NcBands.filter(b => Set("b2", "b5")(b.name)).map(b => RasterStack.bandSql("row", "col", b) + s" AS ${b.name}").mkString(", ")}
+         |  FROM ${RasterStack.gridSql(PsSrcG)}) g
+         |ON g.row = t.srow AND g.col = t.scol""".stripMargin
+    },
+
+    "q83_warp_ps_max" -> {
+      import OracleLit.d
+      val fwd = Warp.LonLatToPs(graft.operators.PolarStereo.Epsg3413, "EPSG:3413")
+      val x = RasterStack.xSql(PsSrcG); val y = RasterStack.ySql(PsSrcG)
+      val fx = fwd.sxSql(x, y); val fy = fwd.sySql(x, y)
+      val trow = s"CAST(FLOOR(($fy - ${d(PsG.f)}) / (${d(PsG.e)})) AS BIGINT)"
+      val tcol = s"CAST(FLOOR(($fx - ${d(PsG.c)}) / (${d(PsG.a)})) AS BIGINT)"
+      val pix = s"(SELECT row, col, ${Seq("b1", "b4").map(n => RasterStack.bandSql("row", "col", RasterStack.NcBands.find(_.name == n).get) + s" AS $n").mkString(", ")} FROM ${RasterStack.gridSql(PsSrcG)})"
+      s"""SELECT t.row, t.col, s.m1 AS b1, s.m4 AS b4
+         |FROM ${RasterStack.gridSql(PsG)} t
+         |LEFT JOIN (
+         | SELECT trow, tcol, MAX(b1) AS m1, MAX(b4) AS m4
+         | FROM (SELECT $trow AS trow, $tcol AS tcol, b1, b4 FROM $pix)
+         | WHERE trow >= 0 AND trow < ${PsG.height} AND tcol >= 0 AND tcol < ${PsG.width}
          | GROUP BY 1, 2) s
          |ON s.trow = t.row AND s.tcol = t.col""".stripMargin
     },

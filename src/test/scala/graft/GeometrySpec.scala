@@ -187,3 +187,69 @@ class LccSpec extends AnyFunSuite {
     assert(ewScale(46.5) < 1.0 - 1e-4)
   }
 }
+
+/**
+ * Polar stereographic (operators.PolarStereo, EPSG:3413 preset):
+ * scalar-instance checks — the Column/SQL instances are the same
+ * generic code, and q82 pins them cross-engine.
+ */
+class PolarStereoSpec extends AnyFunSuite {
+  import graft.operators.{PolarStereo, Utm}
+  private val P = PolarStereo.Epsg3413
+  private def fwd(lon: Double, lat: Double) = PolarStereo.fwdEN(lon, lat, P)(Utm.DblAr)
+  private def inv(e: Double, n: Double) = PolarStereo.invLonLat(e, n, P)(Utm.DblAr)
+
+  test("central meridian maps to E=0 exactly; pole inverse recovers lat 90") {
+    val (e, n) = fwd(-45.0, 70.0)
+    assert(e === 0.0)
+    assert(n < -2000000.0 && n > -2500000.0) // ~2209 km from the pole at 70N
+    val (lon0, lat0) = inv(0.0, 0.0)
+    assert(lon0 === -45.0 && math.abs(lat0 - 90.0) < 1e-12)
+  }
+
+  test("four longitudes land in four quadrants (full-quadrant atan2)") {
+    // theta = lon - lon0 (lon0 = -45): offsets of -45/45/135/225 deg put
+    // the points in quadrant INTERIORS (multiples of 90 land on axes)
+    val pts = Seq(-90.0, 0.0, 90.0, 180.0).map(l => fwd(l, 75.0))
+    val quads = pts.map { case (e, n) => (e > 0, n > 0) }.distinct
+    assert(quads.size === 4)
+    // and each inverse recovers its longitude (all four atan2 branches)
+    for (l <- Seq(-90.0, 0.0, 90.0, 180.0)) {
+      val (e, n) = fwd(l, 75.0)
+      assert(math.abs(inv(e, n)._1 - l) < 1e-9, s"lon $l")
+    }
+  }
+
+  test("forward/inverse round-trip over the Arctic window: < 1e-9 deg") {
+    for (lon <- BigDecimal(-175.0) to BigDecimal(175.0) by 35.0;
+         lat <- BigDecimal(70.0) to BigDecimal(89.0) by 2.375) {
+      val (e, n) = fwd(lon.toDouble, lat.toDouble)
+      val (lon2, lat2) = inv(e, n)
+      assert(math.abs(lon2 - lon.toDouble) < 1e-9, s"lon @($lon,$lat)")
+      assert(math.abs(lat2 - lat.toDouble) < 1e-9, s"lat @($lon,$lat)")
+    }
+  }
+
+  test("antimeridian: inverse wraps into (-180, 180]") {
+    val (e, n) = fwd(179.5, 75.0)
+    val (lon2, lat2) = inv(e, n)
+    assert(math.abs(lon2 - 179.5) < 1e-9 && math.abs(lat2 - 75.0) < 1e-9)
+    val (e2, n2) = fwd(-179.5, 75.0)
+    assert(math.abs(inv(e2, n2)._1 - (-179.5)) < 1e-9)
+  }
+
+  test("scale is 1 on the standard parallel, < 1 poleward, > 1 equatorward") {
+    def ewScale(latDeg: Double): Double = {
+      val (e1, n1) = fwd(-45.1, latDeg); val (e2, n2) = fwd(-44.9, latDeg)
+      val rad = math.Pi / 180.0
+      val s = math.sin(latDeg * rad)
+      val nu = P.majorA / math.sqrt(1.0 - P.e2 * s * s)
+      math.hypot(e2 - e1, n2 - n1) / (0.2 * rad * nu * math.cos(latDeg * rad))
+    }
+    assert(math.abs(ewScale(70.0) - 1.0) < 1e-5)
+    // stereographic scale is MINIMUM at the pole: ~(1+sin70)/(1+sin85)
+    // = 0.9717 spherical at 85N; grows moving equatorward from 70N
+    assert(ewScale(85.0) < 0.98)
+    assert(ewScale(60.0) > 1.02)
+  }
+}
