@@ -228,6 +228,43 @@ object Warp {
   }
 
   /**
+   * Albers equal-area conic CRS (e.g. NAD83 / Conus Albers EPSG:5070,
+   * the USGS/NLCD grid), target->source: target Albers METERS
+   * back-project to lon/lat through the Snyder inverse
+   * ([[Albers.invLonLat]]) — the EQUAL-AREA family, complementing the
+   * conformal UTM/LCC/polar-stereo trio (area-true pixels are what
+   * pixel-count -> hectare aggregations assume). Same typeclass
+   * discipline: Column and SQL twins share one generic series.
+   */
+  final case class AlbersToLonLat(p: Albers.Params, epsg: String) extends CrsTransform {
+    override def sourceX(x: Column, y: Column): Column =
+      Albers.invLonLat(x, y, p)(Utm.ColAr)._1
+    override def sourceY(x: Column, y: Column): Column =
+      Albers.invLonLat(x, y, p)(Utm.ColAr)._2
+    override def inverse: CrsTransform = LonLatToAlbers(p, epsg)
+    override def toSourcePt(x: Double, y: Double): (Double, Double) =
+      Albers.invLonLat(x, y, p)(Utm.DblAr)
+    def sxSql(x: String, y: String): String = Albers.invLonLat(x, y, p)(Utm.SqlAr)._1
+    def sySql(x: String, y: String): String = Albers.invLonLat(x, y, p)(Utm.SqlAr)._2
+    override def heavy: Boolean = true
+  }
+
+  /** Forward Albers (lon/lat degrees -> equal-area conic meters) —
+    * srcToTarget for pooling and defaultTarget bounds projection. */
+  final case class LonLatToAlbers(p: Albers.Params, epsg: String) extends CrsTransform {
+    override def sourceX(x: Column, y: Column): Column =
+      Albers.fwdEN(x, y, p)(Utm.ColAr)._1
+    override def sourceY(x: Column, y: Column): Column =
+      Albers.fwdEN(x, y, p)(Utm.ColAr)._2
+    override def inverse: CrsTransform = AlbersToLonLat(p, epsg)
+    override def toSourcePt(x: Double, y: Double): (Double, Double) =
+      Albers.fwdEN(x, y, p)(Utm.DblAr)
+    def sxSql(x: String, y: String): String = Albers.fwdEN(x, y, p)(Utm.SqlAr)._1
+    def sySql(x: String, y: String): String = Albers.fwdEN(x, y, p)(Utm.SqlAr)._2
+    override def heavy: Boolean = true
+  }
+
+  /**
    * Polar-stereographic CRS (e.g. NSIDC EPSG:3413), target->source:
    * target meters back-project to lon/lat through the Snyder inverse
    * with the composed full-quadrant atan2 ([[PolarStereo.invLonLat]])

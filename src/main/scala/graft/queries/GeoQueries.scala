@@ -296,6 +296,33 @@ object GeoQueries {
         RasterStack.stack(s, PsSrcG).drop("x", "y"), PsSrcG,
         RasterStack.NcBands.map(_.name)).select(Seq("b1", "b4"))
       st.toCrs(PsG, PsCrs, "max").df.select("row", "col", "b1", "b4")
+    }),
+
+    // to_crs onto an Albers equal-area conic grid (NAD83 / Conus
+    // Albers, EPSG:5070 — the USGS/NLCD grid): the FOURTH projected
+    // family and the first EQUAL-AREA one (UTM/LCC/PS are conformal).
+    // Nearest-warp a CONUS lon/lat window onto the DERIVED equal-area
+    // meter grid; target pixels back-project through the Snyder
+    // inverse (authalic-latitude Newton iteration unrolled 5x, asin
+    // composed from ATAN/SQRT) — series text shared with the twin.
+    "q84_to_crs_albers" -> ((s, _) => {
+      import graft.sources.RasterStack
+      val st = graft.operators.Stack(
+        RasterStack.stack(s, AeaSrcG).drop("x", "y"), AeaSrcG,
+        RasterStack.NcBands.map(_.name)).select(Seq("b2", "b5"))
+      st.toCrs(AeaCrs, "nearest", AeaCrs.epsg).df.select("row", "col", "b2", "b5")
+    }),
+
+    // rms-pooling onto the Albers grid through the FORWARD equal-area
+    // conic (crs.inverse of q84) — bidirectional contract on the
+    // family like q74/q79/q83. Exact: integral squares sum order-free,
+    // one division + one sqrt in both engines.
+    "q85_warp_albers_rms" -> ((s, _) => {
+      import graft.sources.RasterStack
+      val st = graft.operators.Stack(
+        RasterStack.stack(s, AeaSrcG).drop("x", "y"), AeaSrcG,
+        RasterStack.NcBands.map(_.name)).select(Seq("b1", "b4"))
+      st.toCrs(AeaG, AeaCrs, "rms").df.select("row", "col", "b1", "b4")
     })
   )
 
@@ -312,6 +339,12 @@ object GeoQueries {
   /** Derived conic meter target (defaultTarget pinned via the oracle's
     * interpolated literals, the UtmG pattern). */
   val LccG: GridMeta = Warp.defaultTarget(LccSrcG, LccCrs, LccCrs.epsg)
+
+  /** Albers fixture: the CONUS window inside the EPSG:5070 cone. */
+  val AeaSrcG: GridMeta = GridMeta.northUp(-124.0, 25.0, -67.0, 49.0, width = 190, height = 160)
+  val AeaCrs: Warp.AlbersToLonLat =
+    Warp.AlbersToLonLat(graft.operators.Albers.Conus, "EPSG:5070")
+  val AeaG: GridMeta = Warp.defaultTarget(AeaSrcG, AeaCrs, AeaCrs.epsg)
 
   /** Polar fixture: the full-circle Arctic window above the EPSG:3413
     * standard parallel (all longitudes — exercises the quadrant
@@ -705,6 +738,43 @@ object GeoQueries {
          | SELECT trow, tcol, MAX(b1) AS m1, MAX(b4) AS m4
          | FROM (SELECT $trow AS trow, $tcol AS tcol, b1, b4 FROM $pix)
          | WHERE trow >= 0 AND trow < ${PsG.height} AND tcol >= 0 AND tcol < ${PsG.width}
+         | GROUP BY 1, 2) s
+         |ON s.trow = t.row AND s.tcol = t.col""".stripMargin
+    },
+
+    "q84_to_crs_albers" -> {
+      val tx = RasterStack.xSql(AeaG, "tcol"); val ty = RasterStack.ySql(AeaG, "trow")
+      val sx = AeaCrs.sxSql(tx, ty)
+      val sy = AeaCrs.sySql(tx, ty)
+      val srow = s"CAST(FLOOR(($sy - ${OracleLit.d(AeaSrcG.f)}) / (${OracleLit.d(AeaSrcG.e)})) AS BIGINT)"
+      val scol = s"CAST(FLOOR(($sx - ${OracleLit.d(AeaSrcG.c)}) / (${OracleLit.d(AeaSrcG.a)})) AS BIGINT)"
+      s"""SELECT t.trow AS row, t.tcol AS col, g.b2, g.b5
+         |FROM (SELECT CAST(range // ${AeaG.width} AS BIGINT) AS trow,
+         |             CAST(range % ${AeaG.width} AS BIGINT) AS tcol,
+         |             $srow AS srow, $scol AS scol
+         |      FROM range(${AeaG.cells})) t
+         |LEFT JOIN (SELECT row, col,
+         |    ${RasterStack.NcBands.filter(b => Set("b2", "b5")(b.name)).map(b => RasterStack.bandSql("row", "col", b) + s" AS ${b.name}").mkString(", ")}
+         |  FROM ${RasterStack.gridSql(AeaSrcG)}) g
+         |ON g.row = t.srow AND g.col = t.scol""".stripMargin
+    },
+
+    "q85_warp_albers_rms" -> {
+      import OracleLit.d
+      val fwd = Warp.LonLatToAlbers(graft.operators.Albers.Conus, "EPSG:5070")
+      val x = RasterStack.xSql(AeaSrcG); val y = RasterStack.ySql(AeaSrcG)
+      val fx = fwd.sxSql(x, y); val fy = fwd.sySql(x, y)
+      val trow = s"CAST(FLOOR(($fy - ${d(AeaG.f)}) / (${d(AeaG.e)})) AS BIGINT)"
+      val tcol = s"CAST(FLOOR(($fx - ${d(AeaG.c)}) / (${d(AeaG.a)})) AS BIGINT)"
+      val pix = s"(SELECT row, col, ${Seq("b1", "b4").map(n => RasterStack.bandSql("row", "col", RasterStack.NcBands.find(_.name == n).get) + s" AS $n").mkString(", ")} FROM ${RasterStack.gridSql(AeaSrcG)})"
+      s"""SELECT t.row, t.col, s.r1 AS b1, s.r4 AS b4
+         |FROM ${RasterStack.gridSql(AeaG)} t
+         |LEFT JOIN (
+         | SELECT trow, tcol,
+         |   CASE WHEN COUNT(b1) > 0 THEN SQRT(SUM(b1 * b1) / COUNT(b1)) END AS r1,
+         |   CASE WHEN COUNT(b4) > 0 THEN SQRT(SUM(b4 * b4) / COUNT(b4)) END AS r4
+         | FROM (SELECT $trow AS trow, $tcol AS tcol, b1, b4 FROM $pix)
+         | WHERE trow >= 0 AND trow < ${AeaG.height} AND tcol >= 0 AND tcol < ${AeaG.width}
          | GROUP BY 1, 2) s
          |ON s.trow = t.row AND s.tcol = t.col""".stripMargin
     },

@@ -189,6 +189,74 @@ class LccSpec extends AnyFunSuite {
 }
 
 /**
+ * Albers equal-area conic (operators.Albers, EPSG:5070 Conus preset):
+ * scalar-instance checks — the Column/SQL instances are the same
+ * generic code, and q84 pins them cross-engine.
+ */
+class AlbersSpec extends AnyFunSuite {
+  import graft.operators.{Albers, Utm}
+  private val P = Albers.Conus
+  private def fwd(lon: Double, lat: Double) = Albers.fwdEN(lon, lat, P)(Utm.DblAr)
+  private def inv(e: Double, n: Double) = Albers.invLonLat(e, n, P)(Utm.DblAr)
+
+  test("projection origin (96W, 23N) maps to (0, 0) exactly") {
+    val (e, n) = fwd(-96.0, 23.0)
+    assert(e === 0.0 && n === 0.0)
+  }
+
+  test("Snyder PP1395 worked example (Clarke 1866): published meters") {
+    // Snyder's Albers ellipsoid example: Clarke 1866, phi1/phi2 =
+    // 29.5/45.5, origin (23N, 96W), point (35N, 75W) -> published
+    // x = 1885472.7, y = 1535925.0, rho0 = 9929079.6
+    val e2 = 0.00676866 // Snyder's rounded Clarke eccentricity
+    val clarke = Albers.Params(23.0, -96.0, 29.5, 45.5, 0.0, 0.0,
+      majorA = 6378206.4, invFlat = 1.0 / (1.0 - math.sqrt(1.0 - e2)))
+    val (x, y) = Albers.fwdEN(-75.0, 35.0, clarke)(Utm.DblAr)
+    assert(math.abs(x - 1885472.7) < 0.1, s"x=$x")
+    assert(math.abs(y - 1535925.0) < 0.1, s"y=$y")
+    assert(math.abs(clarke.rho0 - 9929079.6) < 0.1)
+  }
+
+  test("forward/inverse round-trip over the CONUS window: < 1e-7 deg") {
+    // bound is the Snyder 3-18 series truncation (measured worst
+    // 1.4e-8 deg ~ 1.5 mm over CONUS), not iteration convergence —
+    // the closed form is what keeps the shared expression text bounded
+    for (lon <- BigDecimal(-124.0) to BigDecimal(-67.0) by 9.5;
+         lat <- BigDecimal(24.0) to BigDecimal(49.0) by 3.125) {
+      val (e, n) = fwd(lon.toDouble, lat.toDouble)
+      val (lon2, lat2) = inv(e, n)
+      assert(math.abs(lon2 - lon.toDouble) < 1e-7, s"lon @($lon,$lat)")
+      assert(math.abs(lat2 - lat.toDouble) < 1e-7, s"lat @($lon,$lat)")
+    }
+  }
+
+  test("equal-area: projected quad area == ellipsoidal area at any lat") {
+    // THE defining property (conformal families fail this): the area
+    // scale of a small quad is 1 everywhere, not just on the standard
+    // parallels. Ellipsoidal ground area element = Rm * Rn * cos(phi).
+    val rad = math.Pi / 180.0
+    def areaScale(lonDeg: Double, latDeg: Double): Double = {
+      val d = 0.01
+      val c = Seq((0.0, 0.0), (d, 0.0), (d, d), (0.0, d))
+        .map { case (dl, dp) => fwd(lonDeg + dl, latDeg + dp) }
+      val shoelace = 0.5 * math.abs(
+        (0 until 4).map { i =>
+          val (x1, y1) = c(i); val (x2, y2) = c((i + 1) % 4)
+          x1 * y2 - x2 * y1
+        }.sum)
+      val s = math.sin(latDeg * rad)
+      val w = 1.0 - P.e2 * s * s
+      val rm = P.majorA * (1.0 - P.e2) / (w * math.sqrt(w))
+      val rn = P.majorA / math.sqrt(w)
+      val ground = rm * rn * math.cos((latDeg + d / 2) * rad) * (d * rad) * (d * rad)
+      shoelace / ground
+    }
+    for (lat <- Seq(25.0, 29.5, 37.0, 45.5, 48.0))
+      assert(math.abs(areaScale(-100.0, lat) - 1.0) < 1e-5, s"lat $lat")
+  }
+}
+
+/**
  * Polar stereographic (operators.PolarStereo, EPSG:3413 preset):
  * scalar-instance checks — the Column/SQL instances are the same
  * generic code, and q82 pins them cross-engine.
