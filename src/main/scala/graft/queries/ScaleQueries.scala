@@ -106,6 +106,20 @@ object ScaleQueries {
         .select("event_id", "row", "col", "b1", "b4")
     }),
 
+    // SESSION-window activity per tile (Spark session_window, the
+    // gap-merge streaming primitive), batch twin: gap-separated event
+    // bursts per tile with [min_ts, last_ts + gap] bounds (an event at
+    // EXACTLY last+gap still merges — closed boundary, so the island
+    // flag is diff > gap). The oracle is the classic islands-and-gaps
+    // construction (LAG -> new-session flag -> running SUM -> GROUP BY
+    // island); epoch MICROSECOND bounds keep both engines
+    // integer-exact. StreamingSpec separately proves batch ≡ stream
+    // and pins the exact-boundary semantics.
+    "q86_sessions_per_tile" -> ((s, dir) => {
+      graft.streaming.StreamTiles.sessionsPerTile(
+        s.read.parquet(s"$dir/events.parquet"), "ts", "event_id", G, res = 8)
+    }),
+
     // extract_xy at table scale: 600k probes left-join the 216k-pixel stack.
     "q27_lineitem_extract" -> ((s, dir) => {
       val probes = Pages.withGrid(
@@ -202,6 +216,29 @@ object ScaleQueries {
          |LEFT JOIN (SELECT row, col, $b1 AS b1, $b4 AS b4
          |           FROM ${graft.sources.RasterStack.gridSql(G)}) g
          |  ON g.row = e.row AND g.col = e.col""".stripMargin
+    },
+
+    "q86_sessions_per_tile" -> {
+      val tpr = graft.core.Tiles.tilesPerRow(G.width, 64)
+      val gapUs = 4L * 3600L * 1000000L // 4 hours, matching the operator default
+      s"""SELECT tile, MIN(epoch_us(ts)) AS session_start,
+         |       MAX(epoch_us(ts)) + $gapUs AS session_end,
+         |       COUNT(*) AS n_events
+         |FROM (
+         | SELECT tile, ts,
+         |   SUM(nf) OVER (PARTITION BY tile ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+         | FROM (
+         |  SELECT tile, ts,
+         |    CASE WHEN LAG(ts) OVER (PARTITION BY tile ORDER BY ts) IS NULL
+         |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY tile ORDER BY ts)) > $gapUs
+         |         THEN 1 ELSE 0 END AS nf
+         |  FROM (SELECT ts,
+         |          CASE WHEN grow >= 0 AND grow < ${G.height} AND gcol >= 0 AND gcol < ${G.width}
+         |               THEN (grow // 64) * $tpr + (gcol // 64) ELSE -1 END AS tile
+         |        FROM (SELECT ts, ${Pages.rowSql(G)} AS grow, ${Pages.colSql(G)} AS gcol
+         |              FROM (SELECT ts, ${Pages.lonSql("event_id")} AS lon,
+         |                           ${Pages.latSql("event_id")} AS lat FROM events)))))
+         |GROUP BY tile, sid""".stripMargin
     },
 
     "q27_lineitem_extract" -> {

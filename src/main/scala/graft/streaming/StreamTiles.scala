@@ -403,4 +403,33 @@ object StreamTiles {
       .groupBy(window(col(tsCol), windowLen, slide), col("tile"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value")).as("value_sum"))
+
+  /**
+   * Gap-separated activity SESSIONS per tile (Spark `session_window`):
+   * consecutive events on a tile merge into one session while each
+   * arrives within `gap` of the session's last event INCLUSIVE — an
+   * event landing at EXACTLY last + gap still merges (closed-boundary
+   * semantics, pinned by StreamingSpec; the oracle's island flag is
+   * therefore diff > gap). Works identically on batch and streaming
+   * frames (the batch relation is q86's islands-and-gaps oracle; in
+   * streaming, state is per open session and expires once the
+   * watermark passes the session end).
+   *
+   * Emits (tile, session_start, session_end, n_events) with the bounds
+   * in epoch MICROSECONDS (bit-exact against the oracle — the fixture
+   * timestamps are microsecond-grained).
+   */
+  def sessionsPerTile(events: DataFrame, tsCol: String, idCol: String,
+                      g: GridMeta, res: Int,
+                      gap: String = "4 hours",
+                      watermark: String = "30 minutes"): DataFrame =
+    assign(events, idCol, g, res)
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("tile"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("tile"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        unix_micros(col("session_window.end")).as("session_end"),
+        col("n_events"))
 }

@@ -86,6 +86,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SortAggregate"), plan.take(400))
   }
 
+  test("sessionsPerTile: streaming session_window == the same sessions in batch") {
+    val dir = sf("")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    events.write.parquet(s"$tmp/in")
+
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("tile", "session_start", "session_end", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+
+    val batch = keyed(StreamTiles.sessionsPerTile(events, "ts", "event_id", G, res = 8))
+    assert(batch.nonEmpty)
+    // sessions partition the events: counts sum to the table size and
+    // bounds nest (start < end, length >= gap)
+    assert(batch.values.map(_._2).sum === events.count())
+    batch.foreach { case ((_, s), (e, _)) => assert(e - s >= 4L * 3600L * 1000000L) }
+
+    val sDf = StreamTiles.sessionsPerTile(
+      spark.readStream.schema(events.schema).parquet(s"$tmp/in"), "ts", "event_id", G, res = 8)
+    val q = sDf.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(keyed(spark.table("sess_out")) === batch)
+  }
+
+  test("sessionsPerTile boundary: event at EXACTLY last+gap still merges (closed)") {
+    // pins the closed-boundary semantics the q86 oracle's `diff > gap`
+    // island flag assumes
+    import spark.implicits._
+    val base = 1700000000000000L // epoch micros
+    val gapUs = 4L * 3600L * 1000000L
+    def mk(ts: Long*) = ts.toSeq.toDF("us")
+      .select(lit(7L).as("event_id"), timestamp_micros(col("us")).as("ts"))
+    val split = StreamTiles.sessionsPerTile(mk(base, base + gapUs + 1L), "ts", "event_id", G, res = 8)
+    assert(split.count() === 2)
+    val merged = StreamTiles.sessionsPerTile(mk(base, base + gapUs), "ts", "event_id", G, res = 8)
+    assert(merged.count() === 1)
+    val m = merged.collect()(0)
+    assert(m.getAs[Long]("session_start") === base)
+    assert(m.getAs[Long]("session_end") === base + gapUs + gapUs)
+    assert(m.getAs[Long]("n_events") === 2L)
+  }
+
   test("flatMapGroupsWithState firstKPerTile: at most k per tile, ranks contiguous, batch == stream tiles") {
     val dir = sf("")
     val events = spark.read.parquet(s"$dir/events.parquet")
