@@ -108,6 +108,73 @@ object TextHash {
     if (out == ids.length) ids else java.util.Arrays.copyOf(ids, out)
   }
 
+  /**
+   * One-pass Gopher-style repetition stats:
+   * `[n_words, n_distinct_words, max_word_count,
+   *   n_bigrams, n_distinct_bigrams, max_bigram_count]`.
+   *
+   * Words are space-separated byte spans (empties kept, the `split`
+   * semantics); each span / adjacent-span pair is hashed to the same
+   * 60-bit md5 prefix as [[shingleIds]], then counted via one sort +
+   * run scan. Distinct/max-multiplicity over the 60-bit ids equals the
+   * string answer absent a hash collision among the document's actual
+   * words — PipelineSpec pins equality against a driver-side string
+   * twin (fixture corpus + edge cases), and the q88 oracle counts
+   * strings.
+   */
+  def repetitionStats(s: UTF8String): Array[Long] = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < n) {
+      if (bytes(i) == 0x20) starts.add(i + 1)
+      i += 1
+    }
+    val nWords = starts.size()
+    val md = Md5.get()
+    def spanIds(w: Int): Array[Long] = {
+      val m = nWords - (w - 1)
+      if (m <= 0) return Array.emptyLongArray
+      val ids = new Array[Long](m)
+      var sIdx = 0
+      while (sIdx < m) {
+        val from = starts.get(sIdx)
+        val until = if (sIdx + w < nWords) starts.get(sIdx + w) - 1 else n
+        md.reset()
+        md.update(bytes, from, until - from)
+        val d = md.digest()
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        ids(sIdx) = v >>> 4
+        sIdx += 1
+      }
+      ids
+    }
+    // (distinct count, max run length) over a sorted id array
+    def runStats(ids: Array[Long]): (Long, Long) = {
+      if (ids.isEmpty) return (0L, 0L)
+      java.util.Arrays.sort(ids)
+      var distinct = 1L
+      var maxRun = 1L
+      var run = 1L
+      var k = 1
+      while (k < ids.length) {
+        if (ids(k) == ids(k - 1)) { run += 1; if (run > maxRun) maxRun = run }
+        else { distinct += 1; run = 1 }
+        k += 1
+      }
+      (distinct, maxRun)
+    }
+    val (dw, mw) = runStats(spanIds(1))
+    val bg = spanIds(2)
+    val nBigrams = bg.length.toLong
+    val (db, mb) = runStats(bg)
+    Array(nWords.toLong, dw, mw, nBigrams, db, mb)
+  }
+
   def minhashSig(s: UTF8String, w: Int, as: Array[Long], bs: Array[Long]): Array[Long] = {
     val bytes = s.getBytes // materialize once; spans index into this
     val n = bytes.length

@@ -254,6 +254,32 @@ case class ShingleIds(child: Expression, w: Int) extends UnaryExpression {
 }
 
 /**
+ * `RepetitionStats(text)` — Gopher-style repetition signals as ONE
+ * codegen'd byte scan per document (no token explode, no shuffle):
+ * `[n_words, n_distinct_words, max_word_count, n_bigrams,
+ *   n_distinct_bigrams, max_bigram_count]`
+ * (see [[graft.core.TextHash.repetitionStats]]). The explode+groupBy
+ * alternative shuffles every token of the corpus; this keeps the
+ * quality gate a pure projection — the shape that survives 100 TB.
+ */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(t: Any): Any =
+    new GenericArrayData(graft.core.TextHash.repetitionStats(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.core.TextHash.repetitionStats($t))")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/**
  * `CentroidScores(vec)` — array of per-centroid squared-L2 scores
  * (minus the per-row constant; argmin = nearest centroid). `mul2`/`c2`
  * are derived once from the centroid matrix at construction and ship as

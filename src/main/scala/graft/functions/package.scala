@@ -56,6 +56,11 @@ package object functions {
   /** Rolling polynomial document fingerprint (codegen'd single byte scan). */
   def text_fingerprint(text: Column): Column = col2(TextFingerprint(expr0(text)))
 
+  /** Gopher-style repetition stats array (codegen'd single byte scan):
+    * [n_words, n_distinct_words, max_word_count,
+    *  n_bigrams, n_distinct_bigrams, max_bigram_count]. */
+  def repetition_stats(text: Column): Column = col2(RepetitionStats(expr0(text)))
+
   /**
    * Bounded-heap top-k AGGREGATE: the k smallest `sortStruct` values
    * per group as an ascending array — the scale-safe replacement for

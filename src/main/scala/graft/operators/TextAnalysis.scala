@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import graft.plans.Caches
 
 /**
  * Text-analysis primitives for large-scale training-data pipelines
@@ -86,6 +88,131 @@ object TextAnalysis {
   def fingerprintSql(t: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ord($t[i]) AS BIGINT) for i in range(1, len($t)+1)]), " +
       s"(acc, code) -> (acc * 31 + code) % 2147483648)"
+
+  /**
+   * TF-IDF top-k terms per document: the classic corpus-relevance
+   * ranking (tf = term count / doc length; idf = ln((N+1)/(df+1))).
+   *
+   * Plan shape at 100 TB: ONE token explode feeding a (doc, term)
+   * hash-agg (map-side partials collapse repeated terms before the
+   * shuffle); the document-frequency table is re-aggregated FROM that
+   * tf frame (persisted once — never a second corpus scan), so the df
+   * shuffle carries one row per distinct (doc, term), not one per
+   * token. The df side is vocab-sized — AQE broadcasts it when small;
+   * for web-scale vocabularies the join degrades gracefully to a
+   * shuffle join on `term`. Per-doc ranking is the bounded-heap
+   * [[graft.functions.top_k]] aggregate (<= k rows per doc per mapper,
+   * no rank window, no full sort).
+   *
+   * `totalDocs` avoids the one extra count() pass when the caller
+   * already knows N (at scale: catalog statistics).
+   *
+   * Determinism: the emitted/ranked score is `floor(tfidf * 1e9)` —
+   * DuckDB's LN differs from `Math.log` by 1 ulp on some arguments
+   * (measured on this corpus' idf ratios), so raw doubles would
+   * hash-mismatch and 1-ulp near-ties could even rank differently
+   * across engines; quantized integers compare identically. Ties break
+   * by term ascending; idf >= 0 always (df <= N), so the negated sort
+   * key never meets -0.0/NaN hazards.
+   */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                totalDocs: Option[Long] = None): DataFrame = {
+    val n = totalDocs.getOrElse(docs.count())
+    val words = docs.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).as("n_tok"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = Caches.track(
+      words.groupBy(col("doc_id"), col("n_tok"), col("term"))
+        .agg(count(lit(1)).as("cnt")))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dft, "term")
+      .withColumn("tfidf_q",
+        floor(((col("cnt").cast("double") / col("n_tok").cast("double")) *
+          log(lit(n + 1.0) / (col("df").cast("double") + lit(1.0)))) * lit(1.0e9))
+          .cast("long"))
+    scored.groupBy(col("doc_id"))
+      .agg(graft.functions.top_k(
+        struct((-col("tfidf_q")).as("neg"), col("term"), col("tfidf_q")), k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.term").as("term"), col("col.tfidf_q").as("tfidf_q"))
+  }
+
+  /** SQL twin of [[tfidfTopK]] over a `(doc_id, text)` corpus relation;
+    * N is derived from the corpus so the text works at every SF. */
+  def tfidfTopKSql(corpus: String, k: Int): String =
+    s"""WITH words AS (
+       |  SELECT doc_id, ${tokenCountSql("text")} AS n_tok,
+       |         unnest(string_split(text, ' ')) AS term
+       |  FROM $corpus),
+       |tf AS (SELECT doc_id, n_tok, term, COUNT(*) AS cnt
+       |       FROM words GROUP BY 1, 2, 3),
+       |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, term,
+       |    CAST(FLOOR(((CAST(cnt AS DOUBLE) / CAST(n_tok AS DOUBLE)) *
+       |      LN(((SELECT COUNT(*) FROM $corpus) + 1.0) /
+       |         (CAST(df AS DOUBLE) + 1.0))) * 1.0e9) AS BIGINT) AS tfidf_q
+       |  FROM tf JOIN dft USING (term))
+       |SELECT doc_id, rnk, term, tfidf_q FROM (
+       |  SELECT doc_id, term, tfidf_q,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                       ORDER BY tfidf_q DESC, term) AS rnk
+       |  FROM scored) WHERE rnk <= $k""".stripMargin
+
+  /**
+   * Gopher-style repetition quality signals (Rae et al. 2021's
+   * repetition filters: duplicate-word fraction, top-word / top-bigram
+   * mass): ONE native codegen'd byte scan per document
+   * ([[graft.functions.repetition_stats]]) — a pure projection, where
+   * the explode+groupBy formulation would shuffle every token of a
+   * 100 TB corpus through two aggregates. Fractions are single
+   * divisions of integer-exact counts (oracle-bit-exact); the bigram
+   * fraction is NULL for sub-2-word docs (no bigrams — both engines).
+   */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val named = Seq("n_words", "n_distinct_words", "max_word_cnt",
+      "n_bigrams", "n_distinct_bigrams", "max_bigram_cnt")
+    val withStats = docs.select(col(idCol).as("doc_id"),
+      graft.functions.repetition_stats(col(textCol)).as("rs"))
+    named.zipWithIndex.foldLeft(withStats) { case (df, (nm, i)) =>
+      df.withColumn(nm, element_at(col("rs"), i + 1))
+    }.drop("rs")
+      .withColumn("dup_word_frac",
+        (col("n_words") - col("n_distinct_words")).cast("double") /
+          col("n_words").cast("double"))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0,
+          col("max_bigram_cnt").cast("double") / col("n_bigrams").cast("double")))
+  }
+
+  /** SQL twin of [[repetitionSignals]] over a `(doc_id, text)` corpus
+    * relation — counts the STRINGS the 60-bit ids stand for. */
+  def repetitionSignalsSql(corpus: String): String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM $corpus),
+       |wc AS (SELECT doc_id, term, COUNT(*) AS c
+       |       FROM (SELECT doc_id, unnest(w) AS term FROM ws) GROUP BY 1, 2),
+       |wa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       |         COUNT(*) AS n_distinct_words, MAX(c) AS max_word_cnt
+       |       FROM wc GROUP BY 1),
+       |bc AS (SELECT doc_id, b, COUNT(*) AS c
+       |       FROM (SELECT doc_id,
+       |               unnest([w[i] || ' ' || w[i+1]
+       |                       for i in range(1, GREATEST(len(w) - 1, 0) + 1)]) AS b
+       |             FROM ws) GROUP BY 1, 2),
+       |ba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |         COUNT(*) AS n_distinct_bigrams, MAX(c) AS max_bigram_cnt
+       |       FROM bc GROUP BY 1)
+       |SELECT wa.doc_id, n_words, n_distinct_words, max_word_cnt,
+       |  COALESCE(n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       |  COALESCE(max_bigram_cnt, 0) AS max_bigram_cnt,
+       |  CAST(n_words - n_distinct_words AS DOUBLE) /
+       |    CAST(n_words AS DOUBLE) AS dup_word_frac,
+       |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+       |       THEN CAST(max_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       |  END AS top_bigram_frac
+       |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id""".stripMargin
 
   /** 60-bit stable word hash from md5 (identical in Spark and DuckDB). */
   def wordHash(w: Column): Column =

@@ -202,6 +202,18 @@ object PipelineQueries {
         .select(col("doc_id"), md5(col("resized")).as("rs_md5"))
     }),
 
+    // Gopher-style repetition quality signals: ONE codegen'd byte scan
+    // per doc (native repetition_stats kernel — no token explode, no
+    // shuffle); the oracle counts the strings the 60-bit ids stand for.
+    "q88_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")),
+
+    // TF-IDF top-3 terms per document: one token explode -> (doc, term)
+    // hash-agg (persisted once), df re-aggregated FROM tf, bounded-heap
+    // top_k ranking (no rank window). Ties break by term ascending.
+    "q87_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)),
+
     "q39_multimodal" -> ((s, dir) => {
       val pages = graft.sources.Pages.fromDocuments(s, dir)
       val stats = Multimodal.frameStats(pages, "html", 64)
@@ -253,6 +265,10 @@ object PipelineQueries {
     "q30_dedup_exact" ->
       s"""SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          |FROM $corpusExactSql GROUP BY 1""".stripMargin,
+
+    "q87_tfidf" -> TextAnalysis.tfidfTopKSql("documents", k = 3),
+
+    "q88_repetition" -> TextAnalysis.repetitionSignalsSql("documents"),
 
     "q31_text_analysis" ->
       s"""SELECT doc_id, ${TextAnalysis.tokenCountSql("text")} AS n_tok,

@@ -120,6 +120,16 @@ object ScaleQueries {
         s.read.parquet(s"$dir/events.parquet"), "ts", "event_id", G, res = 8)
     }),
 
+    // Stream-stream interval self-join, batch twin: same-cell event
+    // pairs within +/-4 h (res-3 cells so coverage is global — the
+    // fixture's in-bounds tiles are too sparse for sub-day lags).
+    // The equi-join key is the cell; the time bound is a post-filter
+    // (and, in streaming, the state-eviction horizon).
+    "q89_correlated_pairs" -> ((s, dir) => {
+      graft.streaming.StreamTiles.correlatedPairsStream(
+        s.read.parquet(s"$dir/events.parquet"), "ts", "event_id", res = 3)
+    }),
+
     // extract_xy at table scale: 600k probes left-join the 216k-pixel stack.
     "q27_lineitem_extract" -> ((s, dir) => {
       val probes = Pages.withGrid(
@@ -239,6 +249,21 @@ object ScaleQueries {
          |              FROM (SELECT ts, ${Pages.lonSql("event_id")} AS lon,
          |                           ${Pages.latSql("event_id")} AS lat FROM events)))))
          |GROUP BY tile, sid""".stripMargin
+    },
+
+    "q89_correlated_pairs" -> {
+      // cell_encode at res 3: 3*2^58 prefix + lonBucket*2^29 + latBucket
+      val cell = "(864691128455135232 + CAST(FLOOR((lon + 180.0) / 360.0 * 8) AS BIGINT) * 536870912" +
+        " + CAST(FLOOR((lat + 90.0) / 180.0 * 8) AS BIGINT))"
+      s"""WITH assigned AS (
+         |  SELECT event_id, ts, $cell AS cell
+         |  FROM (SELECT event_id, ts, ${Pages.lonSql("event_id")} AS lon,
+         |               ${Pages.latSql("event_id")} AS lat FROM events))
+         |SELECT a.cell AS cell, a.event_id AS id_a, b.event_id AS id_b,
+         |  epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+         |FROM assigned a JOIN assigned b
+         |  ON a.cell = b.cell AND a.event_id < b.event_id
+         | AND b.ts BETWEEN a.ts - INTERVAL 4 HOUR AND a.ts + INTERVAL 4 HOUR""".stripMargin
     },
 
     "q27_lineitem_extract" -> {

@@ -405,6 +405,48 @@ object StreamTiles {
         sum(col("value")).as("value_sum"))
 
   /**
+   * Stream-STREAM interval self-join (the one Structured Streaming join
+   * primitive the other operators don't exercise): pairs of events
+   * landing in the same coarse spatial cell within `maxLag` of each
+   * other, both sides watermarked so the join state is bounded — each
+   * side buffers only events younger than watermark + maxLag; older
+   * state is evicted because the time bounds can no longer match.
+   *
+   * Emits (cell, id_a, id_b, lag_us) with id_a < id_b (each unordered
+   * pair once); lag_us = signed microsecond lag of b behind a. The JOIN
+   * condition carries the cell equality and the two time bounds — the
+   * forms `StreamingJoinHelper` derives state watermarks from; the id
+   * ordering is written as a post-join filter. (Catalyst pushes that
+   * filter back into the join condition, where the state-watermark
+   * analyzer attempts the non-time `<` conjunct, logs a CAUGHT
+   * "Cannot evaluate expression" internal error, and proceeds — state
+   * eviction is still derived from the time conjuncts, and the
+   * StreamingSpec batch≡stream pin holds. The log line is analyzer
+   * noise, not a failure.) The same code path
+   * runs on batch frames (watermark is a no-op there): an equi-join on
+   * `cell` with the time predicate as a post-filter — never a cross
+   * join. At scale the cell resolution and `maxLag` bound the per-key
+   * state and pair count together; a hot cell is handled like every hot
+   * key in this engine (AQE skew join, or go one `res` finer).
+   */
+  def correlatedPairsStream(events: DataFrame, tsCol: String, idCol: String,
+                            res: Int, maxLag: String = "4 hours",
+                            watermark: String = "30 minutes"): DataFrame = {
+    def side(sfx: String): DataFrame =
+      graft.sources.Pages.withIdPoint(events, idCol)
+        .select(cell_encode(col("lon"), col("lat"), res).as(s"cell$sfx"),
+          col(tsCol).cast("timestamp").as(s"ts$sfx"),
+          col(idCol).as(s"id$sfx"))
+        .withWatermark(s"ts$sfx", watermark)
+    side("_a").join(side("_b"),
+      expr(s"cell_a = cell_b AND " +
+        s"ts_b >= ts_a - INTERVAL $maxLag AND ts_b <= ts_a + INTERVAL $maxLag"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("cell_a").as("cell"), col("id_a"), col("id_b"),
+        (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("lag_us"))
+  }
+
+  /**
    * Gap-separated activity SESSIONS per tile (Spark `session_window`):
    * consecutive events on a tile merge into one session while each
    * arrives within `gap` of the session's last event INCLUSIVE — an

@@ -549,6 +549,40 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     if (hotRows.nonEmpty) assert(hotRows.forall(_.getLong(2) > 3))
     assert(cand.count() <= 15)
   }
+
+  test("repetition_stats: 60-bit-id byte scan equals string counting, incl. edge cases") {
+    import spark.implicits._
+    // driver-side STRING twin of the 60-bit-id kernel: the `split`
+    // semantics (empties kept), bigrams joined with the literal space
+    // (injective — words never contain spaces)
+    def twin(s: String): Seq[Long] = {
+      val w = s.split(" ", -1).toSeq
+      val wc = w.groupBy(identity).map(_._2.size)
+      val bg = if (w.length >= 2) w.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty[String]
+      val bc = bg.groupBy(identity).map(_._2.size)
+      Seq(w.length.toLong, wc.size.toLong, wc.max.toLong,
+        bg.length.toLong, bc.size.toLong, if (bc.isEmpty) 0L else bc.max.toLong)
+    }
+    val edge = Seq("", "word", "a a a a", "a  b", " lead", "trail ",
+      "x y x y x y", "a b a b c a b", "tok" + "en " * 400)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false") // kernel must compile
+    try {
+      val fixture = docs.limit(200).select(col("text")).as[String].collect()
+      val all = (edge ++ fixture).toDF("text")
+      val got = all.select(col("text"),
+        graft.functions.repetition_stats(col("text")).as("rs")).collect()
+      got.foreach { r =>
+        val s = r.getString(0)
+        assert(r.getSeq[Long](1) === twin(s), s.take(60))
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }
 
 /** Rotated/sheared source grids: the interpolating warps must sample

@@ -337,4 +337,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(assigned.where(col("cell").isNull).count() === 0)
     assert(assigned.where(col("tile") === -1L).count() > 0)
   }
+
+  test("correlatedPairsStream: stream-stream interval self-join == the batch relation") {
+    val dir = sf("")
+    // fixture ts is near-monotone in event_id, and the LCG point
+    // derivation maps small id deltas to fixed cell offsets that never
+    // coincide at res 3 — the raw sf0.001 table has ZERO same-cell
+    // ±4 h pairs (an artifact, not a bug; sf0.01 has 4.5k). Re-stamp
+    // ts so all events land within ~1 h: every same-cell pair is then
+    // temporal and the join output is exactly the same-cell pair set.
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + (col("event_id") % 64L) * 60L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corr").toString
+    events.write.parquet(s"$tmp/in")
+
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("cell", "id_a", "id_b", "lag_us").collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> ((r.getLong(0), r.getLong(3))))
+      .toMap
+
+    val batch = keyed(StreamTiles.correlatedPairsStream(events, "ts", "event_id", res = 3))
+    assert(batch.nonEmpty)
+    batch.foreach { case ((a, b), (_, lag)) =>
+      assert(a < b) // each unordered pair exactly once
+      assert(math.abs(lag) <= 4L * 3600L * 1000000L)
+    }
+
+    val sDf = StreamTiles.correlatedPairsStream(
+      spark.readStream.schema(events.schema).parquet(s"$tmp/in"),
+      "ts", "event_id", res = 3)
+    val q = sDf.writeStream.outputMode("append")
+      .format("memory").queryName("corr_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(keyed(spark.table("corr_out")) === batch)
+  }
 }
