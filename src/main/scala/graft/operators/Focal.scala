@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.GridMeta
+import Utm.Ar
+
+/**
+ * Focal (moving-window) raster operators over the dense (row, col)
+ * pixel relation: 3×3 box statistics, Horn gradient / slope / aspect,
+ * and analytic hillshade — the terrain-derivative family a geospatial
+ * ML pipeline feeds into `predict` as extra layers (the reference
+ * reaches these through rasterio/gdaldem pre-processing; here they are
+ * first-class operators).
+ *
+ * Scale design — SEPARABLE two-pass windows, never a 9-way self-join:
+ * every 3×3 kernel used here factors as an outer product (box
+ * [1,1,1]ᵀ[1,1,1]; Horn's smoothing [1,2,1] against the central
+ * difference [-1,0,1]), so the 2-D convolution is two 1-D sliding
+ * frames: pass 1 partitions by `row` ordered by `col` (horizontal),
+ * pass 2 by `col` ordered by `row` (vertical). Each pass is ONE hash
+ * shuffle of the raster and an O(1)-per-pixel sliding frame — the
+ * 8-neighbor equi-join alternative shuffles 9× the raster volume and
+ * builds a hash table per tile. Partition keys are dense grid lines:
+ * uniform by construction, no skew, and a 100k×100k raster puts a
+ * bounded ~100k pixels in each window partition. Full Horn needs one
+ * more horizontal pass over the vertical sums (3 shuffles total);
+ * plain box stats need 2.
+ *
+ * Exactness contract: band values are integral doubles (the fixture
+ * invariant), so every numerator is accumulated as LONG — order-free
+ * under any partitioning in any engine — and each derived value
+ * applies ONE final double chain written over [[Utm.Ar]] so the
+ * engine and the DuckDB oracle evaluate the identical IEEE op order
+ * (ATAN/SQRT are the bit-verified primitives; aspect's full-quadrant
+ * atan2 composes from them, [[PolarStereo.atan2F]]). Hillshade's
+ * per-row SIN/COS carry DuckDB's known 1-ulp SIN variance, so q92
+ * ships `floor(×1e3)`-quantized values.
+ *
+ * Border / null semantics: frames shrink at raster borders, so
+ * `focal_mean` averages the cells that exist; gradient values are
+ * gated on ALL 9 cells present (`c9 = 9`) and are NULL at borders and
+ * beside any nodata cell — the conservative gdaldem-style contract.
+ */
+object Focal {
+
+  private val hWin = Window.partitionBy("row").orderBy("col").rowsBetween(-1, 1)
+  private val vWin = Window.partitionBy("col").orderBy("row").rowsBetween(-1, 1)
+  private val hOrd = Window.partitionBy("row").orderBy("col")
+  private val vOrd = Window.partitionBy("col").orderBy("row")
+
+  /**
+   * 3×3 box statistics for integral band `b`: adds `sum9` (LONG sum of
+   * the present neighbors incl. centre), `c9` (how many of the ≤9 are
+   * present), `focal_mean` (one double division; NULL when all 9 are
+   * nodata). Two shuffles (row-pass then col-pass).
+   */
+  def stats3x3(px: DataFrame, b: String): DataFrame = {
+    val bl = col(b).cast("long")
+    px.withColumn("_hs", sum(bl).over(hWin))
+      .withColumn("_hc", count(col(b)).over(hWin))
+      .withColumn("sum9", sum(col("_hs")).over(vWin))
+      .withColumn("c9", sum(col("_hc")).over(vWin))
+      .withColumn("focal_mean",
+        col("sum9").cast("double") / col("c9").cast("double"))
+      .drop("_hs", "_hc")
+  }
+
+  /**
+   * Horn gradient numerators + slope + aspect for integral band `b`.
+   * `gx_num` = [1,2,1]-smoothed central difference along `col`
+   * (positive toward +col/east), `gy_num` along `row` (positive toward
+   * +row, i.e. grid-south for north-up rasters) — both exact LONGs,
+   * NULL unless all 9 cells are present. `slope` =
+   * atan(√((gx_num/8Δx)² + (gy_num/8Δy)²)) radians with Δx/Δy the
+   * grid resolution; `aspect` = full-quadrant atan2(gy, gx) radians in
+   * (-π, π], grid orientation, 0 at +col/east (documented engine
+   * convention; the (0,0) flat case maps to 0 deterministically).
+   */
+  def horn(px: DataFrame, b: String, g: GridMeta): DataFrame = {
+    val bl = col(b).cast("long")
+    val (xres, yres) = g.resolution
+    val p1 = px.withColumn("_bl", bl)
+      .withColumn("_hs", sum(col("_bl")).over(hWin))
+      .withColumn("_hc", count(col(b)).over(hWin))
+    val p2 = p1
+      .withColumn("_vs", sum(col("_bl")).over(vWin))
+      .withColumn("c9", sum(col("_hc")).over(vWin))
+      .withColumn("_gy", lead(col("_hs") + col("_bl"), 1).over(vOrd) -
+        lag(col("_hs") + col("_bl"), 1).over(vOrd))
+    val p3 = p2
+      .withColumn("_gx", lead(col("_vs") + col("_bl"), 1).over(hOrd) -
+        lag(col("_vs") + col("_bl"), 1).over(hOrd))
+    val all9 = col("c9") === 9
+    val (slope, aspect) = slopeAspect[Column](
+      when(all9, col("_gx")).cast("double"),
+      when(all9, col("_gy")).cast("double"), xres, yres)(Utm.ColAr)
+    // slope propagates NULL through its ATAN(SQRT(...)) chain, but the
+    // composed atan2's terminal else is 0.0 — gate aspect explicitly so
+    // borders/nodata stay NULL (the oracle carries the same CASE).
+    p3.withColumn("gx_num", when(all9, col("_gx")))
+      .withColumn("gy_num", when(all9, col("_gy")))
+      .withColumn("slope", slope)
+      .withColumn("aspect", when(all9, aspect))
+      .drop("_bl", "_hs", "_hc", "_vs", "_gy", "_gx")
+  }
+
+  /** Slope/aspect from the Horn numerators, written ONCE over [[Ar]]
+    * so engine and oracle share the IEEE op order. Inputs are the
+    * already-gated numerators cast to double (NULL propagates). */
+  def slopeAspect[T](gxNum: T, gyNum: T, xres: Double, yres: Double)
+                    (implicit F: Ar[T]): (T, T) = {
+    val gx = F.div(gxNum, F.lit(8.0 * xres))
+    val gy = F.div(gyNum, F.lit(8.0 * yres))
+    (F.atan(F.sqrt(F.add(F.mul(gx, gx), F.mul(gy, gy)))),
+      PolarStereo.atan2F(gy, gx))
+  }
+
+  /** SQL twin of the slope/aspect columns over numerator expressions
+    * (the oracle passes `CAST(gx_num AS DOUBLE)` texts). */
+  def slopeAspectSql(gxNum: String, gyNum: String,
+                     xres: Double, yres: Double): (String, String) =
+    slopeAspect[String](gxNum, gyNum, xres, yres)(Utm.SqlAr)
+
+  /**
+   * Analytic hillshade from slope+aspect (Lambertian):
+   * `cos(zen)·cos(slope) + sin(zen)·sin(slope)·cos(azRad − aspect)`,
+   * scaled ×255. `azDeg` is measured in the same grid convention as
+   * [[horn]]'s aspect (0 = +col/east, counter-clockwise positive).
+   * The sun-vector constants fold to plain double literals on the
+   * driver, so per-row work is two SIN/COS of slope and one COS of the
+   * aspect difference.
+   */
+  def hillshade[T](slope: T, aspect: T, azDeg: Double = 315.0,
+                   zenDeg: Double = 45.0)(implicit F: Ar[T]): T = {
+    val zen = math.toRadians(zenDeg)
+    val az = math.toRadians(azDeg)
+    F.mul(F.lit(255.0),
+      F.add(F.mul(F.lit(math.cos(zen)), F.cos(slope)),
+        F.mul(F.mul(F.lit(math.sin(zen)), F.sin(slope)),
+          F.cos(F.sub(F.lit(az), aspect)))))
+  }
+}

@@ -61,7 +61,7 @@ object PolarStereo {
     * with lazy identical-text branches, so engine and oracle agree by
     * construction on every quadrant and axis (neither engine's libm
     * atan2 is used; the 0/0 pole case maps to 0 deterministically). */
-  private def atan2F[T](a: T, b: T)(implicit F: Ar[T]): T = {
+  private[operators] def atan2F[T](a: T, b: T)(implicit F: Ar[T]): T = {
     val q = F.atan(F.div(a, b))
     F.gt(b, F.lit(0.0), q,
       F.gt(F.lit(0.0), b, // b < 0

@@ -262,10 +262,101 @@ object StackQueries {
         Predict.LinearModel(Array(-0.1, 0.4, -0.05, 0.2, 0.1, -0.3), -5.0)))
       Predict.predictMulti(stack(s).df, NcBands.map(_.name), m)
         .select("row", "col", "pred_raw_0", "pred_raw_1")
+    }),
+
+    // Focal 3x3 box mean: two separable sliding windows (row-pass then
+    // col-pass), LONG-exact sums, one final division. Frames shrink at
+    // borders; all-nodata neighborhoods yield NULL.
+    "q90_focal_mean" -> ((s, _) =>
+      graft.operators.Focal.stats3x3(
+        stack(s).df.select("row", "col", "b1"), "b1")
+        .select("row", "col", "sum9", "c9", "focal_mean")),
+
+    // Horn gradient/slope/aspect: separable [1,2,1]x[-1,0,1] via three
+    // window passes; numerators exact LONGs gated on all-9-present,
+    // slope/aspect through the shared-Ar ATAN/atan2 chain. Slope ships
+    // floor(x1e9): DuckDB's ATAN drifts 1 ulp near pi/2 (steep cells —
+    // measured on ~4% of this fixture); aspect's atan2 ratios stay in
+    // the bit-verified range and ship raw.
+    "q91_focal_slope" -> ((s, _) =>
+      graft.operators.Focal.horn(
+        stack(s).df.select("row", "col", "b1"), "b1", G)
+        .select(col("row"), col("col"), col("gx_num"), col("gy_num"),
+          floor(col("slope") * lit(1.0e9)).cast("long").as("slope_q"),
+          col("aspect"))),
+
+    // Analytic hillshade from Horn slope/aspect; per-row SIN carries
+    // DuckDB's 1-ulp variance, so the output ships floor(x1e3).
+    "q92_hillshade" -> ((s, _) => {
+      val d = graft.operators.Focal.horn(
+        stack(s).df.select("row", "col", "b1"), "b1", G)
+      val hs = graft.operators.Focal.hillshade[org.apache.spark.sql.Column](
+        col("slope"), col("aspect"))(graft.operators.Utm.ColAr)
+      d.select(col("row"), col("col"),
+        floor(hs * lit(1000.0)).cast("long").as("hs_q"))
     })
   )
 
+  /** Shared focal CTE: pixel relation + the horizontal [1,1,1] pass
+    * (LONG sums/counts; the vertical pass completes the 3×3). */
+  private def focalH: String = {
+    val b1 = bandSql("row", "col", NcBands.head)
+    val hw = "PARTITION BY row ORDER BY col ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING"
+    s"""WITH px AS (SELECT row, col, $b1 AS b1 FROM ${gridSql(G)}),
+       |h AS (SELECT row, col, CAST(b1 AS BIGINT) AS bl,
+       |        SUM(CAST(b1 AS BIGINT)) OVER ($hw) AS hs,
+       |        COUNT(b1) OVER ($hw) AS hc
+       |      FROM px)""".stripMargin
+  }
+
+  /** The v+g CTEs completing Horn's separable passes, and the gated
+    * numerator texts the slope/aspect chain consumes. */
+  private def focalHornCtes: String =
+    s"""$focalH,
+       |v AS (SELECT row, col, bl, hs,
+       |        SUM(bl) OVER vw AS vs, SUM(hc) OVER vw AS c9,
+       |        (LEAD(hs + bl, 1) OVER vo - LAG(hs + bl, 1) OVER vo) AS gy
+       |      FROM h
+       |      WINDOW vw AS (PARTITION BY col ORDER BY row ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING),
+       |             vo AS (PARTITION BY col ORDER BY row)),
+       |g AS (SELECT row, col, c9, gy,
+       |        (LEAD(vs + bl, 1) OVER ho - LAG(vs + bl, 1) OVER ho) AS gx
+       |      FROM v WINDOW ho AS (PARTITION BY row ORDER BY col))""".stripMargin
+
+  private val gxGated = "CAST(CASE WHEN c9 = 9 THEN gx END AS DOUBLE)"
+  private val gyGated = "CAST(CASE WHEN c9 = 9 THEN gy END AS DOUBLE)"
+
   val oracles: Map[String, String] = Map(
+
+    "q90_focal_mean" ->
+      s"""$focalH
+         |SELECT row, col,
+         |  CAST(SUM(hs) OVER vw AS BIGINT) AS sum9,
+         |  CAST(SUM(hc) OVER vw AS BIGINT) AS c9,
+         |  CAST(SUM(hs) OVER vw AS DOUBLE) / CAST(SUM(hc) OVER vw AS DOUBLE) AS focal_mean
+         |FROM h WINDOW vw AS (PARTITION BY col ORDER BY row ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin,
+
+    "q91_focal_slope" -> {
+      val (xres, yres) = G.resolution
+      val (slope, aspect) = graft.operators.Focal.slopeAspectSql(gxGated, gyGated, xres, yres)
+      s"""$focalHornCtes
+         |SELECT row, col,
+         |  CAST(CASE WHEN c9 = 9 THEN gx END AS BIGINT) AS gx_num,
+         |  CAST(CASE WHEN c9 = 9 THEN gy END AS BIGINT) AS gy_num,
+         |  CAST(FLOOR(($slope) * 1000000000.0) AS BIGINT) AS slope_q,
+         |  CASE WHEN c9 = 9 THEN $aspect END AS aspect
+         |FROM g""".stripMargin
+    },
+
+    "q92_hillshade" -> {
+      val (xres, yres) = G.resolution
+      val (slope, aspect) = graft.operators.Focal.slopeAspectSql(gxGated, gyGated, xres, yres)
+      val hs = graft.operators.Focal.hillshade[String](
+        slope, s"CASE WHEN c9 = 9 THEN $aspect END")(graft.operators.Utm.SqlAr)
+      s"""$focalHornCtes
+         |SELECT row, col, CAST(FLOOR(($hs) * 1000.0) AS BIGINT) AS hs_q
+         |FROM g""".stripMargin
+    },
 
     "q06_stats" ->
       s"SELECT ${NcBands.map(_.name).flatMap(statSql).mkString(", ")} FROM $pixSql",

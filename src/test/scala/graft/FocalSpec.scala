@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GridMeta
+import graft.operators.Focal
+
+/** Focal 3×3 operators vs a driver-side brute-force twin on a small
+  * grid with planted nodata, plus plan-shape guarantees (separable
+  * windows — never a self-join). */
+class FocalSpec extends AnyFunSuite with SparkSpec {
+
+  // 9x11 grid, integral values, nulls planted on a diagonal stripe
+  private val H = 9
+  private val W = 11
+  private def valueAt(r: Int, c: Int): Option[Long] =
+    if ((r * 3 + c * 5) % 13 == 0) None else Some(((r * 17 + c * 7) % 29).toLong)
+
+  private lazy val px = {
+    import spark.implicits._
+    (for { r <- 0 until H; c <- 0 until W }
+      yield (r.toLong, c.toLong, valueAt(r, c).map(_.toDouble)))
+      .toDF("row", "col", "b1")
+  }
+
+  private def neigh(r: Int, c: Int): Seq[Long] =
+    for { dr <- -1 to 1; dc <- -1 to 1
+          rr = r + dr; cc = c + dc
+          if rr >= 0 && rr < H && cc >= 0 && cc < W
+          v <- valueAt(rr, cc) } yield v
+
+  test("stats3x3 equals brute force at every pixel (borders shrink, nodata skipped)") {
+    val got = Focal.stats3x3(px, "b1").select("row", "col", "sum9", "c9", "focal_mean")
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2))), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got.size === H * W)
+    for (r <- 0 until H; c <- 0 until W) {
+      val n = neigh(r, c)
+      val (s9, c9, m) = got((r, c))
+      assert(c9 === n.size, s"($r,$c) count")
+      if (n.isEmpty) { assert(s9.isEmpty && m.isEmpty, s"($r,$c) all-nodata") }
+      else {
+        assert(s9 === Some(n.sum), s"($r,$c) sum")
+        assert(m === Some(n.sum.toDouble / n.size), s"($r,$c) mean")
+      }
+    }
+  }
+
+  test("horn numerators equal the scalar [1,2,1]x[-1,0,1] stencil where all 9 present") {
+    val g = GridMeta.northUp(0.0, 0.0, W.toDouble, H.toDouble, width = W, height = H)
+    val got = Focal.horn(px, "b1", g)
+      .select("row", "col", "gx_num", "gy_num", "slope", "aspect")
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r).toMap
+    for (r <- 0 until H; c <- 0 until W) {
+      val row = got((r, c))
+      val all9 = r > 0 && r < H - 1 && c > 0 && c < W - 1 &&
+        (for { dr <- -1 to 1; dc <- -1 to 1 } yield valueAt(r + dr, c + dc))
+          .forall(_.isDefined)
+      if (!all9) {
+        assert(row.isNullAt(2) && row.isNullAt(3), s"($r,$c) should be gated")
+        assert(row.isNullAt(4) && row.isNullAt(5), s"($r,$c) slope/aspect gated")
+      } else {
+        def v(dr: Int, dc: Int): Long = valueAt(r + dr, c + dc).get
+        val gx = (v(-1, 1) + 2 * v(0, 1) + v(1, 1)) - (v(-1, -1) + 2 * v(0, -1) + v(1, -1))
+        val gy = (v(1, -1) + 2 * v(1, 0) + v(1, 1)) - (v(-1, -1) + 2 * v(-1, 0) + v(-1, 1))
+        assert(row.getLong(2) === gx, s"($r,$c) gx")
+        assert(row.getLong(3) === gy, s"($r,$c) gy")
+        val (xres, yres) = g.resolution
+        // scalar twin through the SAME Ar chain (composed atan2, not
+        // libm atan2 — they can differ by ulps)
+        val (slope, aspect) = Focal.slopeAspect[Double](
+          gx.toDouble, gy.toDouble, xres, yres)(graft.operators.Utm.DblAr)
+        assert(row.getDouble(4) === slope, s"($r,$c) slope")
+        assert(row.getDouble(5) === aspect, s"($r,$c) aspect")
+      }
+    }
+  }
+
+  test("focal plans are separable windows: WindowExec, no join, no cartesian") {
+    for (df <- Seq(Focal.stats3x3(px, "b1"),
+                   Focal.horn(px, "b1", GridMeta.TestGrid))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Window"), plan.take(400))
+      assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+        "focal must not plan a self-join:\n" + plan.take(600))
+    }
+  }
+
+  test("hillshade matches the scalar Lambertian formula (shared-Ar chain)") {
+    val g = GridMeta.northUp(0.0, 0.0, W.toDouble, H.toDouble, width = W, height = H)
+    val d = Focal.horn(px, "b1", g)
+    val hs = Focal.hillshade[org.apache.spark.sql.Column](
+      col("slope"), col("aspect"))(graft.operators.Utm.ColAr)
+    val got = d.select(col("row"), col("col"), hs.as("hs"))
+      .where(col("hs").isNotNull)
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    val sl = d.select("row", "col", "slope", "aspect").where(col("slope").isNotNull)
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    val (zen, az) = (math.toRadians(45.0), math.toRadians(315.0))
+    got.foreach { case (k, v) =>
+      val (s, a) = sl(k)
+      val want = 255.0 * (math.cos(zen) * math.cos(s) +
+        math.sin(zen) * math.sin(s) * math.cos(az - a))
+      assert(v === want, k)
+    }
+  }
+}
