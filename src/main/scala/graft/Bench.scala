@@ -320,6 +320,9 @@ object Bench {
     val effMinMin = lows.min / tHigh / 4.0
     val effMedMed = tLow / median(highs.toSeq) / 4.0
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    // compact-line per-query precision: 10 ms is plenty for the driver's
+    // cross-round compare and buys ~1 char/query of line budget
+    def r2(x: Double): Double = math.rint(x * 100) / 100
     // 3-decimal seconds everywhere: the round-3 official artifact's JSON
     // line outgrew the driver's stdout tail capture (full-precision
     // doubles for 59 queries + samples) and parsed as null
@@ -403,7 +406,7 @@ object Bench {
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     require(results.map(n => shortKey(n._1)).distinct.size == results.size,
       "qNN bench keys must be unique")
-    val qs = results.map { case (k, v) => s""""${shortKey(k)}":${r3(v)}""" }
+    val qs = results.map { case (k, v) => s""""${shortKey(k)}":${r2(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val pipelineJson =

@@ -214,6 +214,54 @@ object TextAnalysis {
        |  END AS top_bigram_frac
        |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id""".stripMargin
 
+  /**
+   * Per-host corpus rollup — the per-domain accounting web-scale
+   * pipelines key quality/dedup policy on (the C4/RefinedWeb-style
+   * domain ledger): host parsed from the url with one codegen'd regex,
+   * then doc counts, DISTINCT-text counts (the within-host exact-dup
+   * signal), token/char totals, and the host dup fraction.
+   *
+   * Scale shape: TWO-LEVEL aggregation — per (host, text_md5) first,
+   * then per host. `countDistinct(md5)` in one agg would plan an
+   * Expand that doubles the shuffle volume of a 100 TB corpus; the
+   * two-level shape shuffles each distinct (host, md5) pair once,
+   * with map-side partials collapsing same-host duplicates early.
+   * Totals are LONGs (order-free); dup_frac is one final division.
+   */
+  def hostStats(docs: DataFrame, urlCol: String, textCol: String): DataFrame = {
+    val base = docs.select(
+      regexp_extract(col(urlCol), "^https?://([^/]+)/", 1).as("host"),
+      md5(col(textCol).cast("binary")).as("text_md5"),
+      tokenCount(col(textCol)).cast("long").as("n_tok"),
+      length(col(textCol)).cast("long").as("n_chars"))
+    val perText = base.groupBy(col("host"), col("text_md5"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tok"),
+        sum(col("n_chars")).as("chars"))
+    perText.groupBy(col("host"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_unique_texts"),
+        sum(col("tok")).as("sum_tok"), sum(col("chars")).as("sum_chars"))
+      .withColumn("dup_frac",
+        (col("n_docs") - col("n_unique_texts")).cast("double") /
+          col("n_docs").cast("double"))
+  }
+
+  /** SQL twin of [[hostStats]] over a `(url, text)` relation. */
+  def hostStatsSql(rel: String): String =
+    s"""WITH b AS (SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+       |             md5(text) AS text_md5,
+       |             CAST(${tokenCountSql("text")} AS BIGINT) AS n_tok,
+       |             CAST(length(text) AS BIGINT) AS n_chars
+       |           FROM $rel),
+       |l1 AS (SELECT host, text_md5, COUNT(*) AS n, SUM(n_tok) AS tok,
+       |         SUM(n_chars) AS chars
+       |       FROM b GROUP BY 1, 2)
+       |SELECT host, CAST(SUM(n) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_unique_texts,
+       |  CAST(SUM(tok) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_frac
+       |FROM l1 GROUP BY 1""".stripMargin
+
   /** 60-bit stable word hash from md5 (identical in Spark and DuckDB). */
   def wordHash(w: Column): Column =
     conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long")

@@ -208,6 +208,17 @@ object PipelineQueries {
     "q88_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")),
 
+    // Per-host ledger over the planted-dup corpus: urls key on
+    // doc_id % 100000 so each planted clone lands on its original's
+    // host and the within-host dup_frac is non-trivial. Two-level agg
+    // (host, md5) -> host; no countDistinct Expand.
+    "q93_host_stats" -> ((s, dir) => {
+      val withUrl = corpusExact(s, dir).withColumn("url",
+        concat(lit("https://host-"), (col("doc_id") % 100000L) % 97L,
+          lit(".example/d/"), col("doc_id")))
+      TextAnalysis.hostStats(withUrl, "url", "text")
+    }),
+
     // TF-IDF top-3 terms per document: one token explode -> (doc, term)
     // hash-agg (persisted once), df re-aggregated FROM tf, bounded-heap
     // top_k ranking (no rank window). Ties break by term ascending.
@@ -269,6 +280,11 @@ object PipelineQueries {
     "q87_tfidf" -> TextAnalysis.tfidfTopKSql("documents", k = 3),
 
     "q88_repetition" -> TextAnalysis.repetitionSignalsSql("documents"),
+
+    "q93_host_stats" -> TextAnalysis.hostStatsSql(
+      s"""(SELECT doc_id, text,
+         |   'https://host-' || ((doc_id % 100000) % 97) || '.example/d/' || doc_id AS url
+         | FROM $corpusExactSql)""".stripMargin),
 
     "q31_text_analysis" ->
       s"""SELECT doc_id, ${TextAnalysis.tokenCountSql("text")} AS n_tok,

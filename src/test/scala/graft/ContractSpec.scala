@@ -20,12 +20,13 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("query catalog fits the 1800-char bench line budget with margin") {
-    // per query: "qNN":12.345, = len(short)+2 quotes+1 colon+6 digits+1 comma.
-    // 6 digits assumes every query < 100 s — the whole catalog sums to
-    // ~90 s, so a single 100 s query would already breach the 2x bar;
-    // and Bench's ordered-drop ladder (skew block first, ~110 chars)
-    // still absorbs one such regression without losing the query map.
-    val qsLen = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_').length + 10).sum
+    // per query: "qNN":12.34, = len(short)+2 quotes+1 colon+5 digits+1 comma
+    // (compact map is 2-decimal). 5 digits assumes every query < 100 s —
+    // the whole catalog sums to ~75 s, so a single 100 s query would
+    // already breach the 2x bar; and Bench's ordered-drop ladder (skew
+    // block first, ~110 chars) still absorbs one such regression
+    // without losing the query map.
+    val qsLen = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_').length + 9).sum
     // measured fixed fields (metric/value/sf/pipeline/skew) ~ 430 chars; +170 margin
     assert(qsLen + 600 <= 1800,
       s"query-map JSON ~$qsLen chars + fixed fields would overflow the driver tail window")

@@ -96,4 +96,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       mustContain = Seq("ObjectHashAggregate"))
     graft.plans.Caches.flush()
   }
+
+  test("tfidf: bounded-heap top_k ranking, no rank window, no cross join") {
+    assertShape("tfidf", graft.operators.TextAnalysis.tfidfTopK(
+      docs.select("doc_id", "text"), "doc_id", "text", k = 3),
+      mustContain = Seq("ObjectHashAggregate"))
+    graft.plans.Caches.flush()
+  }
+
+  test("hostStats: two-level exact distinct, no countDistinct Expand") {
+    val withUrl = docs.withColumn("url",
+      concat(lit("https://host-"), col("doc_id") % 97L, lit(".example/d/"), col("doc_id")))
+    assertShape("host_stats", graft.operators.TextAnalysis.hostStats(
+      withUrl, "url", "text"),
+      mustNotContain = Seq("Expand", "Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
+  }
 }
