@@ -74,6 +74,31 @@ final case class Stack(df: DataFrame, meta: GridMeta, layers: Seq[String]) {
       if (layers.contains(n)) layers else layers :+ n)
   }
 
+  // --- focal derivations (operators.Focal; separable-window plans) ------
+
+  /** 3×3 box mean of `band` as a new layer (borders shrink, nodata
+    * skipped); see [[Focal.stats3x3]] for the two-pass window shape. */
+  def focalMean(band: String, name: String = "focal_mean"): Stack = {
+    require(layers.contains(band), s"unknown layer $band")
+    val n = Naming.sanitize(name)
+    Stack(Focal.stats3x3(df, band).drop("sum9", "c9")
+      .withColumnRenamed("focal_mean", n), meta,
+      if (layers.contains(n)) layers else layers :+ n)
+  }
+
+  /** Horn terrain derivatives of `band` as new layers
+    * `slope`/`aspect`/`hillshade` (radians / radians / 0-255 Lambertian;
+    * NULL at borders and beside nodata) — the gdaldem-style trio a
+    * geospatial model consumes as extra predictors. */
+  def terrain(band: String, azDeg: Double = 315.0, zenDeg: Double = 45.0): Stack = {
+    require(layers.contains(band), s"unknown layer $band")
+    val d = Focal.horn(df, band, meta)
+      .withColumn("hillshade", Focal.hillshade[Column](
+        col("slope"), col("aspect"), azDeg, zenDeg)(Utm.ColAr))
+      .drop("gx_num", "gy_num")
+    Stack(d, meta, layers ++ Seq("slope", "aspect", "hillshade").filterNot(layers.contains))
+  }
+
   // --- filters (reference raster.py:1346-1709) --------------------------
 
   /**

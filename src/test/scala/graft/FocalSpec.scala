@@ -88,6 +88,18 @@ class FocalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("Stack.focalMean/terrain compose with predict (derived layers as predictors)") {
+    val st = graft.queries.StackQueries.stack(spark).select(Seq("b1", "b2"))
+      .focalMean("b1", "b1_smooth").terrain("b2")
+    assert(st.layers === Seq("b1", "b2", "b1_smooth", "slope", "aspect", "hillshade"))
+    val m = graft.operators.Predict.LinearModel(Array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6), 1.0)
+    val p = graft.operators.Predict.predict(st.df, st.layers, m)
+    // masking rule: prediction NULL where any predictor is NULL (all
+    // border pixels and nodata-adjacent ones), non-null inside
+    assert(p.where(col("pred_raw_0").isNotNull).count() > 0)
+    assert(p.where(col("row") === 0 && col("pred_raw_0").isNotNull).count() === 0)
+  }
+
   test("hillshade matches the scalar Lambertian formula (shared-Ar chain)") {
     val g = GridMeta.northUp(0.0, 0.0, W.toDouble, H.toDouble, width = W, height = H)
     val d = Focal.horn(px, "b1", g)
