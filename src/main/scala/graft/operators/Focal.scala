@@ -107,6 +107,34 @@ object Focal {
       .drop("_bl", "_hs", "_hc", "_vs", "_gy", "_gx")
   }
 
+  /**
+   * 5×5 binomial Gaussian smoothing ([1,4,6,4,1] ⊗ [1,4,6,4,1], the
+   * discrete σ=1 kernel): renormalizing weighted mean where nodata and
+   * off-raster cells drop out of BOTH the numerator and the weight
+   * total. Both are separable despite the renormalization, because the
+   * 2-D weight is the product w_r·w_c: pass 1 takes the vertical
+   * weighted sums of value (nulls → 0) and of the presence indicator,
+   * pass 2 the horizontal weighted sums of those — two shuffles, exact
+   * LONG numerators, ONE final division (`CASE WHEN wt > 0`).
+   * Per-pass sums are lag/lead arithmetic (`6x + 4(x±1) + x±2`), not
+   * frame SUMs, so the kernel weights generalize beyond box filters.
+   */
+  def gauss5(px: DataFrame, b: String): DataFrame = {
+    def wsum(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      lit(6L) * c + lit(4L) * (lag(c, 1, 0L).over(w) + lead(c, 1, 0L).over(w)) +
+        lag(c, 2, 0L).over(w) + lead(c, 2, 0L).over(w)
+    val p1 = px
+      .withColumn("_x", coalesce(col(b).cast("long"), lit(0L)))
+      .withColumn("_p", when(col(b).isNotNull, 1L).otherwise(0L))
+      .withColumn("_vn", wsum(col("_x"), vOrd))
+      .withColumn("_vw", wsum(col("_p"), vOrd))
+    p1.withColumn("g5num", wsum(col("_vn"), hOrd))
+      .withColumn("g5wt", wsum(col("_vw"), hOrd))
+      .withColumn("gauss5", when(col("g5wt") > 0L,
+        col("g5num").cast("double") / col("g5wt").cast("double")))
+      .drop("_x", "_p", "_vn", "_vw")
+  }
+
   /** Slope/aspect from the Horn numerators, written ONCE over [[Ar]]
     * so engine and oracle share the IEEE op order. Inputs are the
     * already-gated numerators cast to double (NULL propagates). */

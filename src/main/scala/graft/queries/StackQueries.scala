@@ -285,6 +285,13 @@ object StackQueries {
           floor(col("slope") * lit(1.0e9)).cast("long").as("slope_q"),
           col("aspect"))),
 
+    // 5x5 binomial Gaussian smoothing: renormalizing weighted mean,
+    // separable lag/lead weighted sums (LONG-exact), one division.
+    "q94_focal_gauss5" -> ((s, _) =>
+      graft.operators.Focal.gauss5(
+        stack(s).df.select("row", "col", "b1"), "b1")
+        .select("row", "col", "g5num", "g5wt", "gauss5")),
+
     // Analytic hillshade from Horn slope/aspect; per-row SIN carries
     // DuckDB's 1-ulp variance, so the output ships floor(x1e3).
     "q92_hillshade" -> ((s, _) => {
@@ -327,6 +334,25 @@ object StackQueries {
   private val gyGated = "CAST(CASE WHEN c9 = 9 THEN gy END AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+
+    "q94_focal_gauss5" -> {
+      val b1 = bandSql("row", "col", NcBands.head)
+      def w(c: String, ov: String) =
+        s"(6 * $c + 4 * (LAG($c, 1, 0) OVER $ov + LEAD($c, 1, 0) OVER $ov)" +
+          s" + LAG($c, 2, 0) OVER $ov + LEAD($c, 2, 0) OVER $ov)"
+      s"""WITH px AS (SELECT row, col, $b1 AS b1 FROM ${gridSql(G)}),
+         |p AS (SELECT row, col, COALESCE(CAST(b1 AS BIGINT), 0) AS x,
+         |        CAST(CASE WHEN b1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS pr
+         |      FROM px),
+         |v AS (SELECT row, col, ${w("x", "vo")} AS vn, ${w("pr", "vo")} AS vw
+         |      FROM p WINDOW vo AS (PARTITION BY col ORDER BY row)),
+         |g AS (SELECT row, col, ${w("vn", "ho")} AS g5num, ${w("vw", "ho")} AS g5wt
+         |      FROM v WINDOW ho AS (PARTITION BY row ORDER BY col))
+         |SELECT row, col, g5num, g5wt,
+         |  CASE WHEN g5wt > 0
+         |       THEN CAST(g5num AS DOUBLE) / CAST(g5wt AS DOUBLE) END AS gauss5
+         |FROM g""".stripMargin
+    },
 
     "q90_focal_mean" ->
       s"""$focalH

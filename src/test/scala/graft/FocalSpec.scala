@@ -88,6 +88,27 @@ class FocalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("gauss5 equals the scalar renormalizing 5x5 binomial at every pixel") {
+    val w1 = Array(1L, 4L, 6L, 4L, 1L)
+    val got = Focal.gauss5(px, "b1").select("row", "col", "g5num", "g5wt", "gauss5")
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    for (r <- 0 until H; c <- 0 until W) {
+      var num = 0L; var wt = 0L
+      for (dr <- -2 to 2; dc <- -2 to 2) {
+        val (rr, cc) = (r + dr, c + dc)
+        if (rr >= 0 && rr < H && cc >= 0 && cc < W) valueAt(rr, cc).foreach { v =>
+          val wgt = w1(dr + 2) * w1(dc + 2)
+          num += wgt * v; wt += wgt
+        }
+      }
+      val (gn, gw, gm) = got((r, c))
+      assert(gn === num, s"($r,$c) num"); assert(gw === wt, s"($r,$c) wt")
+      assert(gm === (if (wt > 0) Some(num.toDouble / wt.toDouble) else None), s"($r,$c) mean")
+    }
+  }
+
   test("Stack.focalMean/terrain compose with predict (derived layers as predictors)") {
     val st = graft.queries.StackQueries.stack(spark).select(Seq("b1", "b2"))
       .focalMean("b1", "b1_smooth").terrain("b2")

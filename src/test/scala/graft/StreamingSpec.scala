@@ -338,6 +338,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(assigned.where(col("tile") === -1L).count() > 0)
   }
 
+  test("correlatedPairsStream boundaries: exact-maxLag pairs kept once, bucket edges don't dup/drop") {
+    import spark.implicits._
+    // the bucketed equi-key's invariant: every |dt| <= maxLag same-cell
+    // pair appears EXACTLY once (the explode side contributes one
+    // matching bucket), pairs at EXACTLY maxLag are kept (closed
+    // bound), pairs one microsecond over are dropped — pinned against
+    // a scalar brute force on timestamps crafted to sit on bucket
+    // boundaries and exact-lag offsets.
+    val L = 4L * 3600L // maxLag seconds
+    val b0 = 1700000000L - (1700000000L % L) // a bucket boundary
+    val offsets = Seq(-1L, 0L, L, L + 1L) // straddle, on-edge, exact-lag, just-over
+    val ev = (0L until 40L).map(i => (i, b0 + offsets((i % 4).toInt)))
+      .toDF("event_id", "us")
+      .select(col("event_id"), timestamp_seconds(col("us")).as("ts"))
+    val got = StreamTiles.correlatedPairsStream(ev, "ts", "event_id", res = 1)
+      .select("id_a", "id_b", "lag_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val pts = graft.sources.Pages.withIdPoint(ev, "event_id")
+      .select(col("event_id"),
+        graft.functions.cell_encode(col("lon"), col("lat"), 1).as("cell"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (for {
+      (ia, ca, ta) <- pts; (ib, cb, tb) <- pts
+      if ia < ib && ca == cb && math.abs(tb - ta) <= L * 1000000L
+    } yield (ia, ib) -> (tb - ta)).toMap
+    assert(got === want) // exactly once each; no bucket-edge dups or drops
+    // non-vacuity: the crafted offsets produced both an exact-maxLag
+    // pair (kept) and a maxLag+1s same-cell pair (absent)
+    assert(want.values.exists(l => math.abs(l) === L * 1000000L), "no exact-lag pair in fixture")
+    val over = (for {
+      (ia, ca, ta) <- pts; (ib, cb, tb) <- pts
+      if ia < ib && ca == cb && math.abs(tb - ta) > L * 1000000L
+    } yield (ia, ib)).toSet
+    assert(over.nonEmpty, "no over-lag same-cell pair in fixture")
+    assert(over.forall(p => !got.contains(p)))
+  }
+
   test("correlatedPairsStream: stream-stream interval self-join == the batch relation") {
     val dir = sf("")
     // fixture ts is near-monotone in event_id, and the LCG point
