@@ -135,6 +135,92 @@ object Focal {
       .drop("_x", "_p", "_vn", "_vw")
   }
 
+  /**
+   * Zevenbergen–Thorne (1987) curvature family: total, profile and
+   * plan curvature from the 3×3 quadric fit. All five partials are
+   * SECOND/first differences — exact LONG numerators via the same
+   * separable lag/lead plumbing as [[gauss5]] (two shuffles):
+   *   zxx_num = Z₄+Z₆−2Z₅   (horizontal [1,−2,1])
+   *   zyy_num = Z₂+Z₈−2Z₅   (vertical [1,−2,1])
+   *   zxy_num = cross difference (central-x then central-y)
+   *   dx1/dy1 = central first differences (Z-T's G/H numerators)
+   * with +row = grid-south (the [[horn]] convention). Values are gated
+   * on all-9-present (`c9 = 9`, NULL at borders/nodata); `prof`/`plan`
+   * are additionally NULL on flat cells (G²+H² = 0), where they are
+   * undefined. The double chains are pure +−×÷ in one shared [[Ar]]
+   * order (no transcendentals), so outputs ship unquantized and the
+   * DuckDB twin is bit-exact.
+   */
+  def curvature(px: DataFrame, b: String, g: GridMeta): DataFrame = {
+    val bl = col(b).cast("long")
+    val (xres, yres) = g.resolution
+    val p1 = px.withColumn("_bl", bl)
+      .withColumn("_hc", count(col(b)).over(hWin))
+      .withColumn("_dxx",
+        lag(col("_bl"), 1).over(hOrd) + lead(col("_bl"), 1).over(hOrd) -
+          lit(2L) * col("_bl"))
+      .withColumn("_dx1",
+        lead(col("_bl"), 1).over(hOrd) - lag(col("_bl"), 1).over(hOrd))
+    val p2 = p1
+      .withColumn("c9", sum(col("_hc")).over(vWin))
+      .withColumn("_dyy",
+        lag(col("_bl"), 1).over(vOrd) + lead(col("_bl"), 1).over(vOrd) -
+          lit(2L) * col("_bl"))
+      .withColumn("_dy1",
+        lead(col("_bl"), 1).over(vOrd) - lag(col("_bl"), 1).over(vOrd))
+      .withColumn("_dxy",
+        lead(col("_dx1"), 1).over(vOrd) - lag(col("_dx1"), 1).over(vOrd))
+    val all9 = col("c9") === 9
+    def gd(c: Column): Column = when(all9, c).cast("double")
+    val (total, profNum, planNum, p) = curvatureParts[Column](
+      gd(col("_dxx")), gd(col("_dyy")), gd(col("_dxy")),
+      gd(col("_dx1")), gd(col("_dy1")), xres, yres)(Utm.ColAr)
+    p2.withColumn("zxx_num", when(all9, col("_dxx")))
+      .withColumn("zyy_num", when(all9, col("_dyy")))
+      .withColumn("zxy_num", when(all9, col("_dxy")))
+      .withColumn("curv", total)
+      .withColumn("prof", when(p > lit(0.0), profNum / p))
+      .withColumn("plan", when(p > lit(0.0), planNum / p))
+      .drop("_bl", "_hc", "_dxx", "_dx1", "_dyy", "_dy1", "_dxy")
+  }
+
+  /**
+   * Z-T curvature arithmetic over [[Ar]] (one definition, both
+   * engines): returns (total, prof_numerator, plan_numerator, p) with
+   * D = zxx/(2Δx²), E = zyy/(2Δy²), F = zxy/(4ΔxΔy), G = dx1/(2Δx),
+   * H = dy1/(2Δy), p = G²+H²,
+   *   total = −200(D+E)             (the ×100 gdaldem convention)
+   *   prof  = −200(DG² + EH² + FGH) / p
+   *   plan  =  200(DH² + EG² − FGH) / p
+   * The caller applies the `p > 0` gate and the division (engine-local
+   * CASE/when; IEEE ÷ of identical operands is deterministic).
+   */
+  def curvatureParts[T](zxx: T, zyy: T, zxy: T, dx1: T, dy1: T,
+                        xres: Double, yres: Double)
+                       (implicit F: Ar[T]): (T, T, T, T) = {
+    val d = F.div(zxx, F.lit(2.0 * xres * xres))
+    val e = F.div(zyy, F.lit(2.0 * yres * yres))
+    val f = F.div(zxy, F.lit(4.0 * xres * yres))
+    val gg = F.div(dx1, F.lit(2.0 * xres))
+    val hh = F.div(dy1, F.lit(2.0 * yres))
+    val g2 = F.mul(gg, gg)
+    val h2 = F.mul(hh, hh)
+    val p = F.add(g2, h2)
+    val fgh = F.mul(f, F.mul(gg, hh))
+    val total = F.mul(F.lit(-200.0), F.add(d, e))
+    val profNum = F.mul(F.lit(-200.0),
+      F.add(F.add(F.mul(d, g2), F.mul(e, h2)), fgh))
+    val planNum = F.mul(F.lit(200.0),
+      F.sub(F.add(F.mul(d, h2), F.mul(e, g2)), fgh))
+    (total, profNum, planNum, p)
+  }
+
+  /** SQL twin of [[curvatureParts]] over gated numerator texts. */
+  def curvatureSql(zxx: String, zyy: String, zxy: String,
+                   dx1: String, dy1: String,
+                   xres: Double, yres: Double): (String, String, String, String) =
+    curvatureParts[String](zxx, zyy, zxy, dx1, dy1, xres, yres)(Utm.SqlAr)
+
   /** Slope/aspect from the Horn numerators, written ONCE over [[Ar]]
     * so engine and oracle share the IEEE op order. Inputs are the
     * already-gated numerators cast to double (NULL propagates). */

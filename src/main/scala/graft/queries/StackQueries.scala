@@ -292,6 +292,30 @@ object StackQueries {
         stack(s).df.select("row", "col", "b1"), "b1")
         .select("row", "col", "g5num", "g5wt", "gauss5")),
 
+    // Zevenbergen-Thorne curvature: separable [1,-2,1] second
+    // differences + cross difference, LONG numerators gated on
+    // all-9-present; total/profile/plan through the shared-Ar pure
+    // +-*/ chain (no transcendentals -> raw doubles, no quantize).
+    "q95_curvature" -> ((s, _) =>
+      graft.operators.Focal.curvature(
+        stack(s).df.select("row", "col", "b1"), "b1", G)
+        .select("row", "col", "zxx_num", "zyy_num", "zxy_num",
+          "curv", "prof", "plan")),
+
+    // Raster clump: 4-connected equal-category region labeling.
+    // Edges are window lags (2 shuffles, no self-join); labels via the
+    // contraction components loop; singletons back-filled by left join.
+    // Category = avalanche hash % 4 (site percolation at p=1/4 —
+    // subcritical, max region ~23 px, so the DuckDB reachability
+    // closure stays ~400k rows).
+    "q96_clump" -> ((s, _) => {
+      val px = RasterStack.grid(s, G).withColumn("cat",
+        graft.operators.Clump.avalanche31(
+          col("row") * G.width.toLong + col("col")) % lit(4L))
+      graft.operators.Clump.clump(px, "cat", G)
+        .select("row", "col", "cat", "component")
+    }),
+
     // Analytic hillshade from Horn slope/aspect; per-row SIN carries
     // DuckDB's 1-ulp variance, so the output ships floor(x1e3).
     "q92_hillshade" -> ((s, _) => {
@@ -372,6 +396,63 @@ object StackQueries {
          |  CAST(FLOOR(($slope) * 1000000000.0) AS BIGINT) AS slope_q,
          |  CASE WHEN c9 = 9 THEN $aspect END AS aspect
          |FROM g""".stripMargin
+    },
+
+    "q96_clump" -> {
+      val w = G.width
+      val cat = graft.operators.Clump.avalanche31Sql(s"(row * $w + col)") + " % 4"
+      s"""WITH RECURSIVE n AS (
+         |  SELECT row, col, row * $w + col AS id, ($cat) AS cat FROM ${gridSql(G)}),
+         |e AS (
+         |  SELECT a.id AS src, b.id AS dst FROM n a JOIN n b
+         |    ON b.row = a.row AND b.col = a.col + 1 AND b.cat = a.cat
+         |  UNION ALL SELECT b.id, a.id FROM n a JOIN n b
+         |    ON b.row = a.row AND b.col = a.col + 1 AND b.cat = a.cat
+         |  UNION ALL SELECT a.id, b.id FROM n a JOIN n b
+         |    ON b.col = a.col AND b.row = a.row + 1 AND b.cat = a.cat
+         |  UNION ALL SELECT b.id, a.id FROM n a JOIN n b
+         |    ON b.col = a.col AND b.row = a.row + 1 AND b.cat = a.cat),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst)
+         |SELECT n.row, n.col, n.cat,
+         |  CAST(LEAST(n.id, COALESCE(MIN(r.dst), n.id)) AS BIGINT) AS component
+         |FROM n LEFT JOIN reach r ON r.src = n.id
+         |GROUP BY n.row, n.col, n.cat, n.id""".stripMargin
+    },
+
+    "q95_curvature" -> {
+      val (xres, yres) = G.resolution
+      val b1 = bandSql("row", "col", NcBands.head)
+      def gD(c: String) = s"CAST(CASE WHEN c9 = 9 THEN $c END AS DOUBLE)"
+      val (total, profNum, planNum, p) = graft.operators.Focal.curvatureSql(
+        gD("dxx"), gD("dyy"), gD("dxy"), gD("dx1"), gD("dy1"), xres, yres)
+      val div = graft.operators.Utm.SqlAr
+      s"""WITH px AS (SELECT row, col, $b1 AS b1 FROM ${gridSql(G)}),
+         |b AS (SELECT row, col, CAST(b1 AS BIGINT) AS bl,
+         |        COUNT(b1) OVER (PARTITION BY row ORDER BY col ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS hc
+         |      FROM px),
+         |h AS (SELECT row, col, bl, hc,
+         |        (LAG(bl, 1) OVER ho + LEAD(bl, 1) OVER ho - 2 * bl) AS dxx,
+         |        (LEAD(bl, 1) OVER ho - LAG(bl, 1) OVER ho) AS dx1
+         |      FROM b WINDOW ho AS (PARTITION BY row ORDER BY col)),
+         |v AS (SELECT row, col, dxx, dx1,
+         |        SUM(hc) OVER vw AS c9,
+         |        (LAG(bl, 1) OVER vo + LEAD(bl, 1) OVER vo - 2 * bl) AS dyy,
+         |        (LEAD(bl, 1) OVER vo - LAG(bl, 1) OVER vo) AS dy1,
+         |        (LEAD(dx1, 1) OVER vo - LAG(dx1, 1) OVER vo) AS dxy
+         |      FROM h
+         |      WINDOW vw AS (PARTITION BY col ORDER BY row ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING),
+         |             vo AS (PARTITION BY col ORDER BY row))
+         |SELECT row, col,
+         |  CAST(CASE WHEN c9 = 9 THEN dxx END AS BIGINT) AS zxx_num,
+         |  CAST(CASE WHEN c9 = 9 THEN dyy END AS BIGINT) AS zyy_num,
+         |  CAST(CASE WHEN c9 = 9 THEN dxy END AS BIGINT) AS zxy_num,
+         |  $total AS curv,
+         |  CASE WHEN $p > 0.0 THEN ${div.div(profNum, p)} END AS prof,
+         |  CASE WHEN $p > 0.0 THEN ${div.div(planNum, p)} END AS plan
+         |FROM v""".stripMargin
     },
 
     "q92_hillshade" -> {

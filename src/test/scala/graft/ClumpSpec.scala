@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GridMeta
+import graft.operators.Clump
+
+/** Clump (4-connected region labeling) vs a driver-side union-find
+  * twin: dense grid with nodata, and a cropped/sparse grid where
+  * missing pixels must break runs. */
+class ClumpSpec extends AnyFunSuite with SparkSpec {
+
+  private val H = 12
+  private val W = 10
+  private val g = GridMeta.northUp(0.0, 0.0, W.toDouble, H.toDouble, width = W, height = H)
+
+  // 3 categories + a nodata stripe
+  private def catAt(r: Int, c: Int): Option[Long] =
+    if ((r + c) % 11 == 0) None
+    else Some(((r * 7 + c * 3 + (r * c) % 5) % 3).toLong)
+
+  private def bruteForce(cells: Seq[(Int, Int)]): Map[(Int, Int), Long] = {
+    val ids = cells.map { case (r, c) => (r, c) -> (r.toLong * W + c) }.toMap
+    val parent = scala.collection.mutable.Map(ids.values.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val set = cells.toSet
+    for ((r, c) <- cells; (dr, dc) <- Seq((0, 1), (1, 0))) {
+      val n = (r + dr, c + dc)
+      if (set.contains(n))
+        (catAt(r, c), catAt(n._1, n._2)) match {
+          case (Some(a), Some(b)) if a == b => union(ids((r, c)), ids(n))
+          case _ => ()
+        }
+    }
+    ids.map { case (k, v) => k -> find(v) }
+  }
+
+  private def run(cells: Seq[(Int, Int)]): Map[(Int, Int), Long] = {
+    import spark.implicits._
+    val px = cells.map { case (r, c) => (r.toLong, c.toLong, catAt(r, c)) }
+      .toDF("row", "col", "cat")
+    Clump.clump(px, "cat", g).select("row", "col", "component")
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(2)).toMap
+  }
+
+  test("dense grid: clump labels equal the union-find twin; nodata = singletons") {
+    val cells = for { r <- 0 until H; c <- 0 until W } yield (r, c)
+    val got = run(cells)
+    val want = bruteForce(cells)
+    assert(got.size === H * W)
+    assert(got === want)
+    // fixture sanity: at least one multi-pixel region and one singleton
+    val sizes = want.groupBy(_._2).map(_._2.size)
+    assert(sizes.max > 1 && sizes.min === 1)
+    // nodata pixels are their own component
+    for ((r, c) <- cells if catAt(r, c).isEmpty)
+      assert(got((r, c)) === r.toLong * W + c, s"nodata ($r,$c)")
+  }
+
+  test("sparse grid: a missing pixel breaks the run (no false adjacency)") {
+    val cells = (for { r <- 0 until H; c <- 0 until W } yield (r, c))
+      .filterNot { case (r, c) => r == 5 && c >= 2 && c <= 7 } // punch a gap
+    val got = run(cells)
+    assert(got === bruteForce(cells))
+  }
+
+  test("edge construction is window lags, not a self-join") {
+    import spark.implicits._
+    val px = (for { r <- 0 until H; c <- 0 until W }
+      yield (r.toLong, c.toLong, catAt(r, c))).toDF("row", "col", "cat")
+    // the clump plan necessarily joins (components + label backfill);
+    // assert the avalanche category + lag-edge stage alone is join-free
+    val base = px.withColumn("__id", col("row") * g.width.toLong + col("col"))
+      .withColumn("__pid", lag(col("__id"), 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("row").orderBy("col")))
+    val plan = base.queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && !plan.contains("Join"), plan.take(400))
+  }
+
+  test("avalanche31 decorrelates neighbors (no LCG striping)") {
+    import spark.implicits._
+    val n = 4000
+    val cats = spark.range(n).select(
+      (Clump.avalanche31(col("id")) % lit(4L)).as("c"))
+      .collect().map(_.getLong(0))
+    // successive-key equality rate should be ~1/4, not 0 or a cycle
+    val eq = cats.sliding(2).count(a => a(0) == a(1)).toDouble / (n - 1)
+    assert(eq > 0.15 && eq < 0.35, s"adjacent-equal rate $eq")
+    // all 4 categories occur with reasonable mass
+    val hist = cats.groupBy(identity).map(_._2.length)
+    assert(hist.size === 4 && hist.min > n / 8)
+  }
+}

@@ -78,9 +78,51 @@ class FocalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("curvature numerators + Z-T values equal the scalar shared-Ar twin") {
+    val g = GridMeta.northUp(0.0, 0.0, W.toDouble, H.toDouble, width = W, height = H)
+    val (xres, yres) = g.resolution
+    val got = Focal.curvature(px, "b1", g)
+      .select("row", "col", "zxx_num", "zyy_num", "zxy_num", "curv", "prof", "plan")
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r).toMap
+    assert(got.size === H * W)
+    var sawCurved = false
+    for (r <- 0 until H; c <- 0 until W) {
+      val row = got((r, c))
+      val all9 = r > 0 && r < H - 1 && c > 0 && c < W - 1 &&
+        (for { dr <- -1 to 1; dc <- -1 to 1 } yield valueAt(r + dr, c + dc))
+          .forall(_.isDefined)
+      if (!all9) {
+        for (i <- 2 to 7) assert(row.isNullAt(i), s"($r,$c) col $i should be gated")
+      } else {
+        def v(dr: Int, dc: Int): Long = valueAt(r + dr, c + dc).get
+        val zxx = v(0, -1) + v(0, 1) - 2 * v(0, 0)
+        val zyy = v(-1, 0) + v(1, 0) - 2 * v(0, 0)
+        val dx1 = v(0, 1) - v(0, -1)
+        val dy1 = v(1, 0) - v(-1, 0)
+        val zxy = (v(1, 1) - v(1, -1)) - (v(-1, 1) - v(-1, -1))
+        assert(row.getLong(2) === zxx, s"($r,$c) zxx")
+        assert(row.getLong(3) === zyy, s"($r,$c) zyy")
+        assert(row.getLong(4) === zxy, s"($r,$c) zxy")
+        val (total, profNum, planNum, p) = Focal.curvatureParts[Double](
+          zxx.toDouble, zyy.toDouble, zxy.toDouble, dx1.toDouble, dy1.toDouble,
+          xres, yres)(graft.operators.Utm.DblAr)
+        assert(row.getDouble(5) === total, s"($r,$c) curv")
+        if (p > 0.0) {
+          sawCurved = true
+          assert(row.getDouble(6) === profNum / p, s"($r,$c) prof")
+          assert(row.getDouble(7) === planNum / p, s"($r,$c) plan")
+        } else {
+          assert(row.isNullAt(6) && row.isNullAt(7), s"($r,$c) flat -> NULL")
+        }
+      }
+    }
+    assert(sawCurved, "fixture should exercise the curved branch")
+  }
+
   test("focal plans are separable windows: WindowExec, no join, no cartesian") {
     for (df <- Seq(Focal.stats3x3(px, "b1"),
-                   Focal.horn(px, "b1", GridMeta.TestGrid))) {
+                   Focal.horn(px, "b1", GridMeta.TestGrid),
+                   Focal.curvature(px, "b1", GridMeta.TestGrid))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("Window"), plan.take(400))
       assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
