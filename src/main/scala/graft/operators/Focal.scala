@@ -185,6 +185,39 @@ object Focal {
   }
 
   /**
+   * 3×3 focal majority (modal) filter for a small-cardinality
+   * categorical band — the classification-smoothing pass that follows
+   * `predict` (gdal sieve/majority analogue). Mode is not separable in
+   * general, but with K known categories it decomposes into K
+   * indicator box-counts, and ALL K ride the SAME two window shuffles
+   * (multiple window expressions over one WindowSpec share the
+   * Exchange) — so the cost is two shuffles regardless of K, never a
+   * 9-way self-join. Ties break to the smallest category; cells whose
+   * window holds no categorized pixel (all nodata) get NULL. Border
+   * windows shrink (majority over the cells that exist), matching
+   * [[stats3x3]].
+   */
+  def majority3x3(px: DataFrame, catCol: String, nCats: Int): DataFrame = {
+    require(nCats >= 2 && nCats <= 16,
+      s"majority3x3 is the small-K categorical path (got $nCats)")
+    val h = (0 until nCats).foldLeft(px) { (d, k) =>
+      d.withColumn(s"_h$k",
+        sum(when(col(catCol) === k, 1L).otherwise(0L)).over(hWin))
+    }
+    val v = (0 until nCats).foldLeft(h) { (d, k) =>
+      d.withColumn(s"_c$k", sum(col(s"_h$k")).over(vWin))
+    }
+    val (bestCnt, bestCat) = (1 until nCats)
+      .foldLeft((col("_c0"), lit(0))) { case ((bc, bk), k) =>
+        (when(col(s"_c$k") > bc, col(s"_c$k")).otherwise(bc),
+          when(col(s"_c$k") > bc, lit(k)).otherwise(bk))
+      }
+    v.withColumn("maj_cnt", bestCnt)
+      .withColumn("majority", when(bestCnt > 0L, bestCat.cast("long")))
+      .drop((0 until nCats).flatMap(k => Seq(s"_h$k", s"_c$k")): _*)
+  }
+
+  /**
    * Z-T curvature arithmetic over [[Ar]] (one definition, both
    * engines): returns (total, prof_numerator, plan_numerator, p) with
    * D = zxx/(2Δx²), E = zyy/(2Δy²), F = zxy/(4ΔxΔy), G = dx1/(2Δx),

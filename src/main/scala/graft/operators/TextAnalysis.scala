@@ -262,6 +262,98 @@ object TextAnalysis {
        |  CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_frac
        |FROM l1 GROUP BY 1""".stripMargin
 
+  /**
+   * Corpus vocabulary: top-k words per language by frequency — the
+   * vocabulary-building pass of tokenizer training (and the
+   * frequency table a stopword/quality heuristic derives from).
+   *
+   * Plan shape at 100 TB: token explode → (lang, word) hash-agg with
+   * map-side partials (repeated words collapse before the shuffle) →
+   * per-language [[graft.functions.top_k]] bounded-heap aggregate
+   * (≤ k rows per language per mapper — no rank window, no full
+   * sort; language cardinality is tiny so the final agg is trivial).
+   * Ties break by word ascending (`cnt DESC, word`).
+   */
+  def vocabTopK(docs: DataFrame, langCol: String, textCol: String, k: Int): DataFrame = {
+    val counts = docs.select(col(langCol).as("lang"),
+        explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("lang"))
+      .agg(graft.functions.top_k(
+        struct((-col("cnt")).as("neg"), col("word"), col("cnt")), k).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.word").as("word"), col("col.cnt").as("cnt"))
+  }
+
+  /** SQL twin of [[vocabTopK]] over a `(lang, text)` corpus relation. */
+  def vocabTopKSql(corpus: String, k: Int): String =
+    s"""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |           FROM $corpus),
+       |c AS (SELECT lang, word, COUNT(*) AS cnt FROM t GROUP BY 1, 2)
+       |SELECT lang, rnk, word, cnt FROM (
+       |  SELECT lang, word, cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |                       ORDER BY cnt DESC, word) AS rnk
+       |  FROM c) WHERE rnk <= $k""".stripMargin
+
+  /**
+   * Bigram language-model scoring: train MLE bigram statistics on the
+   * corpus and score every document by its summed bigram
+   * log-probability — the CCNet-style perplexity quality signal,
+   * self-trained (no external model). P(w2|w1) = c(w1,w2) / c(w1·),
+   * both counts from the corpus itself, so every document bigram has
+   * nonzero probability by construction.
+   *
+   * Plan shape at 100 TB: bigrams come from `zip_with` over two array
+   * slices — a PROJECTION, not a positional self-join or window (zero
+   * extra shuffle to form pairs). The bigram-count table aggregates
+   * with map-side partials; the prefix-count table re-aggregates FROM
+   * the bigram counts (vocab²-sized input, never a second corpus
+   * scan). Scoring is two equi-joins on (w1,w2)/(w1) — AQE broadcasts
+   * the count tables when small, degrades to shuffle joins at
+   * web-scale vocabularies — then one (doc) hash-agg of LONG-quantized
+   * terms (`floor(ln(bc/pc)·1e9)`: order-free integer sum; raw double
+   * sums would be partition-order-dependent, and DuckDB's LN is 1 ulp
+   * off `Math.log` on some ratios).
+   *
+   * Documents with fewer than two tokens have no bigrams and drop out
+   * (score undefined).
+   */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = Caches.track(docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+    val pc = bc.groupBy(col("w1")).agg(sum(col("bc")).as("pc"))
+    bi.join(bc, Seq("w1", "w2")).join(pc, Seq("w1"))
+      .withColumn("lp_q",
+        floor(log(col("bc").cast("double") / col("pc").cast("double")) *
+          lit(1.0e9)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("logprob_q"))
+  }
+
+  /** SQL twin of [[bigramScore]] (DuckDB lists are 1-based;
+    * `generate_series(1, n-1)` enumerates bigram start positions). */
+  def bigramScoreSql(corpus: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $corpus),
+       |bi AS (
+       |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+       |  FROM (SELECT doc_id, w,
+       |          unnest(generate_series(1, len(w) - 1)) AS i FROM t)),
+       |bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bi GROUP BY 1, 2),
+       |pc AS (SELECT w1, CAST(SUM(bc) AS BIGINT) AS pc FROM bc GROUP BY 1)
+       |SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(CAST(FLOOR(LN(CAST(bc.bc AS DOUBLE) / CAST(pc.pc AS DOUBLE))
+       |    * 1.0e9) AS BIGINT)) AS BIGINT) AS logprob_q
+       |FROM bi JOIN bc USING (w1, w2) JOIN pc USING (w1)
+       |GROUP BY 1""".stripMargin
+
   /** 60-bit stable word hash from md5 (identical in Spark and DuckDB). */
   def wordHash(w: Column): Column =
     conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long")

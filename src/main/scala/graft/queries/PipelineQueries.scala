@@ -225,6 +225,17 @@ object PipelineQueries {
     "q87_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)),
 
+    // Tokenizer-vocabulary pass: top-k words per language by corpus
+    // frequency (token explode -> hash-agg -> bounded-heap top_k).
+    "q98_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(docs(s, dir), "lang", "text", k = 10)),
+
+    // Self-trained bigram-LM quality score (CCNet-style perplexity
+    // signal): MLE bigram stats from the corpus itself, per-doc summed
+    // log-prob as order-free LONG-quantized terms.
+    "q99_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramScore(docs(s, dir), "doc_id", "text")),
+
     "q39_multimodal" -> ((s, dir) => {
       val pages = graft.sources.Pages.fromDocuments(s, dir)
       val stats = Multimodal.frameStats(pages, "html", 64)
@@ -278,6 +289,10 @@ object PipelineQueries {
          |FROM $corpusExactSql GROUP BY 1""".stripMargin,
 
     "q87_tfidf" -> TextAnalysis.tfidfTopKSql("documents", k = 3),
+
+    "q98_vocab" -> TextAnalysis.vocabTopKSql("documents", k = 10),
+
+    "q99_bigram_lm" -> TextAnalysis.bigramScoreSql("documents"),
 
     "q88_repetition" -> TextAnalysis.repetitionSignalsSql("documents"),
 

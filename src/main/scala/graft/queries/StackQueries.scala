@@ -316,6 +316,25 @@ object StackQueries {
         .select("row", "col", "cat", "component")
     }),
 
+    // Zonal statistics: per-polygon-zone count/sum/mean/min/max over
+    // the rasterized q18 relation — one hash-agg on the zone key,
+    // LONG-exact sums, one final division per mean.
+    "q97_zonal" -> ((s, _) =>
+      graft.operators.Zonal.stats(
+        Extract.vector(stack(s), Fixtures.Polys), "poly_id", Seq("b1", "b4"))),
+
+    // Focal 3x3 majority filter (classification smoothing): K=4
+    // indicator box-counts sharing TWO window shuffles, smallest-k
+    // tie-break, NULL where the window has no categorized pixel.
+    "q100_majority" -> ((s, _) => {
+      val av = graft.operators.Clump.avalanche31(
+        col("row") * G.width.toLong + col("col"))
+      val px = RasterStack.grid(s, G).withColumn("cat",
+        when(av % lit(89L) === 0L, lit(null)).otherwise(av % lit(4L)))
+      graft.operators.Focal.majority3x3(px, "cat", 4)
+        .select("row", "col", "cat", "maj_cnt", "majority")
+    }),
+
     // Analytic hillshade from Horn slope/aspect; per-row SIN carries
     // DuckDB's 1-ulp variance, so the output ships floor(x1e3).
     "q92_hillshade" -> ((s, _) => {
@@ -420,6 +439,31 @@ object StackQueries {
          |  CAST(LEAST(n.id, COALESCE(MIN(r.dst), n.id)) AS BIGINT) AS component
          |FROM n LEFT JOIN reach r ON r.src = n.id
          |GROUP BY n.row, n.col, n.cat, n.id""".stripMargin
+    },
+
+    "q97_zonal" -> graft.operators.Zonal.statsSql(
+      s"($extractPolygonsOracle)", "poly_id", Seq("b1", "b4")),
+
+    "q100_majority" -> {
+      val av = graft.operators.Clump.avalanche31Sql(s"(row * ${G.width} + col)")
+      val hw = "PARTITION BY row ORDER BY col ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING"
+      val vw = "PARTITION BY col ORDER BY row ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING"
+      val ks = 0 until 4
+      val g4 = s"GREATEST(${ks.map(k => s"c$k").mkString(", ")})"
+      s"""WITH n AS (SELECT row, col,
+         |    CASE WHEN ($av) % 89 = 0 THEN NULL ELSE ($av) % 4 END AS cat
+         |  FROM ${gridSql(G)}),
+         |h AS (SELECT row, col, cat,
+         |    ${ks.map(k => s"SUM(CASE WHEN cat = $k THEN 1 ELSE 0 END) OVER ($hw) AS h$k").mkString(", ")}
+         |  FROM n),
+         |v AS (SELECT row, col, cat,
+         |    ${ks.map(k => s"CAST(SUM(h$k) OVER ($vw) AS BIGINT) AS c$k").mkString(", ")}
+         |  FROM h)
+         |SELECT row, col, cat, $g4 AS maj_cnt,
+         |  CASE WHEN $g4 = 0 THEN NULL
+         |       ${ks.map(k => s"WHEN c$k = $g4 THEN CAST($k AS BIGINT)").mkString(" ")}
+         |  END AS majority
+         |FROM v""".stripMargin
     },
 
     "q95_curvature" -> {

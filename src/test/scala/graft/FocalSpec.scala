@@ -119,6 +119,29 @@ class FocalSpec extends AnyFunSuite with SparkSpec {
     assert(sawCurved, "fixture should exercise the curved branch")
   }
 
+  test("majority3x3 equals the brute-force mode with smallest-k tie-break") {
+    import spark.implicits._
+    val cats = (for { r <- 0 until H; c <- 0 until W }
+      yield (r.toLong, c.toLong, valueAt(r, c).map(_ % 4)))
+      .toDF("row", "col", "cat")
+    val got = Focal.majority3x3(cats, "cat", 4)
+      .select("row", "col", "maj_cnt", "majority")
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    for (r <- 0 until H; c <- 0 until W) {
+      val neigh = for { dr <- -1 to 1; dc <- -1 to 1
+                        rr = r + dr; cc = c + dc
+                        if rr >= 0 && rr < H && cc >= 0 && cc < W
+                        v <- valueAt(rr, cc) } yield v % 4
+      val counts = (0 until 4).map(k => neigh.count(_ == k).toLong)
+      val maxC = counts.max
+      val (gotCnt, gotMaj) = got((r, c))
+      assert(gotCnt === maxC, s"($r,$c) maj_cnt")
+      if (maxC == 0) assert(gotMaj.isEmpty, s"($r,$c) all-nodata")
+      else assert(gotMaj === Some(counts.indexOf(maxC).toLong), s"($r,$c) majority")
+    }
+  }
+
   test("focal plans are separable windows: WindowExec, no join, no cartesian") {
     for (df <- Seq(Focal.stats3x3(px, "b1"),
                    Focal.horn(px, "b1", GridMeta.TestGrid),

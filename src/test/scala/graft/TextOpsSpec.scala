@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** Vocabulary top-k and bigram-LM scoring vs driver-side twins. */
+class TextOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private val corpus = Seq(
+    (0L, "en", "the cat sat on the mat"),
+    (1L, "en", "the dog sat"),
+    (2L, "fr", "le chat le chien"),
+    (3L, "en", "cat"),          // single token: no bigrams
+    (4L, "fr", "le"))           // single token
+
+  test("vocabTopK ranks by count desc then word asc within language") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.vocabTopK(df, "lang", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    // en counts: the=3, sat=2, cat=2, on/mat/dog=1 -> ties cat<sat
+    assert(got(("en", 1L)) === ("the", 3L))
+    assert(got(("en", 2L)) === ("cat", 2L))
+    assert(got(("en", 3L)) === ("sat", 2L))
+    // fr counts: le=3, chat=1, chien=1 -> chat<chien
+    assert(got(("fr", 1L)) === ("le", 3L))
+    assert(got(("fr", 2L)) === ("chat", 1L))
+    assert(got(("fr", 3L)) === ("chien", 1L))
+  }
+
+  test("bigramScore equals the scalar MLE twin; one-token docs drop") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.bigramScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L))
+    // scalar twin
+    val bigrams = corpus.flatMap { case (id, _, t) =>
+      val w = t.split(" "); w.zip(w.tail).map(p => (id, p))
+    }
+    val bc = bigrams.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val pc = bc.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    for ((id, (n, score)) <- got) {
+      val mine = bigrams.filter(_._1 == id).map(_._2)
+      assert(n === mine.size.toLong, s"doc $id n_bigrams")
+      val want = mine.map { p =>
+        math.floor(math.log(bc(p).toDouble / pc(p._1).toDouble) * 1.0e9).toLong
+      }.sum
+      assert(score === want, s"doc $id logprob_q")
+    }
+    // "the cat" appears once, prefix "the" has 3 continuations -> ln(1/3)<0
+    assert(got(0L)._2 < 0L)
+  }
+}
