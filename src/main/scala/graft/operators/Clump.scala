@@ -63,6 +63,62 @@ object Clump {
    * coordinate, so sparse relations (cropped/masked grids) also label
    * correctly — a gap in a grid line simply breaks the run.
    */
+  /**
+   * Sieve filter over a [[clump]]-labeled raster: every region smaller
+   * than `minPix` merges into its largest ADJACENT region of size ≥
+   * `minPix` (ties: smallest target component id), taking that
+   * region's category; small regions with no large neighbor are left
+   * unchanged. One-pass threshold merge — gdal's sieve iterates until
+   * fixpoint, so results can differ on nested small-region chains
+   * (documented divergence; the one-pass rule is deterministic and
+   * embarrassingly parallel).
+   *
+   * Scale shape: region sizes are one hash-agg; region adjacency is
+   * the same window-lag trick as [[clump]] edge construction (two
+   * shuffles, no self-join); the merge target per small region is the
+   * bounded-heap `top_k(…, 1)` aggregate (no rank window); relabeling
+   * is two equi-joins on the component id. Component keys are region
+   * ids — cardinality ≪ pixels, so the joins are dim-sized and AQE
+   * broadcasts them.
+   */
+  def sieve(labeled: DataFrame, catCol: String, minPix: Int): DataFrame = {
+    val sz = labeled.groupBy(col("component")).agg(count(lit(1)).as("n"))
+    def adj(w: WindowSpec, runCoord: String): DataFrame = labeled
+      .withColumn("__pc", lag(col("component"), 1).over(w))
+      .withColumn("__pcoord", lag(col(runCoord), 1).over(w))
+      .where(col("__pc").isNotNull && col("__pc") =!= col("component") &&
+        col("__pcoord") === col(runCoord) - 1L)
+      .select(col("component").as("s"), col("__pc").as("t"))
+    val edges = adj(hOrd, "col").unionByName(adj(vOrd, "row"))
+    val both = edges.unionByName(
+      edges.select(col("t").as("s"), col("s").as("t")))
+    // per-region category (uniform by construction: clump edges require
+    // equal non-null cats, so nodata pixels are always singletons);
+    // NULL-cat regions neither merge nor receive merges (gdal's nodata
+    // mask semantics)
+    val cmap0 = labeled.groupBy(col("component")).agg(max(col(catCol)).as("ccat"))
+    val valid = cmap0.where(col("ccat").isNotNull).select("component")
+    val pick = both
+      .join(valid.withColumnRenamed("component", "s"), "s")
+      .join(valid.withColumnRenamed("component", "t"), "t")
+      .join(sz.select(col("component").as("s"), col("n").as("sn")), "s")
+      .where(col("sn") < minPix)
+      .join(sz.select(col("component").as("t"), col("n").as("tn")), "t")
+      .where(col("tn") >= minPix)
+      .groupBy(col("s"))
+      .agg(graft.functions.top_k(
+        struct((-col("tn")).as("neg"), col("t")), 1).as("top"))
+      .select(col("s").as("component"),
+        col("top").getItem(0).getField("t").as("__tgt"))
+    val cmap = cmap0.select(col("component").as("__tgt"), col("ccat").as("__tcat"))
+    labeled.join(pick, Seq("component"), "left")
+      .join(cmap, Seq("__tgt"), "left")
+      .withColumn("component_out", coalesce(col("__tgt"), col("component")))
+      .withColumn("cat_out",
+        when(col("__tgt").isNotNull, col("__tcat")).otherwise(col(catCol)))
+      .drop("__tgt", "__tcat")
+  }
+
   def clump(px: DataFrame, catCol: String, g: GridMeta,
             checkpointDir: Option[String] = None): DataFrame = {
     val base = px.withColumn("__id",

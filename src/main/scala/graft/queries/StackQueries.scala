@@ -335,6 +335,20 @@ object StackQueries {
         .select("row", "col", "cat", "maj_cnt", "majority")
     }),
 
+    // Sieve filter: clump the nodata-masked category raster, then
+    // merge every region < 4 px into its largest adjacent region of
+    // size >= 4 (tie: smallest id), taking that region's category;
+    // NULL-cat regions excluded both ways (nodata mask semantics).
+    "q101_sieve" -> ((s, _) => {
+      val av = graft.operators.Clump.avalanche31(
+        col("row") * G.width.toLong + col("col"))
+      val px = RasterStack.grid(s, G).withColumn("cat",
+        when(av % lit(89L) === 0L, lit(null)).otherwise(av % lit(4L)))
+      val labeled = graft.operators.Clump.clump(px, "cat", G)
+      graft.operators.Clump.sieve(labeled, "cat", minPix = 4)
+        .select("row", "col", "cat_out", "component_out")
+    }),
+
     // Analytic hillshade from Horn slope/aspect; per-row SIN carries
     // DuckDB's 1-ulp variance, so the output ships floor(x1e3).
     "q92_hillshade" -> ((s, _) => {
@@ -346,6 +360,39 @@ object StackQueries {
         floor(hs * lit(1000.0)).cast("long").as("hs_q"))
     })
   )
+
+  /** q100/q101 fixture category: avalanche %4 with a ~1% nodata mask. */
+  private def catNodataSql: String = {
+    val av = graft.operators.Clump.avalanche31Sql(s"(row * ${G.width} + col)")
+    s"CASE WHEN ($av) % 89 = 0 THEN NULL ELSE ($av) % 4 END"
+  }
+
+  /** Clump oracle for an arbitrary category SQL: rook adjacency +
+    * recursive reachability closure, min-reachable-id labels (feasible
+    * because the avalanche categories stay subcritical — max region
+    * ~23 px, closure ~400k rows). */
+  private def clumpOracleSql(catSql: String): String = {
+    val w = G.width
+    s"""WITH RECURSIVE n AS (
+       |  SELECT row, col, row * $w + col AS id, ($catSql) AS cat FROM ${gridSql(G)}),
+       |e AS (
+       |  SELECT a.id AS src, b.id AS dst FROM n a JOIN n b
+       |    ON b.row = a.row AND b.col = a.col + 1 AND b.cat = a.cat
+       |  UNION ALL SELECT b.id, a.id FROM n a JOIN n b
+       |    ON b.row = a.row AND b.col = a.col + 1 AND b.cat = a.cat
+       |  UNION ALL SELECT a.id, b.id FROM n a JOIN n b
+       |    ON b.col = a.col AND b.row = a.row + 1 AND b.cat = a.cat
+       |  UNION ALL SELECT b.id, a.id FROM n a JOIN n b
+       |    ON b.col = a.col AND b.row = a.row + 1 AND b.cat = a.cat),
+       |reach AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst)
+       |SELECT n.row, n.col, n.cat,
+       |  CAST(LEAST(n.id, COALESCE(MIN(r.dst), n.id)) AS BIGINT) AS component
+       |FROM n LEFT JOIN reach r ON r.src = n.id
+       |GROUP BY n.row, n.col, n.cat, n.id""".stripMargin
+  }
 
   /** Shared focal CTE: pixel relation + the horizontal [1,1,1] pass
     * (LONG sums/counts; the vertical pass completes the 3×3). */
@@ -417,28 +464,35 @@ object StackQueries {
          |FROM g""".stripMargin
     },
 
-    "q96_clump" -> {
-      val w = G.width
-      val cat = graft.operators.Clump.avalanche31Sql(s"(row * $w + col)") + " % 4"
-      s"""WITH RECURSIVE n AS (
-         |  SELECT row, col, row * $w + col AS id, ($cat) AS cat FROM ${gridSql(G)}),
-         |e AS (
-         |  SELECT a.id AS src, b.id AS dst FROM n a JOIN n b
-         |    ON b.row = a.row AND b.col = a.col + 1 AND b.cat = a.cat
-         |  UNION ALL SELECT b.id, a.id FROM n a JOIN n b
-         |    ON b.row = a.row AND b.col = a.col + 1 AND b.cat = a.cat
-         |  UNION ALL SELECT a.id, b.id FROM n a JOIN n b
-         |    ON b.col = a.col AND b.row = a.row + 1 AND b.cat = a.cat
-         |  UNION ALL SELECT b.id, a.id FROM n a JOIN n b
-         |    ON b.col = a.col AND b.row = a.row + 1 AND b.cat = a.cat),
-         |reach AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst)
-         |SELECT n.row, n.col, n.cat,
-         |  CAST(LEAST(n.id, COALESCE(MIN(r.dst), n.id)) AS BIGINT) AS component
-         |FROM n LEFT JOIN reach r ON r.src = n.id
-         |GROUP BY n.row, n.col, n.cat, n.id""".stripMargin
+    "q96_clump" -> clumpOracleSql(
+      graft.operators.Clump.avalanche31Sql(s"(row * ${G.width} + col)") + " % 4"),
+
+    "q101_sieve" -> {
+      val lab = clumpOracleSql(catNodataSql)
+      s"""WITH lab AS ($lab),
+         |sz AS (SELECT component, COUNT(*) AS n FROM lab GROUP BY 1),
+         |cm AS (SELECT component, MAX(cat) AS ccat FROM lab GROUP BY 1),
+         |adjr AS (
+         |  SELECT a.component AS s, b.component AS t FROM lab a JOIN lab b
+         |    ON b.row = a.row AND b.col = a.col + 1 AND a.component <> b.component
+         |  UNION ALL SELECT a.component, b.component FROM lab a JOIN lab b
+         |    ON b.col = a.col AND b.row = a.row + 1 AND a.component <> b.component),
+         |undir AS (SELECT s, t FROM adjr UNION ALL SELECT t, s FROM adjr),
+         |pick AS (
+         |  SELECT s, t FROM (
+         |    SELECT b.s, b.t,
+         |      ROW_NUMBER() OVER (PARTITION BY b.s ORDER BY tz.n DESC, b.t) AS rn
+         |    FROM undir b
+         |    JOIN cm cs ON cs.component = b.s AND cs.ccat IS NOT NULL
+         |    JOIN cm ct ON ct.component = b.t AND ct.ccat IS NOT NULL
+         |    JOIN sz ss ON ss.component = b.s
+         |    JOIN sz tz ON tz.component = b.t
+         |    WHERE ss.n < 4 AND tz.n >= 4) WHERE rn = 1)
+         |SELECT lab.row, lab.col,
+         |  CASE WHEN p.t IS NOT NULL THEN tc.ccat ELSE lab.cat END AS cat_out,
+         |  CAST(COALESCE(p.t, lab.component) AS BIGINT) AS component_out
+         |FROM lab LEFT JOIN pick p ON p.s = lab.component
+         |LEFT JOIN cm tc ON tc.component = p.t""".stripMargin
     },
 
     "q97_zonal" -> graft.operators.Zonal.statsSql(

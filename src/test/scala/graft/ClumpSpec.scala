@@ -69,6 +69,48 @@ class ClumpSpec extends AnyFunSuite with SparkSpec {
     assert(got === bruteForce(cells))
   }
 
+  test("sieve merges small regions into the largest >= minPix neighbor; nodata excluded") {
+    import spark.implicits._
+    val cells = for { r <- 0 until H; c <- 0 until W } yield (r, c)
+    val px = cells.map { case (r, c) => (r.toLong, c.toLong, catAt(r, c)) }
+      .toDF("row", "col", "cat")
+    val labeled = Clump.clump(px, "cat", g)
+    val got = Clump.sieve(labeled, "cat", minPix = 3)
+      .select("row", "col", "cat_out", "component_out").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2))), r.getLong(3))).toMap
+    // brute-force twin
+    val lab = bruteForce(cells)
+    val size = lab.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val catOf: Map[Long, Option[Long]] =
+      lab.groupBy(_._2).map { case (k, v) =>
+        k -> catAt(v.head._1._1, v.head._1._2) }
+    val adjPairs = (for {
+      (r, c) <- cells; (dr, dc) <- Seq((0, 1), (1, 0))
+      n = (r + dr, c + dc) if n._1 < H && n._2 < W
+      a = lab((r, c)); b = lab(n) if a != b
+      p <- Seq((a, b), (b, a))
+    } yield p).distinct
+    val merged: Map[Long, Long] = adjPairs
+      .filter { case (s, t) => catOf(s).isDefined && catOf(t).isDefined &&
+        size(s) < 3 && size(t) >= 3 }
+      .groupBy(_._1).map { case (s, ts) =>
+        s -> ts.map(_._2).distinct.maxBy(t => (size(t), -t))
+      }
+    assert(merged.nonEmpty, "fixture should exercise at least one merge")
+    for ((rc, (gc, gcomp)) <- got) {
+      val s = lab(rc)
+      merged.get(s) match {
+        case Some(t) =>
+          assert(gcomp === t, s"$rc should merge into $t")
+          assert(gc === catOf(t), s"$rc takes target cat")
+        case None =>
+          assert(gcomp === s, s"$rc unchanged")
+          assert(gc === catAt(rc._1, rc._2), s"$rc keeps cat")
+      }
+    }
+  }
+
   test("edge construction is window lags, not a self-join") {
     import spark.implicits._
     val px = (for { r <- 0 until H; c <- 0 until W }
