@@ -354,6 +354,51 @@ object TextAnalysis {
        |FROM bi JOIN bc USING (w1, w2) JOIN pc USING (w1)
        |GROUP BY 1""".stripMargin
 
+  /**
+   * BPE pair statistics: corpus-wide adjacent character-pair counts —
+   * the argmax of this table is the first merge of byte-pair-encoding
+   * tokenizer training (Sennrich et al. 2016). Counts weight by word
+   * FREQUENCY, computed over the distinct-word table: the token-scale
+   * explode collapses to vocab scale FIRST (one hash-agg with map-side
+   * partials), then the per-word character pairs — bounded by word
+   * length — explode from the tiny vocab relation. A naive
+   * char-explode of every token occurrence would shuffle ~5× the
+   * corpus; this shuffles the vocab. Top-k by (count DESC, pair ASC)
+   * via the bounded-heap aggregate (single group, ≤ k per mapper).
+   *
+   * Single-character words carry no pairs and are filtered (Spark's
+   * `sequence(1, 0)` DESCENDS rather than returning empty, so the
+   * guard is also a correctness requirement, not just hygiene).
+   */
+  def bpePairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val wc = docs.select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    val pairs = wc.where(length(col("word")) >= 2)
+      .select(col("wcnt"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+    pairs.groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+      .agg(graft.functions.top_k(
+        struct((-col("cnt")).as("neg"), col("pair"), col("cnt")), k).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("col.pair").as("pair"), col("col.cnt").as("cnt"))
+  }
+
+  /** SQL twin of [[bpePairCounts]] (DuckDB `generate_series(1, 0)` is
+    * empty, so no length guard is needed on the oracle side). */
+  def bpePairCountsSql(corpus: String, k: Int): String =
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM $corpus),
+       |wc AS (SELECT word, COUNT(*) AS wcnt FROM w GROUP BY 1),
+       |pr AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, wcnt
+       |       FROM (SELECT word, wcnt,
+       |               unnest(generate_series(1, length(word) - 1)) AS i
+       |             FROM wc)),
+       |pc AS (SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM pr GROUP BY 1)
+       |SELECT rnk, pair, cnt FROM (
+       |  SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
+       |  FROM pc) WHERE rnk <= $k""".stripMargin
+
   /** 60-bit stable word hash from md5 (identical in Spark and DuckDB). */
   def wordHash(w: Column): Column =
     conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long")

@@ -230,6 +230,11 @@ object PipelineQueries {
     "q98_vocab" -> ((s, dir) =>
       TextAnalysis.vocabTopK(docs(s, dir), "lang", "text", k = 10)),
 
+    // BPE tokenizer-training pair statistics: vocab-scale char-pair
+    // explode weighted by word frequency, global top-k pairs.
+    "q102_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(docs(s, dir), "text", k = 20)),
+
     // Self-trained bigram-LM quality score (CCNet-style perplexity
     // signal): MLE bigram stats from the corpus itself, per-doc summed
     // log-prob as order-free LONG-quantized terms.
@@ -293,6 +298,8 @@ object PipelineQueries {
     "q98_vocab" -> TextAnalysis.vocabTopKSql("documents", k = 10),
 
     "q99_bigram_lm" -> TextAnalysis.bigramScoreSql("documents"),
+
+    "q102_bpe_pairs" -> TextAnalysis.bpePairCountsSql("documents", k = 20),
 
     "q88_repetition" -> TextAnalysis.repetitionSignalsSql("documents"),
 

@@ -30,6 +30,22 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(("fr", 3L)) === ("chien", 1L))
   }
 
+  test("bpePairCounts equals the scalar frequency-weighted twin") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.bpePairCounts(df, "text", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+    // scalar twin: word freq * per-word adjacent char pairs
+    val wc = corpus.flatMap(_._3.split(" ")).groupBy(identity)
+      .map { case (w, v) => w -> v.size.toLong }
+    val pc = wc.toSeq.filter(_._1.length >= 2).flatMap { case (w, n) =>
+      w.sliding(2).map(p => p -> n)
+    }.groupBy(_._1).map { case (p, v) => p -> v.map(_._2).sum }
+    val want = pc.toSeq.sortBy { case (p, n) => (-n, p) }.take(5)
+    assert(got.map(_._2).toSeq === want)
+    assert(got.map(_._1).toSeq === (1L to got.length.toLong))
+  }
+
   test("bigramScore equals the scalar MLE twin; one-token docs drop") {
     import spark.implicits._
     val df = corpus.toDF("doc_id", "lang", "text")
