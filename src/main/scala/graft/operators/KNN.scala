@@ -32,6 +32,21 @@ import graft.functions._
 object KNN {
 
   /**
+   * Raster proximity (gdal_proximity analogue): for every probe pixel,
+   * the exact Euclidean distance to — and the id of — the nearest
+   * feature cell. A thin k=1 view over [[join]], so it inherits the
+   * exact ring-widening cell search (bounded 3×3 disks, bounded-heap
+   * candidate ranking, no crossJoin at any scale); ties break to the
+   * smallest feature id via the (dist, id) heap order.
+   */
+  def proximity(px: DataFrame, pixId: String, xCol: String, yCol: String,
+                features: DataFrame, fx: String, fy: String, fid: String,
+                res: Int): DataFrame =
+    join(px, pixId, xCol, yCol, features, fx, fy, fid, k = 1, res)
+      .select(px.columns.map(col) :+ col("__dist").as("dist") :+
+        col(fid).as("near_id"): _*)
+
+  /**
    * Returns one row per (probe, neighbor): probe columns + `__rank`,
    * `__dist`, and all train columns. Exact top-k per probe.
    */

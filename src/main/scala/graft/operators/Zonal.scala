@@ -39,6 +39,35 @@ object Zonal {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /**
+   * Per-zone exact quartiles (median/q1/q3) per band — Spark's exact
+   * `percentile` aggregate (an ObjectHashAggregate whose per-group
+   * state is a value→count histogram: bounded for integral-valued
+   * bands regardless of zone size, so a giant zone costs memory
+   * proportional to its DISTINCT values, not its pixels). Linear
+   * interpolation on integral doubles is bit-reproducible (the q56
+   * pooling precedent) — DuckDB `quantile_cont` matches exactly.
+   */
+  def quantiles(px: DataFrame, zoneCol: String, bands: Seq[String]): DataFrame = {
+    val aggs = bands.flatMap { b => Seq(
+      percentile(col(b), lit(0.5)).as(s"${b}_med"),
+      percentile(col(b), lit(0.25)).as(s"${b}_q1"),
+      percentile(col(b), lit(0.75)).as(s"${b}_q3")) }
+    px.where(col(zoneCol).isNotNull)
+      .groupBy(col(zoneCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** SQL twin of [[quantiles]]. */
+  def quantilesSql(rel: String, zone: String, bands: Seq[String]): String = {
+    val cols = bands.flatMap { b => Seq(
+      s"quantile_cont($b, 0.5) AS ${b}_med",
+      s"quantile_cont($b, 0.25) AS ${b}_q1",
+      s"quantile_cont($b, 0.75) AS ${b}_q3") }
+    s"""SELECT $zone, ${cols.mkString(", ")}
+       |FROM $rel WHERE $zone IS NOT NULL GROUP BY $zone""".stripMargin
+  }
+
   /** SQL twin over a pixel relation text (DuckDB `SUM(BIGINT)` returns
     * HUGEINT — re-cast before the double division so the op chain
     * matches the engine's long→double exactly). */

@@ -323,6 +323,34 @@ object StackQueries {
       graft.operators.Zonal.stats(
         Extract.vector(stack(s), Fixtures.Polys), "poly_id", Seq("b1", "b4"))),
 
+    // Zonal exact quartiles: per-zone median/q1/q3 via the exact
+    // percentile ObjectHashAggregate (value-histogram state — bounded
+    // by distinct band values, not zone size).
+    "q103_zonal_quantiles" -> ((s, _) =>
+      graft.operators.Zonal.quantiles(
+        Extract.vector(stack(s), Fixtures.Polys), "poly_id", Seq("b1", "b4"))),
+
+    // Raster proximity (gdal_proximity analogue): exact distance to
+    // the nearest b4==0 feature cell for a 50x50 probe window, via the
+    // k=1 ring-widening KNN (no crossJoin; oracle brute-forces the
+    // same (dist, id) argmin).
+    "q104_proximity" -> ((s, _) => {
+      val full = RasterStack.stack(s, G)
+      val feats = full.where(col("b4") === 0.0)
+        .select((col("row") * G.width.toLong + col("col")).as("fid"),
+          col("x").as("fx"), col("y").as("fy"))
+      // KNN.join's expand step posexplodes (pos, col) — rename the
+      // raster's row/col so probe columns can't collide with it
+      val probes = full
+        .where(col("row").between(100, 149) && col("col").between(100, 149))
+        .select((col("row") * G.width.toLong + col("col")).as("pix"),
+          col("row").as("prow"), col("col").as("pcol"), col("x"), col("y"))
+      graft.operators.KNN.proximity(
+          probes, "pix", "x", "y", feats, "fx", "fy", "fid", res = 5)
+        .select(col("prow").as("row"), col("pcol").as("col"),
+          col("dist"), col("near_id"))
+    }),
+
     // Focal 3x3 majority filter (classification smoothing): K=4
     // indicator box-counts sharing TWO window shuffles, smallest-k
     // tie-break, NULL where the window has no categorized pixel.
@@ -497,6 +525,23 @@ object StackQueries {
 
     "q97_zonal" -> graft.operators.Zonal.statsSql(
       s"($extractPolygonsOracle)", "poly_id", Seq("b1", "b4")),
+
+    "q103_zonal_quantiles" -> graft.operators.Zonal.quantilesSql(
+      s"($extractPolygonsOracle)", "poly_id", Seq("b1", "b4")),
+
+    "q104_proximity" -> {
+      // identical IEEE chain to KNN.join's dist column
+      val d = "SQRT((p.x - f.fx) * (p.x - f.fx) + (p.y - f.fy) * (p.y - f.fy))"
+      s"""WITH f AS (SELECT row * ${G.width} + col AS fid, x AS fx, y AS fy
+         |           FROM $pixXySql WHERE b4 = 0),
+         |p AS (SELECT row, col, x, y FROM $pixXySql
+         |      WHERE row BETWEEN 100 AND 149 AND col BETWEEN 100 AND 149)
+         |SELECT row, col, dist, near_id FROM (
+         |  SELECT p.row, p.col, $d AS dist, f.fid AS near_id,
+         |    ROW_NUMBER() OVER (PARTITION BY p.row, p.col
+         |                       ORDER BY $d, f.fid) AS rn
+         |  FROM p CROSS JOIN f) WHERE rn = 1""".stripMargin
+    },
 
     "q100_majority" -> {
       val av = graft.operators.Clump.avalanche31Sql(s"(row * ${G.width} + col)")

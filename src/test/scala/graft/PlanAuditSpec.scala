@@ -104,6 +104,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     graft.plans.Caches.flush()
   }
 
+  test("vocabTopK: bounded-heap ranking, no rank window, no join at all") {
+    assertShape("vocab", graft.operators.TextAnalysis.vocabTopK(
+      docs, "lang", "text", k = 10),
+      mustContain = Seq("ObjectHashAggregate"),
+      mustNotContain = Seq("Window", "CartesianProduct",
+        "BroadcastNestedLoopJoin", "Join"))
+  }
+
+  test("bpePairCounts: vocab-scale pair explode, top_k agg, no window/join") {
+    assertShape("bpe", graft.operators.TextAnalysis.bpePairCounts(
+      docs, "text", k = 20),
+      mustContain = Seq("ObjectHashAggregate"),
+      mustNotContain = Seq("Window", "CartesianProduct",
+        "BroadcastNestedLoopJoin", "Join"))
+  }
+
+  test("bigramScore: zip_with pair projection — equi-joins only, no window") {
+    assertShape("bigram_lm", graft.operators.TextAnalysis.bigramScore(
+      docs, "doc_id", "text"))
+    graft.plans.Caches.flush()
+  }
+
+  test("sieve: lag-edge adjacency + top_k target pick, no rank window") {
+    import spark.implicits._
+    val g = graft.core.GridMeta.northUp(0.0, 0.0, 8.0, 8.0, width = 8, height = 8)
+    val px = (for { r <- 0 until 8; c <- 0 until 8 }
+      yield (r.toLong, c.toLong, (r / 2 + c / 3).toLong % 3)).toDF("row", "col", "cat")
+    val labeled = graft.operators.Clump.clump(px, "cat", g)
+    // lag windows ARE the adjacency design here — forbid only the
+    // quadratic shapes
+    assertShape("sieve", graft.operators.Clump.sieve(labeled, "cat", 4),
+      mustContain = Seq("ObjectHashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+  }
+
   test("hostStats: two-level exact distinct, no countDistinct Expand") {
     val withUrl = docs.withColumn("url",
       concat(lit("https://host-"), col("doc_id") % 97L, lit(".example/d/"), col("doc_id")))

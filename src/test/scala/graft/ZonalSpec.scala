@@ -35,6 +35,50 @@ class ZonalSpec extends AnyFunSuite with SparkSpec {
     assert(z3.isNullAt(4) && z3.isNullAt(5))
   }
 
+  test("quantiles equal the linear-interpolation twin") {
+    import spark.implicits._
+    val df = Seq((1, 1.0), (1, 2.0), (1, 3.0), (1, 10.0),
+                 (2, 5.0), (2, 7.0)).toDF("zone", "b1")
+    val got = Zonal.quantiles(df, "zone", Seq("b1"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def q(vs: Seq[Double], p: Double): Double = {
+      val pos = p * (vs.size - 1)
+      val lo = pos.toInt
+      if (lo == vs.size - 1) vs(lo)
+      else vs(lo) + (pos - lo) * (vs(lo + 1) - vs(lo))
+    }
+    val v1 = Seq(1.0, 2.0, 3.0, 10.0)
+    assert(got(1) === ((q(v1, 0.5), q(v1, 0.25), q(v1, 0.75))))
+    assert(got(2) === ((6.0, 5.5, 6.5)))
+  }
+
+  test("proximity: nearest-feature distance equals brute force with id tie-break") {
+    import spark.implicits._
+    // 12x12 degree patch, features on a sparse lattice
+    val px = (for { r <- 0 until 12; c <- 0 until 12 }
+      yield (r.toLong * 12 + c, r.toLong, c.toLong, c - 6.0, r - 6.0))
+      .toDF("pix", "prow", "pcol", "x", "y")
+    val feats = (for { r <- 0 until 12; c <- 0 until 12
+                       if (r * 5 + c * 3) % 11 == 0 }
+      yield (r.toLong * 12 + c, c - 6.0, r - 6.0)).toDF("fid", "fx", "fy")
+    val got = graft.operators.KNN.proximity(
+      px, "pix", "x", "y", feats, "fx", "fy", "fid", res = 5)
+      .select("pix", "dist", "near_id")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    graft.plans.Caches.flush()
+    val fs = (for { r <- 0 until 12; c <- 0 until 12
+                    if (r * 5 + c * 3) % 11 == 0 }
+      yield (r.toLong * 12 + c, c - 6.0, r - 6.0))
+    assert(got.size === 144)
+    for (r <- 0 until 12; c <- 0 until 12) {
+      val (x, y) = (c - 6.0, r - 6.0)
+      val best = fs.map { case (fid, fx, fy) =>
+        (math.sqrt((x - fx) * (x - fx) + (y - fy) * (y - fy)), fid)
+      }.min // (dist, id) lexicographic = engine heap order
+      assert(got(r.toLong * 12 + c) === ((best._1, best._2)), s"($r,$c)")
+    }
+  }
+
   test("plan is one hash aggregate: no sort, no window, no join") {
     import spark.implicits._
     val df = Seq((1, 2.0)).toDF("zone", "b1")
