@@ -351,6 +351,17 @@ object StackQueries {
           col("dist"), col("near_id"))
     }),
 
+    // Vector geometry properties (geopandas area/centroid/bounds
+    // analogue): signed shoelace over closed RFC-oriented rings, pure
+    // per-row Column arithmetic — integral fixture coords keep the
+    // folds order-free and unquantized.
+    "q105_geom_props" -> ((s, _) => {
+      import s.implicits._
+      val polys = GeomPolys.toDF("poly_id", "xss", "yss")
+      graft.operators.Geom.properties(polys)
+        .select("poly_id", "area", "cx", "cy", "xmin", "ymin", "xmax", "ymax")
+    }),
+
     // Focal 3x3 majority filter (classification smoothing): K=4
     // indicator box-counts sharing TWO window shuffles, smallest-k
     // tie-break, NULL where the window has no categorized pixel.
@@ -388,6 +399,25 @@ object StackQueries {
         floor(hs * lit(1000.0)).cast("long").as("hs_q"))
     })
   )
+
+  /** q105 fixture: CLOSED, RFC-7946-oriented rings with INTEGRAL
+    * coordinates (donut = CCW shell + CW hole; multipolygon = two CCW
+    * shells) — integral coords make every shoelace term and partial
+    * sum exact, so engine folds and oracle SUMs agree bit-for-bit. */
+  private val GeomPolys: Seq[(Int, Seq[Seq[Double]], Seq[Seq[Double]])] = Seq(
+    (100,
+      Seq(Seq(-60.0, 40.0, 40.0, -60.0, -60.0), Seq(-20.0, -20.0, 10.0, 10.0, -20.0)),
+      Seq(Seq(-40.0, -40.0, 40.0, 40.0, -40.0), Seq(-10.0, 20.0, 20.0, -10.0, -10.0))),
+    (101,
+      Seq(Seq(50.0, 90.0, 90.0, 50.0, 50.0), Seq(-120.0, -80.0, -80.0, -120.0, -120.0)),
+      Seq(Seq(-30.0, -30.0, 10.0, 10.0, -30.0), Seq(10.0, 10.0, 50.0, 50.0, 10.0))))
+
+  private def geomPolysSql: String = GeomPolys.map { case (id, xss, yss) =>
+    def lst(rings: Seq[Seq[Double]]): String =
+      rings.map(_.map(v => s"CAST(${v.toLong} AS DOUBLE)")
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"SELECT $id AS poly_id, ${lst(xss)} AS xss, ${lst(yss)} AS yss"
+  }.mkString("(", " UNION ALL ", ")")
 
   /** q100/q101 fixture category: avalanche %4 with a ~1% nodata mask. */
   private def catNodataSql: String = {
@@ -528,6 +558,29 @@ object StackQueries {
 
     "q103_zonal_quantiles" -> graft.operators.Zonal.quantilesSql(
       s"($extractPolygonsOracle)", "poly_id", Seq("b1", "b4")),
+
+    "q105_geom_props" ->
+      s"""WITH p AS (SELECT * FROM $geomPolysSql),
+         |r AS (SELECT poly_id, unnest(generate_series(1, len(xss))) AS ri,
+         |        unnest(xss) AS xs, unnest(yss) AS ys FROM p),
+         |t AS (SELECT poly_id, xs, ys,
+         |        unnest(generate_series(1, len(xs) - 1)) AS i FROM r),
+         |v AS (SELECT poly_id,
+         |        xs[i] * ys[i + 1] - xs[i + 1] * ys[i] AS cr,
+         |        (xs[i] + xs[i + 1]) * (xs[i] * ys[i + 1] - xs[i + 1] * ys[i]) AS cxn,
+         |        (ys[i] + ys[i + 1]) * (xs[i] * ys[i + 1] - xs[i + 1] * ys[i]) AS cyn
+         |      FROM t),
+         |a AS (SELECT poly_id, SUM(cr) AS a2, SUM(cxn) AS cxn, SUM(cyn) AS cyn
+         |      FROM v GROUP BY 1),
+         |bdx AS (SELECT poly_id, MIN(u) AS xmin, MAX(u) AS xmax
+         |       FROM (SELECT poly_id, unnest(flatten(xss)) AS u FROM p) GROUP BY 1),
+         |bdy AS (SELECT poly_id, MIN(u) AS ymin, MAX(u) AS ymax
+         |       FROM (SELECT poly_id, unnest(flatten(yss)) AS u FROM p) GROUP BY 1)
+         |SELECT a.poly_id, a2 / 2.0 AS area,
+         |  CASE WHEN a2 <> 0 THEN cxn / (3.0 * a2) END AS cx,
+         |  CASE WHEN a2 <> 0 THEN cyn / (3.0 * a2) END AS cy,
+         |  bdx.xmin, bdy.ymin, bdx.xmax, bdy.ymax
+         |FROM a JOIN bdx USING (poly_id) JOIN bdy USING (poly_id)""".stripMargin,
 
     "q104_proximity" -> {
       // identical IEEE chain to KNN.join's dist column

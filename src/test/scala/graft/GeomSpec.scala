@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Geom
+
+/** Geometry properties vs a same-fold-order scalar twin. */
+class GeomSpec extends AnyFunSuite with SparkSpec {
+
+  private def scalarProps(xss: Seq[Seq[Double]], yss: Seq[Seq[Double]])
+  : (Double, Option[Double], Option[Double]) = {
+    var a2 = 0.0; var cxn = 0.0; var cyn = 0.0
+    for ((xs, ys) <- xss.zip(yss); i <- 0 until xs.size - 1) {
+      val cr = xs(i) * ys(i + 1) - xs(i + 1) * ys(i)
+      a2 += cr
+      cxn += (xs(i) + xs(i + 1)) * cr
+      cyn += (ys(i) + ys(i + 1)) * cr
+    }
+    (a2 / 2.0,
+      if (a2 != 0.0) Some(cxn / (3.0 * a2)) else None,
+      if (a2 != 0.0) Some(cyn / (3.0 * a2)) else None)
+  }
+
+  private def run(rows: Seq[(Int, Seq[Seq[Double]], Seq[Seq[Double]])]) = {
+    import spark.implicits._
+    Geom.properties(rows.toDF("poly_id", "xss", "yss"))
+      .select("poly_id", "area", "cx", "cy", "xmin", "ymin", "xmax", "ymax")
+      .collect().map(r => r.getInt(0) -> r).toMap
+  }
+
+  test("donut and multipolygon: area/centroid/bounds match the scalar twin") {
+    val donut = (100,
+      Seq(Seq(-60.0, 40.0, 40.0, -60.0, -60.0), Seq(-20.0, -20.0, 10.0, 10.0, -20.0)),
+      Seq(Seq(-40.0, -40.0, 40.0, 40.0, -40.0), Seq(-10.0, 20.0, 20.0, -10.0, -10.0)))
+    val multi = (101,
+      Seq(Seq(0.0, 2.0, 2.0, 0.0, 0.0), Seq(10.0, 14.0, 14.0, 10.0, 10.0)),
+      Seq(Seq(0.0, 0.0, 2.0, 2.0, 0.0), Seq(0.0, 0.0, 4.0, 4.0, 0.0)))
+    val got = run(Seq(donut, multi))
+    // known answers: shell 100x80 minus 30x30 hole; 2x2 + 4x4 squares
+    assert(got(100).getDouble(1) === 7100.0)
+    assert(got(101).getDouble(1) === 20.0)
+    for ((id, xss, yss) <- Seq(donut, multi)) {
+      val (a, cx, cy) = scalarProps(xss, yss)
+      val r = got(id)
+      assert(r.getDouble(1) === a, s"$id area")
+      assert(r.getDouble(2) === cx.get, s"$id cx")
+      assert(r.getDouble(3) === cy.get, s"$id cy")
+      assert(r.getDouble(4) === xss.flatten.min && r.getDouble(6) === xss.flatten.max)
+      assert(r.getDouble(5) === yss.flatten.min && r.getDouble(7) === yss.flatten.max)
+    }
+  }
+
+  test("fractional coordinates follow the same sequential fold order") {
+    val frac = (7,
+      Seq(Seq(0.1, 2.3, 1.7, 0.1)),
+      Seq(Seq(0.2, 0.4, 3.3, 0.2)))
+    val got = run(Seq(frac))(7)
+    val (a, cx, cy) = scalarProps(frac._2, frac._3)
+    assert(got.getDouble(1) === a)
+    assert(got.getDouble(2) === cx.get && got.getDouble(3) === cy.get)
+  }
+
+  test("zero-area geometry: NULL centroid, finite bounds") {
+    val line = (9, Seq(Seq(1.0, 5.0, 1.0)), Seq(Seq(2.0, 2.0, 2.0)))
+    val r = run(Seq(line))(9)
+    assert(r.getDouble(1) === 0.0)
+    assert(r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getDouble(4) === 1.0 && r.getDouble(6) === 5.0)
+  }
+}
