@@ -280,11 +280,23 @@ object Bench {
     val lows = scala.collection.mutable.ArrayBuffer.empty[Double]
     val highs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val probe = new MiniProbe(cHigh)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     // LOWS first, UNGATED: the low side is contention-robust (±9% — and
     // its main hazard, a turbo-fast sample, is handled by the median
     // over three), so it never competes with the highs for clean-window
     // budget. Three samples, unconditional, ~70 s total.
     while (lows.size < 3) lows += runIsolated(cLow, path)
+    // ...but when the observed low spread breaks the ±9% assumption (a
+    // tenant episode during the ungated lows — one round-5 window
+    // measured 23/32/70 s and shipped a nonsensical eff > 1), take up
+    // to two more samples behind the clean-window gate. Resampling is
+    // conditioned ONLY on the DISPERSION of the low samples (a direct
+    // contention measure), never on the efficiency value.
+    while (lows.size < 5 && median(lows.toSeq) > 1.25 * lows.min &&
+        elapsedS < 400) {
+      probe.awaitClean(attempts = 3, deadline = elapsedS > 400)
+      lows += runIsolated(cLow, path)
+    }
     // HIGHS: up to five samples, each clean-window gated and bracketed
     // (a failed closing bracket = contaminated sample -> bounded
     // resample). Counts and retries are fixed protocol — never
@@ -301,9 +313,8 @@ object Bench {
     }
     probe.save()
     // median for odd counts; for an even count (budget curtailed a pair)
-    // take the LOWER middle — a contended low inflates the ratio, so the
+    // the lower middle — a contended low inflates the ratio, so the
     // conservative pick can only UNDERSTATE the reported efficiency
-    def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     val tLow = median(lows.toSeq)
     val tHigh = highs.min
     val rpsLow = benchRows / tLow

@@ -126,6 +126,33 @@ object SparkEntry {
         .select(col("doc_id"), col("poly_id").cast("int").as("poly_id"))
     }),
 
+    // END-TO-END curation pipeline (the composition a real corpus run
+    // executes): planted exact dups -> PIP region assignment -> exact
+    // dedup representatives -> token/quality gates -> keep/drop with a
+    // first-failing-rule reason code. Every stage is an existing
+    // oracle-checked primitive; this query pins their COMPOSITION.
+    "q106_curation" -> ((s, dir) => {
+      val base = pages(s, dir)
+      val clones = base.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(100000L))
+      val all = SpatialJoin.assign(base.unionByName(clones),
+        col("lon"), col("lat"), Fixtures.Polys)
+      val keep = all.groupBy(md5(col("text").cast("binary")).as("__md5"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      all.withColumn("__md5", md5(col("text").cast("binary")))
+        .join(keep, Seq("__md5"))
+        .withColumn("n_tok", graft.operators.TextAnalysis.tokenCount(col("text")))
+        .withColumn("__q", graft.operators.TextAnalysis.qualityScore(col("text")))
+        .withColumn("reason",
+          when(col("doc_id") =!= col("keep_id"), "dup")
+            .when(col("n_tok") < 20, "short")
+            .when(col("poly_id") < 0, "offgrid")
+            .when(col("__q") < 0.35, "lowq")
+            .otherwise("keep"))
+        .select(col("doc_id"), col("poly_id").cast("int").as("poly_id"),
+          col("n_tok").cast("long").as("n_tok"), col("reason"))
+    }),
+
     // TABLE-driven PIP with HOLES and a MULTIPOLYGON (the general
     // GeoDataFrame geometry surface): poly 100 is a donut (rect shell,
     // rect hole), poly 101 is two disjoint rect shells in one row —
@@ -175,6 +202,25 @@ object SparkEntry {
       s"""SELECT p.doc_id, CAST(r.poly_id AS INT) AS poly_id
          |FROM $pagesSql p JOIN ${Fixtures.rectsValuesSql} r
          |  ON p.lon > r.xmin AND p.lon < r.xmax AND p.lat > r.ymin AND p.lat < r.ymax""".stripMargin,
+
+    "q106_curation" -> {
+      val ntok = graft.operators.TextAnalysis.tokenCountSql("text")
+      val q = graft.operators.TextAnalysis.qualityScoreSql("text")
+      s"""WITH pp AS (
+         |  SELECT * FROM $pagesSql
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text, lang, url, lon, lat
+         |  FROM $pagesSql WHERE doc_id % 10 = 0),
+         |k AS (SELECT md5(text) AS m, MIN(doc_id) AS keep_id FROM pp GROUP BY 1)
+         |SELECT pp.doc_id, CAST(${Fixtures.winnerSql("pp.lon", "pp.lat")} AS INT) AS poly_id,
+         |  CAST($ntok AS BIGINT) AS n_tok,
+         |  CASE WHEN pp.doc_id <> k.keep_id THEN 'dup'
+         |       WHEN $ntok < 20 THEN 'short'
+         |       WHEN ${Fixtures.winnerSql("pp.lon", "pp.lat")} < 0 THEN 'offgrid'
+         |       WHEN $q < CAST('0.35' AS DOUBLE) THEN 'lowq'
+         |       ELSE 'keep' END AS reason
+         |FROM pp JOIN k ON md5(pp.text) = k.m""".stripMargin
+    },
 
     // even-odd over axis-aligned rects == strict range checks for
     // points in general position (fixture points never sit on ring

@@ -81,7 +81,11 @@ object Clump {
    * ids — cardinality ≪ pixels, so the joins are dim-sized and AQE
    * broadcasts them.
    */
-  def sieve(labeled: DataFrame, catCol: String, minPix: Int): DataFrame = {
+  def sieve(labeled0: DataFrame, catCol: String, minPix: Int): DataFrame = {
+    // the labeled relation (typically a whole clump DAG ending in the
+    // components loop) feeds sizes, both adjacency passes, the category
+    // map AND the final relabel join — persist it once
+    val labeled = graft.plans.Caches.track(labeled0)
     val sz = labeled.groupBy(col("component")).agg(count(lit(1)).as("n"))
     def adj(w: WindowSpec, runCoord: String): DataFrame = labeled
       .withColumn("__pc", lag(col("component"), 1).over(w))
@@ -121,8 +125,9 @@ object Clump {
 
   def clump(px: DataFrame, catCol: String, g: GridMeta,
             checkpointDir: Option[String] = None): DataFrame = {
-    val base = px.withColumn("__id",
-      col("row") * g.width.toLong + col("col"))
+    // referenced by both edge passes and the final label join
+    val base = graft.plans.Caches.track(px.withColumn("__id",
+      col("row") * g.width.toLong + col("col")))
     def edges(w: WindowSpec, runCoord: String): DataFrame = base
       .withColumn("__pid", lag(col("__id"), 1).over(w))
       .withColumn("__pcat", lag(col(catCol), 1).over(w))

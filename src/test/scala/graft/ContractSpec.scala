@@ -27,8 +27,12 @@ class ContractSpec extends AnyFunSuite {
     // block first, ~110 chars) still absorbs one such regression
     // without losing the query map.
     val qsLen = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_').length + 9).sum
-    // measured fixed fields (metric/value/sf/pipeline/skew) ~ 430 chars; +170 margin
-    assert(qsLen + 600 <= 1800,
+    // fixed fields (metric/value/unit/sf/pipeline/skew) measured 332
+    // chars on the 105-query run-G line (1,598 total = 1,266 map +
+    // 332); +140 margin on top. Beyond this, Bench's ordered-drop
+    // ladder (skew block first, ~120 chars) still absorbs ~10 more
+    // queries before the map itself would be dropped.
+    assert(qsLen + 470 <= 1800,
       s"query-map JSON ~$qsLen chars + fixed fields would overflow the driver tail window")
   }
 }
