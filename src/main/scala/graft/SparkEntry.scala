@@ -153,6 +153,16 @@ object SparkEntry {
           col("n_tok").cast("long").as("n_tok"), col("reason"))
     }),
 
+    // Geodesic (haversine) distance from every page to a reference
+    // point — shared-Ar chain with composed atan2; mm-quantized (SIN
+    // 1-ulp). Companion to the planar q25 GeoDist.
+    "q108_haversine" -> ((s, dir) => {
+      val d = graft.operators.Geom.haversine[org.apache.spark.sql.Column](
+        col("lon"), col("lat"), lit(2.5), lit(48.9))(graft.operators.Utm.ColAr)
+      pages(s, dir).select(col("doc_id"),
+        floor(d * lit(1000.0)).cast("long").as("dist_mm"))
+    }),
+
     // TABLE-driven PIP with HOLES and a MULTIPOLYGON (the general
     // GeoDataFrame geometry surface): poly 100 is a donut (rect shell,
     // rect hole), poly 101 is two disjoint rect shells in one row —
@@ -220,6 +230,14 @@ object SparkEntry {
          |       WHEN $q < CAST('0.35' AS DOUBLE) THEN 'lowq'
          |       ELSE 'keep' END AS reason
          |FROM pp JOIN k ON md5(pp.text) = k.m""".stripMargin
+    },
+
+    "q108_haversine" -> {
+      import graft.sources.OracleLit
+      val d = graft.operators.Geom.haversine[String](
+        "lon", "lat", OracleLit.d(2.5), OracleLit.d(48.9))(graft.operators.Utm.SqlAr)
+      s"""SELECT doc_id, CAST(FLOOR(($d) * 1000.0) AS BIGINT) AS dist_mm
+         |FROM $pagesSql""".stripMargin
     },
 
     // even-odd over axis-aligned rects == strict range checks for

@@ -30,6 +30,32 @@ import org.apache.spark.sql.functions._
  */
 object Geom {
 
+  /**
+   * Haversine great-circle distance in meters (mean-Earth radius) —
+   * the geodesic companion to the planar `GeoDistTransformer`
+   * (transformers.py:286-355 is planar on projected coordinates; on
+   * geographic CRSs the geodesic is what a user actually wants).
+   * Written once over [[Utm.Ar]]; the arc angle uses the composed
+   * full-quadrant [[PolarStereo.atan2F]] (atan2(√a, √(1−a))) rather
+   * than asin, so the antipodal pole a=1 yields π/2 through the CASE
+   * chain instead of a 0-division (DuckDB returns NULL for x/0.0, not
+   * IEEE ∞). Radians replay Spark's `Math.toRadians` op order
+   * (deg / 180 · π). SIN/COS carry DuckDB's 1-ulp variance, so
+   * oracle-facing outputs ship quantized (q108: floor(d·1e3) mm).
+   */
+  def haversine[T](lon1: T, lat1: T, lon2: T, lat2: T,
+                   radius: Double = 6371008.8)
+                  (implicit F: Utm.Ar[T]): T = {
+    def rad(x: T): T = F.mul(F.div(x, F.lit(180.0)), F.lit(math.Pi))
+    val phi1 = rad(lat1); val phi2 = rad(lat2)
+    val sp = F.sin(F.div(F.sub(phi2, phi1), F.lit(2.0)))
+    val sl = F.sin(F.div(F.sub(rad(lon2), rad(lon1)), F.lit(2.0)))
+    val a = F.add(F.mul(sp, sp),
+      F.mul(F.mul(F.cos(phi1), F.cos(phi2)), F.mul(sl, sl)))
+    F.mul(F.lit(2.0 * radius),
+      PolarStereo.atan2F(F.sqrt(a), F.sqrt(F.sub(F.lit(1.0), a))))
+  }
+
   /** Per-ring fold of `term(i)` over the closing-exclusive edge list
     * (i = 1..n-1, 1-based), 0.0 for degenerate (< 2 vertex) rings. */
   private def ringFold(xs: Column, ys: Column)

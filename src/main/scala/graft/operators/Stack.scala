@@ -166,6 +166,25 @@ final case class Stack(df: DataFrame, meta: GridMeta, layers: Seq[String]) {
   }
 
   /**
+   * Overview pyramid (gdaladdo analogue): `levels` successive ~2×
+   * downsamples, each an [[aggregate]] of the BASE grid at
+   * ceil(dim / 2^l) (every level reads the source once — block means
+   * from the base are exact, while re-aggregating level l−1 would
+   * compound rounding on uneven edge blocks), unioned with a `level`
+   * column. Each level is one hash-agg with map-side partials; the
+   * union is plan-level only (no extra shuffle).
+   */
+  def pyramid(levels: Int, how: String = "avg"): DataFrame = {
+    require(levels >= 1 && (meta.height >> levels) > 0 && (meta.width >> levels) > 0,
+      s"pyramid: $levels levels would collapse the ${meta.height}x${meta.width} grid")
+    (1 to levels).map { l =>
+      val h = (meta.height + (1 << l) - 1) >> l
+      val w = (meta.width + (1 << l) - 1) >> l
+      aggregate(h, w, how).df.withColumn("level", lit(l))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
    * aggregate(out_shape): decimate to a coarser grid (raster.py:1868-1979).
    * Block key = floor(row * outH / H) — classic hash agg with map-side
    * partial aggregation; `how` ∈ avg|min|max|sum|count.

@@ -351,6 +351,12 @@ object StackQueries {
           col("dist"), col("near_id"))
     }),
 
+    // Overview pyramid: two ~2x levels, each a base-grid block mean
+    // (exact: integral band values keep partial sums associative).
+    "q107_pyramid" -> ((s, _) =>
+      stack(s).select(Seq("b1", "b4")).pyramid(2)
+        .select("level", "row", "col", "b1", "b4")),
+
     // Vector geometry properties (geopandas area/centroid/bounds
     // analogue): signed shoelace over closed RFC-oriented rings, pure
     // per-row Column arithmetic — integral fixture coords keep the
@@ -558,6 +564,19 @@ object StackQueries {
 
     "q103_zonal_quantiles" -> graft.operators.Zonal.quantilesSql(
       s"($extractPolygonsOracle)", "poly_id", Seq("b1", "b4")),
+
+    "q107_pyramid" -> {
+      def lvl(l: Int): String = {
+        val h = (G.height + (1 << l) - 1) >> l
+        val w = (G.width + (1 << l) - 1) >> l
+        s"""SELECT CAST($l AS INT) AS level,
+           | CAST(row * $h // ${G.height} AS BIGINT) AS row,
+           | CAST(col * $w // ${G.width} AS BIGINT) AS col,
+           | AVG(b1) AS b1, AVG(b4) AS b4
+           |FROM $pixSql GROUP BY 1, 2, 3""".stripMargin
+      }
+      s"${lvl(1)} UNION ALL ${lvl(2)}"
+    },
 
     "q105_geom_props" ->
       s"""WITH p AS (SELECT * FROM $geomPolysSql),

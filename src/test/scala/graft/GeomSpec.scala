@@ -60,6 +60,28 @@ class GeomSpec extends AnyFunSuite with SparkSpec {
     assert(got.getDouble(2) === cx.get && got.getDouble(3) === cy.get)
   }
 
+  test("haversine: known distance + Column == scalar shared-Ar twin") {
+    import spark.implicits._
+    import graft.operators.Utm
+    // Paris -> London great-circle is ~343.5 km
+    val pl = Geom.haversine[Double](2.35, 48.85, -0.13, 51.51)(Utm.DblAr)
+    assert(math.abs(pl - 343.5e3) < 2.0e3, s"got $pl")
+    // antipodal pole: composed atan2 yields pi, no 0-division
+    val anti = Geom.haversine[Double](0.0, 0.0, 180.0, 0.0)(Utm.DblAr)
+    assert(math.abs(anti - math.Pi * 6371008.8) < 1.0, s"got $anti")
+    val pts = Seq((0L, 10.0, 20.0), (1L, -120.0, -60.0), (2L, 179.9, 89.9))
+    val dCol = Geom.haversine[org.apache.spark.sql.Column](
+      org.apache.spark.sql.functions.col("lon"),
+      org.apache.spark.sql.functions.col("lat"),
+      org.apache.spark.sql.functions.lit(2.5),
+      org.apache.spark.sql.functions.lit(48.9))(Utm.ColAr)
+    val got = pts.toDF("id", "lon", "lat")
+      .select(org.apache.spark.sql.functions.col("id"), dCol.as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, lon, lat) <- pts)
+      assert(got(id) === Geom.haversine[Double](lon, lat, 2.5, 48.9)(Utm.DblAr), id)
+  }
+
   test("zero-area geometry: NULL centroid, finite bounds") {
     val line = (9, Seq(Seq(1.0, 5.0, 1.0)), Seq(Seq(2.0, 2.0, 2.0)))
     val r = run(Seq(line))(9)
