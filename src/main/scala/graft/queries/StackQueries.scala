@@ -351,6 +351,30 @@ object StackQueries {
           col("dist"), col("near_id"))
     }),
 
+    // Topographic position index: center minus mean of the PRESENT
+    // neighbors (excl. center) — pure arithmetic over the stats3x3
+    // columns (sum9 - b)/(c9 - 1); NULL at nodata centers and where
+    // no neighbor exists. LONG numerator, one division.
+    "q109_tpi" -> ((s, _) =>
+      graft.operators.Focal.stats3x3(
+        stack(s).df.select("row", "col", "b1"), "b1")
+        .select(col("row"), col("col"),
+          when(col("b1").isNotNull && col("c9") > 1,
+            col("b1") - (col("sum9") - col("b1").cast("long")).cast("double") /
+              (col("c9") - lit(1L)).cast("double")).as("tpi"))),
+
+    // Object-based image analysis composition: zonal stats over CLUMP
+    // regions (zones = connected components of the categorical raster,
+    // statistics over a continuous band) — region size + b1 rollup.
+    "q110_region_stats" -> ((s, _) => {
+      val av = graft.operators.Clump.avalanche31(
+        col("row") * G.width.toLong + col("col"))
+      val px = RasterStack.grid(s, G).withColumn("cat", av % lit(4L))
+      val labeled = graft.operators.Clump.clump(px, "cat", G)
+        .join(stack(s).df.select("row", "col", "b1"), Seq("row", "col"))
+      graft.operators.Zonal.stats(labeled, "component", Seq("b1"))
+    }),
+
     // Overview pyramid: two ~2x levels, each a base-grid block mean
     // (exact: integral band values keep partial sums associative).
     "q107_pyramid" -> ((s, _) =>
@@ -564,6 +588,25 @@ object StackQueries {
 
     "q103_zonal_quantiles" -> graft.operators.Zonal.quantilesSql(
       s"($extractPolygonsOracle)", "poly_id", Seq("b1", "b4")),
+
+    "q109_tpi" ->
+      s"""$focalH,
+         |v AS (SELECT row, col, bl, SUM(hs) OVER vw AS s9, SUM(hc) OVER vw AS c9
+         |      FROM h WINDOW vw AS (PARTITION BY col ORDER BY row ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING))
+         |SELECT row, col,
+         |  CASE WHEN bl IS NOT NULL AND c9 > 1
+         |       THEN CAST(bl AS DOUBLE) - CAST(s9 - bl AS DOUBLE) / CAST(c9 - 1 AS DOUBLE)
+         |  END AS tpi
+         |FROM v""".stripMargin,
+
+    "q110_region_stats" -> {
+      val lab = clumpOracleSql(
+        graft.operators.Clump.avalanche31Sql(s"(row * ${G.width} + col)") + " % 4")
+      graft.operators.Zonal.statsSql(
+        s"""(SELECT l.component, g.b1 FROM ($lab) l
+           | JOIN $pixSql g ON g.row = l.row AND g.col = l.col)""".stripMargin,
+        "component", Seq("b1"))
+    },
 
     "q107_pyramid" -> {
       def lvl(l: Int): String = {
