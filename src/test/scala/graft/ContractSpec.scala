@@ -29,10 +29,10 @@ class ContractSpec extends AnyFunSuite {
     val qsLen = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_').length + 9).sum
     // fixed fields (metric/value/unit/sf/pipeline/skew) measured 332
     // chars on the 105-query run-G line (1,598 total = 1,266 map +
-    // 332); +140 margin on top. Beyond this, Bench's ordered-drop
+    // 332); +100 margin on top. Beyond this, Bench's ordered-drop
     // ladder (skew block first, ~120 chars) still absorbs ~10 more
     // queries before the map itself would be dropped.
-    assert(qsLen + 470 <= 1800,
+    assert(qsLen + 332 + 100 <= 1800,
       s"query-map JSON ~$qsLen chars + fixed fields would overflow the driver tail window")
   }
 }
