@@ -281,17 +281,22 @@ object Bench {
     val highs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val probe = new MiniProbe(cHigh)
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
-    // LOWS first, UNGATED: the low side is contention-robust (±9% — and
-    // its main hazard, a turbo-fast sample, is handled by the median
-    // over three), so it never competes with the highs for clean-window
-    // budget. Three samples, unconditional, ~70 s total.
-    while (lows.size < 3) lows += runIsolated(cLow, path)
-    // ...but when the observed low spread breaks the ±9% assumption (a
-    // tenant episode during the ungated lows — one round-5 window
-    // measured 23/32/70 s and shipped a nonsensical eff > 1), take up
-    // to two more samples behind the clean-window gate. Resampling is
-    // conditioned ONLY on the DISPERSION of the low samples (a direct
-    // contention measure), never on the efficiency value.
+    // LOWS first, gated on the SAME clean-window probe as the highs
+    // (cheap: 1-2 ~1 s minis per sample when the host is quiet). The
+    // round-2 protocol left lows ungated on a ±9%-stability assumption;
+    // two round-5 windows broke it — one with a 3x spread (23/32/70 s),
+    // one with UNIFORM ~25% inflation (25/29/28 s vs a 21-23 s clean
+    // anchor) that no dispersion test can see — and both pushed the
+    // median-low primary estimator to a physically impossible eff > 1
+    // while min/min stayed ~0.9. Gate attempts are bounded so lows
+    // can't starve the high-side budget.
+    while (lows.size < 3) {
+      probe.awaitClean(attempts = 2, deadline = elapsedS > 280)
+      lows += runIsolated(cLow, path)
+    }
+    // ...and when the observed spread STILL breaks the assumption, take
+    // up to two more gated samples. Both triggers are contention
+    // measures (probe time, sample dispersion), never the metric.
     while (lows.size < 5 && median(lows.toSeq) > 1.25 * lows.min &&
         elapsedS < 400) {
       probe.awaitClean(attempts = 3, deadline = elapsedS > 400)
