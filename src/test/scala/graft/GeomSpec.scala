@@ -82,6 +82,25 @@ class GeomSpec extends AnyFunSuite with SparkSpec {
       assert(got(id) === Geom.haversine[Double](lon, lat, 2.5, 48.9)(Utm.DblAr), id)
   }
 
+  test("properties compose with the GeoJSON file path (rings round-trip)") {
+    // a donut feature written as GeoJSON (closed RFC-oriented rings),
+    // parsed by readPolygons, fed to properties — the gdf.area path
+    val donutJson =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"id":7},"geometry":{"type":"Polygon",
+        | "coordinates":[[[-60,-40],[40,-40],[40,40],[-60,40],[-60,-40]],
+        |                [[-20,-10],[-20,20],[10,20],[10,-10],[-20,-10]]]}}]}"""
+        .stripMargin.replace("\n", "")
+    val p = java.nio.file.Files.createTempFile("graft_geomspec", ".geojson")
+    java.nio.file.Files.write(p, donutJson.getBytes("UTF-8"))
+    val polys = graft.sources.GeoJson.readPolygons(spark, p.toString)
+    val r = Geom.properties(polys)
+      .select("poly_id", "area", "xmin", "ymax").collect().head
+    assert(r.getInt(0) === 7)
+    assert(r.getDouble(1) === 7100.0) // 100x80 shell minus 30x30 hole
+    assert(r.getDouble(2) === -60.0 && r.getDouble(3) === 40.0)
+  }
+
   test("zero-area geometry: NULL centroid, finite bounds") {
     val line = (9, Seq(Seq(1.0, 5.0, 1.0)), Seq(Seq(2.0, 2.0, 2.0)))
     val r = run(Seq(line))(9)
