@@ -94,6 +94,23 @@ object ScaleQueries {
       graft.streaming.StreamTiles.dedupTextBatch(planted, "ts", "doc_id", "text")
     }),
 
+    // CURATION AT INGEST on a batch frame (through the operator's
+    // flatMapGroupsWithState batch path): exact-dedup first-arrival
+    // state + stateless PIP/quality gates, every arrival decided with
+    // a reason code. Planted dups arrive NON-monotone in id (the q60
+    // discipline), so first-arrival differs from min-id.
+    "q111_stream_curation" -> ((s, dir) => {
+      val base = Pages.withIdPoint(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        "doc_id")
+      val planted = base.unionByName(base.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+        .withColumn("ts", timestamp_seconds(
+          lit(1577836800L) + pmod(col("doc_id") * 40387L, lit(99991L))))
+      graft.streaming.StreamTiles.curateStream(planted, "ts", "doc_id",
+        "text", "lon", "lat", Fixtures.Polys).toDF()
+    }),
+
     // Stream-static extraction join, run on a BATCH frame (the operator
     // is stream/batch-identical by construction — StreamingSpec proves
     // stream ≡ batch; this pins the batch semantics to the oracle):
@@ -214,6 +231,30 @@ object ScaleQueries {
          |                  UNION ALL SELECT doc_id + 100000, text
          |                  FROM documents WHERE doc_id % 10 = 0))
          |      GROUP BY 1)""".stripMargin
+    },
+
+    "q111_stream_curation" -> {
+      val p = graft.streaming.StreamTiles.TsPack
+      val ntok = graft.operators.TextAnalysis.tokenCountSql("pp.text")
+      val q = graft.operators.TextAnalysis.qualityScoreSql("pp.text")
+      s"""WITH pp AS (
+         |  SELECT doc_id, text, lon, lat,
+         |    1577836800 + (doc_id * 40387) % 99991 AS tss
+         |  FROM (SELECT doc_id, text, ${Pages.lonSql("doc_id")} AS lon,
+         |          ${Pages.latSql("doc_id")} AS lat FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + 100000, text, ${Pages.lonSql("doc_id")},
+         |          ${Pages.latSql("doc_id")} FROM documents
+         |        WHERE doc_id % 10 = 0)),
+         |k AS (SELECT md5(text) AS m, MIN(tss * $p + doc_id) AS f
+         |      FROM pp GROUP BY 1)
+         |SELECT pp.doc_id,
+         |  CASE WHEN tss * $p + pp.doc_id <> k.f THEN 'dup'
+         |       WHEN $ntok < 20 THEN 'short'
+         |       WHEN ${Fixtures.winnerSql("pp.lon", "pp.lat")} < 0 THEN 'offgrid'
+         |       WHEN $q < CAST('0.35' AS DOUBLE) THEN 'lowq'
+         |       ELSE 'keep' END AS reason
+         |FROM pp JOIN k ON md5(pp.text) = k.m""".stripMargin
     },
 
     "q61_stream_extract" -> {

@@ -31,6 +31,14 @@ final case class TileEventW(tile: Long, id: Long, tsMillis: Long,
 /** Output: the `arrival_rank`-th admitted event of `tile`. */
 final case class TileArrival(tile: Long, id: Long, arrival_rank: Long)
 
+/** Curation-at-ingest event: content hash + precomputed stateless gate
+  * verdict; the raw timestamp rides along for the watermark (same
+  * rationale as [[TileEventW]]). */
+final case class CurEvent(md5: String, id: Long, tsMillis: Long,
+                          ts: java.sql.Timestamp, gate: String)
+/** Curation decision for one arriving document. */
+final case class CurDecision(doc_id: Long, reason: String)
+
 /**
  * Streaming tile assignment. The reference is a pure batch library
  * (SURVEY.md §2.9), so this is an ENGINE EXTENSION, not a ported
@@ -491,4 +499,72 @@ object StreamTiles {
         unix_micros(col("session_window.start")).as("session_start"),
         unix_micros(col("session_window.end")).as("session_end"),
         col("n_events"))
+
+  /**
+   * CURATION AT INGEST — the q106 batch curation pipeline as a
+   * streaming operator: every arriving document gets a decision the
+   * moment it lands. The quality gates (token count, PIP region,
+   * quality score) are STATELESS projections over the broadcast
+   * polygon fixture; only exact-dedup needs state — one boolean per
+   * content hash via `flatMapGroupsWithState` (unlike
+   * `dropDuplicatesWithinWatermark`, dropped arrivals are EMITTED with
+   * reason `dup`, which a curation ledger needs). State expires one
+   * watermark horizon after the hash's last arrival (the
+   * [[nearDupCandidatesStream]] expiry discipline).
+   *
+   * Batch twin: on a batch frame each group's iterator is complete, so
+   * the representative is the global event-time-first (ts, id)
+   * arrival — deterministic and oracle-expressible (the
+   * [[dedupTextBatch]] lambda-split contract). Within one micro-batch
+   * the same rule applies; across micro-batches processing order wins
+   * (the streaming caveat shared with [[dedupText]]).
+   */
+  def curateStream(df: DataFrame, tsCol: String, idCol: String,
+                   textCol: String, lonCol: String, latCol: String,
+                   polys: graft.core.PolygonSet,
+                   minTok: Int = 20, minQ: Double = 0.35,
+                   watermark: String = "1 hour"): Dataset[CurDecision] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.operators.{SpatialJoin, TextAnalysis}
+    val gated0 = SpatialJoin.assign(df, col(lonCol), col(latCol), polys)
+      .withColumn("__ts", col(tsCol).cast("timestamp"))
+      .withColumn("__gate",
+        when(TextAnalysis.tokenCount(col(textCol)) < minTok, "short")
+          .when(col("poly_id") < 0, "offgrid")
+          .when(TextAnalysis.qualityScore(col(textCol)) < minQ, "lowq")
+          .otherwise("keep"))
+    val gated =
+      if (df.isStreaming) gated0.withWatermark("__ts", watermark) else gated0
+    val prepared = gated.select(
+      md5(col(textCol).cast("binary")).as("md5"),
+      col(idCol).cast("long").as("id"),
+      (col("__ts").cast("double") * 1000.0).cast("long").as("tsMillis"),
+      col("__ts").as("ts"), col("__gate").as("gate")).as[CurEvent]
+    val timeout =
+      if (df.isStreaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    prepared.groupByKey(_.md5)
+      .flatMapGroupsWithState[Boolean, CurDecision](
+        OutputMode.Append(), timeout) {
+        (_: String, it: Iterator[CurEvent], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val evs = it.toSeq.sortBy(e => (e.tsMillis, e.id))
+            val seen = state.exists
+            val out =
+              if (evs.isEmpty) Nil
+              else if (seen) evs.map(e => CurDecision(e.id, "dup"))
+              else CurDecision(evs.head.id, evs.head.gate) +:
+                evs.drop(1).map(e => CurDecision(e.id, "dup"))
+            if (!seen && evs.nonEmpty) state.update(true)
+            // stream only: GC the hash one horizon after its last arrival
+            // (setTimeoutTimestamp throws under NoTimeout = batch mode)
+            if (evs.nonEmpty)
+              scala.util.Try(
+                state.setTimeoutTimestamp(evs.map(_.tsMillis).max, watermark))
+            out.iterator
+          }
+      }
+  }
 }

@@ -86,6 +86,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SortAggregate"), plan.take(400))
   }
 
+  test("curateStream: streaming decisions == the batch path; dropped dups get reasons") {
+    val dir = sf("")
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val base = graft.sources.Pages.withIdPoint(docs, "doc_id")
+    val planted = base.unionByName(base.where(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L))
+      .withColumn("ts", timestamp_seconds(
+        lit(1577836800L) + pmod(col("doc_id") * 40387L, lit(99991L))))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cur").toString
+    // one file -> one micro-batch: the stream's per-batch (ts, id) sort
+    // then matches the batch twin's global event-time-first exactly
+    planted.coalesce(1).write.parquet(s"$tmp/in")
+    val cur = StreamTiles.curateStream(
+      spark.readStream.schema(planted.schema).parquet(s"$tmp/in"),
+      "ts", "doc_id", "text", "lon", "lat", graft.sources.Fixtures.Polys)
+    val q = cur.toDF().writeStream.outputMode("append").format("memory")
+      .queryName("cur_out").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamOut = spark.table("cur_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batchOut = StreamTiles.curateStream(planted, "ts", "doc_id", "text",
+        "lon", "lat", graft.sources.Fixtures.Polys)
+      .toDF().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamOut === batchOut)
+    assert(streamOut.size === planted.count())
+    val reasons = streamOut.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    for (r <- Seq("dup", "offgrid", "keep"))
+      assert(reasons.getOrElse(r, 0) > 0, s"reason '$r' never fired")
+    // one dup decision per planted clone pair, whichever side arrived later
+    assert(reasons("dup") === docs.where(col("doc_id") % 10 === 0).count())
+    // non-monotone ts: at least one ORIGINAL id must lose to its clone
+    val dupIds = streamOut.filter(_._2 == "dup").keys
+    assert(dupIds.exists(_ < 100000L), "fixture should displace some originals")
+  }
+
   test("sessionsPerTile: streaming session_window == the same sessions in batch") {
     val dir = sf("")
     val events = spark.read.parquet(s"$dir/events.parquet")
