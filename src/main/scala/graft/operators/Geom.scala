@@ -52,8 +52,14 @@ object Geom {
     val sl = F.sin(F.div(F.sub(rad(lon2), rad(lon1)), F.lit(2.0)))
     val a = F.add(F.mul(sp, sp),
       F.mul(F.mul(F.cos(phi1), F.cos(phi2)), F.mul(sl, sl)))
+    // Near-antipodal pairs can push a past 1.0 by an ulp; 1−a then goes
+    // negative, where Spark's sqrt yields NaN but DuckDB's THROWS
+    // (OutOfRangeException) — clamp through the shared chain so both
+    // engines land on atan2(√a, 0) = π/2 (gt(x,0,x,0) ≡ max(x,0)).
+    val oneMinusA = F.sub(F.lit(1.0), a)
+    val clamped = F.gt(oneMinusA, F.lit(0.0), oneMinusA, F.lit(0.0))
     F.mul(F.lit(2.0 * radius),
-      PolarStereo.atan2F(F.sqrt(a), F.sqrt(F.sub(F.lit(1.0), a))))
+      PolarStereo.atan2F(F.sqrt(a), F.sqrt(clamped)))
   }
 
   /** Per-ring fold of `term(i)` over the closing-exclusive edge list
@@ -73,11 +79,16 @@ object Geom {
    * zero-area geometries; bounds ignore orientation.
    */
   def properties(polys: DataFrame): DataFrame = {
+    // Spark's sequence(1, 0) DESCENDS ([1,0]), so an EMPTY ring list
+    // would feed element_at(xss, 0) — a runtime error that kills the
+    // whole job on one degenerate geometry. Guard like ringFold does.
     def overRings(term: (Column, Column, Column, Column) => Column): Column =
-      aggregate(
-        transform(sequence(lit(1), size(col("xss"))), ri =>
-          ringFold(element_at(col("xss"), ri), element_at(col("yss"), ri))(term)),
-        lit(0.0), (a, b) => a + b)
+      when(size(col("xss")) >= 1,
+        aggregate(
+          transform(sequence(lit(1), size(col("xss"))), ri =>
+            ringFold(element_at(col("xss"), ri), element_at(col("yss"), ri))(term)),
+          lit(0.0), (a, b) => a + b))
+        .otherwise(lit(0.0))
     val a2 = overRings((x1, y1, x2, y2) => x1 * y2 - x2 * y1)
     val cxn = overRings((x1, y1, x2, y2) => (x1 + x2) * (x1 * y2 - x2 * y1))
     val cyn = overRings((x1, y1, x2, y2) => (y1 + y2) * (x1 * y2 - x2 * y1))

@@ -541,8 +541,9 @@ object StreamTiles {
       col(idCol).cast("long").as("id"),
       (col("__ts").cast("double") * 1000.0).cast("long").as("tsMillis"),
       col("__ts").as("ts"), col("__gate").as("gate")).as[CurEvent]
+    val streaming = df.isStreaming
     val timeout =
-      if (df.isStreaming) GroupStateTimeout.EventTimeTimeout()
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     prepared.groupByKey(_.md5)
       .flatMapGroupsWithState[Boolean, CurDecision](
@@ -558,11 +559,17 @@ object StreamTiles {
               else CurDecision(evs.head.id, evs.head.gate) +:
                 evs.drop(1).map(e => CurDecision(e.id, "dup"))
             if (!seen && evs.nonEmpty) state.update(true)
-            // stream only: GC the hash one horizon after its last arrival
-            // (setTimeoutTimestamp throws under NoTimeout = batch mode)
-            if (evs.nonEmpty)
-              scala.util.Try(
-                state.setTimeoutTimestamp(evs.map(_.tsMillis).max, watermark))
+            // Stream only (NoTimeout = batch would throw): GC the hash
+            // one horizon after its last arrival. Floor the base at the
+            // CURRENT watermark — a fully-late group (max event time <=
+            // watermark) would otherwise throw IllegalArgumentException,
+            // and swallowing that (round-5 wrapped this in Try) leaked
+            // the state entry for the life of the stream.
+            if (streaming && evs.nonEmpty) {
+              val base = math.max(evs.map(_.tsMillis).max,
+                state.getCurrentWatermarkMs())
+              state.setTimeoutTimestamp(base, watermark)
+            }
             out.iterator
           }
       }

@@ -108,4 +108,28 @@ class GeomSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(2) && r.isNullAt(3))
     assert(r.getDouble(4) === 1.0 && r.getDouble(6) === 5.0)
   }
+
+  test("EMPTY ring list survives (sequence(1,0) descends, ADVICE r5)") {
+    // one degenerate feature (zero rings) among normal rows must not
+    // crash the job — area 0, NULL centroid and bounds
+    val empty = (11, Seq.empty[Seq[Double]], Seq.empty[Seq[Double]])
+    val square = (12, Seq(Seq(0.0, 2.0, 2.0, 0.0, 0.0)),
+      Seq(Seq(0.0, 0.0, 2.0, 2.0, 0.0)))
+    val got = run(Seq(empty, square))
+    assert(got(11).getDouble(1) === 0.0)
+    assert(got(11).isNullAt(2) && got(11).isNullAt(4))
+    assert(got(12).getDouble(1) === 4.0)
+  }
+
+  test("haversine near-antipode: 1-a < 0 by an ulp clamps, never NaN") {
+    import graft.operators.Utm
+    // exact antipode of (17.3, 42.1): a lands within an ulp of 1.0
+    val d = Geom.haversine[Double](17.3, 42.1, -162.7, -42.1)(Utm.DblAr)
+    assert(!d.isNaN && math.abs(d - math.Pi * 6371008.8) < 1.0, s"got $d")
+    // scan a band of near-antipodal pairs: clamped chain is NaN-free
+    for (eps <- Seq(0.0, 1e-13, 1e-10, 1e-7)) {
+      val v = Geom.haversine[Double](0.0, 30.0, 180.0 - eps, -30.0)(Utm.DblAr)
+      assert(!v.isNaN, s"eps=$eps")
+    }
+  }
 }

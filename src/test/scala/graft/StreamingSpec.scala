@@ -121,6 +121,47 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(dupIds.exists(_ < 100000L), "fixture should displace some originals")
   }
 
+  test("curateStream: group landing between the late-filter and eviction watermarks still expires (ADVICE r5)") {
+    // Watermark policy runs TWO values per batch: late-event filtering
+    // uses the PREVIOUS batch's watermark, eviction the current one.
+    // A batch-1 far-future event makes batch-2's eviction watermark
+    // jump 10h while the late filter still sits 1h back, so a batch-2
+    // event "now+30m" passes the filter but maxEventTime+horizon <=
+    // eviction watermark — round 5 swallowed the resulting throw in
+    // Try and LEAKED the state entry; the fix floors the base at
+    // getCurrentWatermarkMs. The query completing + emitting every
+    // decision is the regression guard (unfloored, it crashes).
+    val t0 = 1577836800L // 2020-01-01T00:00:00Z
+    def mk(id: Long, ts: Long, text: String) = Seq((id, text, ts))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curlate").toString
+    val batches = Seq(
+      mk(1L, t0, "alpha " * 30),                 // wm after b1: t0-1h
+      mk(2L, t0 + 36000L, "bravo " * 30),        // wm after b2: t0+9h
+      mk(3L, t0 + 1800L, "charlie " * 30))       // late-filter wm t0-1h, eviction wm t0+9h
+    import spark.implicits._
+    val schemaDf = batches.flatten.toDF("doc_id", "text", "tsec")
+      .withColumn("ts", timestamp_seconds(col("tsec"))).drop("tsec")
+    val planted = graft.sources.Pages.withIdPoint(schemaDf, "doc_id")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("doc_id", "text", "tsec")
+        .withColumn("ts", timestamp_seconds(col("tsec"))).drop("tsec")
+      graft.sources.Pages.withIdPoint(df, "doc_id")
+        .coalesce(1).write.parquet(s"$tmp/in/b$i")
+      // distinct mtimes fix the file-source batch order
+      val dir = new java.io.File(s"$tmp/in/b$i")
+      dir.listFiles().foreach(_.setLastModified(1000000000000L + i * 60000L))
+    }
+    val src = spark.readStream.schema(planted.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/*")
+    val cur = StreamTiles.curateStream(src, "ts", "doc_id", "text",
+      "lon", "lat", graft.sources.Fixtures.Polys)
+    val q = cur.toDF().writeStream.outputMode("append").format("memory")
+      .queryName("cur_late").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("cur_late").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L, 3L), s"got $out")
+  }
+
   test("sessionsPerTile: streaming session_window == the same sessions in batch") {
     val dir = sf("")
     val events = spark.read.parquet(s"$dir/events.parquet")
