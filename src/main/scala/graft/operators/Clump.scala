@@ -125,21 +125,40 @@ object Clump {
 
   def clump(px: DataFrame, catCol: String, g: GridMeta,
             checkpointDir: Option[String] = None): DataFrame = {
-    // referenced by both edge passes and the final label join
-    val base = graft.plans.Caches.track(px.withColumn("__id",
-      col("row") * g.width.toLong + col("col")))
-    def edges(w: WindowSpec, runCoord: String): DataFrame = base
-      .withColumn("__pid", lag(col("__id"), 1).over(w))
-      .withColumn("__pcat", lag(col(catCol), 1).over(w))
-      .withColumn("__pcoord", lag(col(runCoord), 1).over(w))
+    // RUN-LENGTH PRE-CONTRACTION (round-6): maximal horizontal
+    // same-category runs collapse to their FIRST pixel id in one
+    // running-max window pass — the same by-row shuffle the horizontal
+    // edge pass used to pay, but the component loop now starts on the
+    // RUN graph: ~width× fewer vertices on coherent regions, and only
+    // vertical adjacencies survive as edges (a run boundary is BY
+    // DEFINITION a category mismatch or a coordinate gap, so no
+    // horizontal same-category edge ever crosses one). Labels are
+    // unchanged: a region's min pixel id is always the first pixel of
+    // some run (its own run's start can't be smaller and stay in the
+    // region), so hash-min over run ids = hash-min over pixel ids.
+    val hw = hOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevOk = lag(col(catCol), 1).over(hOrd) === col(catCol) &&
+      lag(col("col"), 1).over(hOrd) === col("col") - 1L
+    // NULL cat never matches (null-rejecting ===): nodata pixels are
+    // singleton runs, preserving the nodata-singleton-clump contract
+    val base = graft.plans.Caches.track(px
+      .withColumn("__id", col("row") * g.width.toLong + col("col"))
+      .withColumn("__run",
+        max(when(!coalesce(prevOk, lit(false)), col("__id"))).over(hw)))
+    val e = base
+      .withColumn("__prun", lag(col("__run"), 1).over(vOrd))
+      .withColumn("__pcat", lag(col(catCol), 1).over(vOrd))
+      .withColumn("__prow", lag(col("row"), 1).over(vOrd))
       .where(col("__pcat") === col(catCol) &&
-        col("__pcoord") === col(runCoord) - 1L)
-      .select(col("__pid").as("id_a"), col("__id").as("id_b"))
-    val e = edges(hOrd, "col").unionByName(edges(vOrd, "row"))
+        col("__prow") === col("row") - 1L &&
+        col("__prun") =!= col("__run"))
+      .select(col("__prun").as("id_a"), col("__run").as("id_b"))
     val comp = Dedup.components(e, "id_a", "id_b", checkpointDir)
-      .withColumnRenamed("id", "__id")
-    base.join(comp, Seq("__id"), "left")
-      .withColumn("component", coalesce(col("component"), col("__id")))
-      .drop("__id")
+      .withColumnRenamed("id", "__run")
+    // runs with no inter-run edge keep their own id — which IS the
+    // min pixel id of their (purely horizontal) region
+    base.join(comp, Seq("__run"), "left")
+      .withColumn("component", coalesce(col("component"), col("__run")))
+      .drop("__id", "__run")
   }
 }
