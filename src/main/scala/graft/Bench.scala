@@ -69,18 +69,8 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /**
-   * One pipeline timing (warm-up + timed rep) in an ISOLATED child JVM:
-   * CPUs confined with `taskset -c 0..cp-1` and JVM helper threads sized
-   * to the level (`ActiveProcessorCount`) — the honest model of an
-   * N-core executor, matching the north rule's "spark-submit at N and 4N
-   * executors" (each executor JVM owns exactly its cores). Running both
-   * levels inside ONE 32-vCPU JVM hands the LOW level GC/IO helper
-   * threads sized for the whole host — measured 21.0 s free-roaming vs
-   * 24.0 s confined at 4 cores — which understates the N->4N ratio by
-   * ~0.1 efficiency.
-   */
-  def runIsolated(cp: Int, path: String, reps: Int = 1): Double = {
+  /** Child-JVM command for one CPU-confined pipeline run. */
+  private def childCmd(cp: Int, path: String, reps: Int): Seq[String] = {
     val javaBin = sys.props("java.home") + "/bin/java"
     val opens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -96,19 +86,90 @@ object Bench {
       s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
       "-Dspark.ui.enabled=false", "-cp", sys.props("java.class.path"),
       "graft.BenchChild", cp.toString, path, reps.toString)
-    val cmd =
-      if (new java.io.File("/usr/bin/taskset").exists())
-        Seq("/usr/bin/taskset", "-c", s"0-${cp - 1}") ++ base
-      else base
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT) // spark logs -> our stderr
-    val proc = pb.start()
-    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
-    proc.waitFor()
-    out.collectFirst { case l if l.startsWith("CHILD_SECS ") =>
-      l.stripPrefix("CHILD_SECS ").toDouble
-    }.getOrElse(sys.error(s"bench child failed (exit ${proc.exitValue()}): $out"))
+    if (new java.io.File("/usr/bin/taskset").exists())
+      Seq("/usr/bin/taskset", "-c", s"0-${cp - 1}") ++ base
+    else base
   }
+
+  // Best-ever child WALL seconds per (input, level, reps), persisted like
+  // the mini anchor: seeds the runaway cap for the NEXT run on this host.
+  private def wallAnchorFile(cp: Int, path: String, reps: Int) =
+    java.nio.file.Paths.get(s"/tmp/graft_bench_wall_v${ProtocolVersion}_" +
+      s"${new java.io.File(path).getName}_c${cp}_r$reps.txt")
+  private def wallAnchor(cp: Int, path: String, reps: Int): Option[Double] = {
+    val f = wallAnchorFile(cp, path, reps)
+    if (java.nio.file.Files.exists(f))
+      Some(new String(java.nio.file.Files.readAllBytes(f)).trim.toDouble)
+    else None
+  }
+  private def updateWallAnchor(cp: Int, path: String, reps: Int, wall: Double): Unit = {
+    val best = math.min(wall, wallAnchor(cp, path, reps).getOrElse(Double.MaxValue))
+    java.nio.file.Files.write(wallAnchorFile(cp, path, reps), best.toString.getBytes)
+  }
+
+  /**
+   * Runaway cap for one child run: 2.5x the best wall ever observed for
+   * this exact (input, level, reps) — ~3x on the TIMED rep once the
+   * fixed JVM-start/warm-up overhead is added back, the VERDICT r5
+   * "cap at ~3x the current min" rule. A sample past the cap is garbage
+   * the protocol would discard anyway (round 5 paid a 271 s contended
+   * low against a 23 s clean anchor and the high side inherited the
+   * debt), so stop paying for it. First-ever run: 420 s hard stop.
+   */
+  private def capFor(cp: Int, path: String, reps: Int): Double =
+    wallAnchor(cp, path, reps).map(a => math.max(90.0, 2.5 * a)).getOrElse(420.0)
+
+  /**
+   * One pipeline timing (warm-up + timed reps) in an ISOLATED child JVM:
+   * CPUs confined with `taskset -c 0..cp-1` and JVM helper threads sized
+   * to the level (`ActiveProcessorCount`) — the honest model of an
+   * N-core executor, matching the north rule's "spark-submit at N and 4N
+   * executors" (each executor JVM owns exactly its cores). Running both
+   * levels inside ONE 32-vCPU JVM hands the LOW level GC/IO helper
+   * threads sized for the whole host — measured 21.0 s free-roaming vs
+   * 24.0 s confined at 4 cores — which understates the N->4N ratio by
+   * ~0.1 efficiency.
+   *
+   * Returns None when the child exceeded `capS` wall seconds (killed) or
+   * died without printing a time; the caller counts it as an aborted
+   * sample and re-gates.
+   */
+  def runCapped(cp: Int, path: String, reps: Int, capS: Double): Option[Double] = {
+    val pb = new ProcessBuilder(childCmd(cp, path, reps): _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT) // spark logs -> our stderr
+    val t0 = System.nanoTime()
+    val proc = pb.start()
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val rdr = new Thread(() =>
+      try scala.io.Source.fromInputStream(proc.getInputStream)
+        .getLines().foreach(lines.add)
+      catch { case _: java.io.IOException => () })
+    rdr.setDaemon(true)
+    rdr.start()
+    val done = proc.waitFor(math.ceil(capS * 1000).toLong,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    if (!done) {
+      System.err.println(s"bench child KILLED at cap ${capS}s (c=$cp reps=$reps)")
+      proc.destroyForcibly(); proc.waitFor()
+      None
+    } else {
+      rdr.join(5000)
+      val wall = (System.nanoTime() - t0) / 1e9
+      import scala.jdk.CollectionConverters._
+      val secs = lines.asScala.collectFirst {
+        case l if l.startsWith("CHILD_SECS ") =>
+          l.stripPrefix("CHILD_SECS ").toDouble
+      }
+      if (secs.isDefined) updateWallAnchor(cp, path, reps, wall)
+      else System.err.println(
+        s"bench child failed (exit ${proc.exitValue()}): ${lines.asScala.toList}")
+      secs
+    }
+  }
+
+  def runIsolated(cp: Int, path: String, reps: Int = 1): Double =
+    runCapped(cp, path, reps, Double.MaxValue)
+      .getOrElse(sys.error("bench child failed"))
 
   /**
    * Clean-window detector: a MINI high-level run (30M rows, ~1 s on a
@@ -127,7 +188,7 @@ object Bench {
    * stale fast anchor making every probe look dirty and silently
    * burning the awaitClean/retime budgets (ADVICE r3).
    */
-  val ProtocolVersion = 4
+  val ProtocolVersion = 5
 
   final class MiniProbe(cHigh: Int) {
     private val MiniRows = 30000000L
@@ -143,11 +204,12 @@ object Bench {
       * The gate is deliberately tight: a window that is 30% contended
       * (which a looser 1.3x gate admits) caps the measurable N->4N
       * efficiency at ~0.65 all by itself. */
-    def clean(): Boolean = {
-      val m = runIsolated(cHigh, miniPath)
-      best = math.min(best, m)
-      m <= 1.2 * best
-    }
+    def clean(): Boolean =
+      // a mini that can't finish in 120 s IS the dirty-window verdict
+      runCapped(cHigh, miniPath, reps = 1, capS = 120.0) match {
+        case Some(m) => best = math.min(best, m); m <= 1.2 * best
+        case None => false
+      }
 
     /**
      * Block (bounded by `attempts` and the caller's deadline) until two
@@ -237,16 +299,17 @@ object Bench {
     val path = prepPages(benchRows)
     val cLow = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOW", "4").toInt
     val cHigh = cLow * 4 // the north rule's N -> 4N
-    // Sampling protocol, DECOUPLED from the 0.8 compliance target (the
-    // round-2 protocol resampled only the high side and only while the
-    // estimate sat below 0.8 — a stopping rule conditioned on crossing
-    // the threshold): a FIXED three pairs, each pair gated on the
-    // mini-probe clean-window detector (two consecutive clean minis) and
-    // taken back-to-back at BOTH levels, then the estimator is reported
-    // over whatever was collected, pass or fail. A full high sample costs
-    // 60-80 s and a tenant-contention episode lasts minutes, so blind
-    // retries would burn the budget sampling garbage — the ~1 s mini
-    // detects the episode for a tenth the cost.
+    // Sampling protocol, DECOUPLED from the 0.8 compliance target: FIXED
+    // pair counts, dispersion- and bracket-triggered resamples only —
+    // never the metric value — and every completed sample ships in the
+    // JSON. A full high sample costs 60-80 s and a tenant-contention
+    // episode lasts minutes, so blind retries would burn the budget
+    // sampling garbage: the ~1 s mini-probe detects the episode for a
+    // tenth the cost, and the runaway cap (runCapped) kills any child
+    // past 2.5x its best-ever wall — round 5 paid a 271 s contended low
+    // against a 23 s clean anchor, and the debt left the high side ONE
+    // dirty sample and a 0.502 artifact on a binary that measures 0.919
+    // in a clean window.
     //
     // Estimator: MEDIAN of the low times over MIN of the high times.
     // The two levels' noise is asymmetric on this shared-turbo host
@@ -266,57 +329,72 @@ object Bench {
     //                               scaled 4.0x during the slow windows,
     //                               so CPU-probe gating cannot detect
     //                               this corruption).
-    // Every sample ships in the JSON.
     //
-    // Contention here FLAPS on a seconds timescale (observed: gate minis
-    // pass at <2 s, the very next 60 s full high runs 3x dirty), so each
-    // HIGH sample is BRACKETED: gate minis before, one mini immediately
-    // after. A failed closing bracket marks the sample contaminated and
-    // triggers a bounded resample — conditioned ONLY on the measured
-    // bracket, never on the efficiency value, and every sample (dirty or
-    // not) ships in the JSON. The high goes first in each pair (it is
-    // the contention-sensitive side; the low is ±9% stable), so no 20 s
-    // low run sits between the gate and the high.
+    // Ordering (round-5 postmortem): THREE high/low PAIRS, the HIGH
+    // first in each — the high side is the contention-sensitive one
+    // (contention FLAPS on a seconds timescale; observed: gate minis
+    // pass at <2 s, the very next 60 s full high runs 3x dirty), so it
+    // rides directly on the gate and is BRACKETED by a closing mini; the
+    // ±9%-stable low follows inside the same window. Round 5 took all
+    // lows first, and one runaway low spent the high side's budget —
+    // pairing makes the two sides' budgets commensal, and top-up loops
+    // refill the HIGH side first when caps/aborts left holes.
     val lows = scala.collection.mutable.ArrayBuffer.empty[Double]
     val highs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val highsClean = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    var lowsAborted = 0
+    var highsAborted = 0
     val probe = new MiniProbe(cHigh)
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
-    // LOWS first, gated on the SAME clean-window probe as the highs
-    // (cheap: 1-2 ~1 s minis per sample when the host is quiet). The
-    // round-2 protocol left lows ungated on a ±9%-stability assumption;
-    // two round-5 windows broke it — one with a 3x spread (23/32/70 s),
-    // one with UNIFORM ~25% inflation (25/29/28 s vs a 21-23 s clean
-    // anchor) that no dispersion test can see — and both pushed the
-    // median-low primary estimator to a physically impossible eff > 1
-    // while min/min stayed ~0.9. Gate attempts are bounded so lows
-    // can't starve the high-side budget.
-    while (lows.size < 3) {
-      probe.awaitClean(attempts = 2, deadline = elapsedS > 280)
-      lows += runIsolated(cLow, path)
-    }
-    // ...and when the observed spread STILL breaks the assumption, take
-    // up to two more gated samples. Both triggers are contention
-    // measures (probe time, sample dispersion), never the metric.
-    while (lows.size < 5 && median(lows.toSeq) > 1.25 * lows.min &&
-        elapsedS < 400) {
-      probe.awaitClean(attempts = 3, deadline = elapsedS > 400)
-      lows += runIsolated(cLow, path)
-    }
-    // HIGHS: up to five samples, each clean-window gated and bracketed
-    // (a failed closing bracket = contaminated sample -> bounded
-    // resample). Counts and retries are fixed protocol — never
-    // conditioned on the metric value; every sample ships in the JSON.
-    while (highs.size < 5 && (highs.isEmpty || elapsedS < 520)) {
-      probe.awaitClean(attempts = 5,
-        deadline = elapsedS > (if (highs.isEmpty) 420 else 520))
-      highs += runIsolated(cHigh, path, reps = 2)
-      if (!probe.clean() && highs.size < 5 && elapsedS < 540) {
-        // contaminated closing bracket: one immediate gated retry
-        probe.awaitClean(attempts = 3, deadline = elapsedS > 540)
-        highs += runIsolated(cHigh, path, reps = 2)
+    // One gated sample at each level. Gate attempts are bounded by the
+    // caller's deadline so neither side can starve the other; an aborted
+    // (capped/killed) child counts as dirty-window evidence and the next
+    // attempt re-gates from scratch.
+    def takeHigh(deadline: Double): Unit = {
+      probe.awaitClean(attempts = 3, deadline = elapsedS > deadline)
+      runCapped(cHigh, path, reps = 2, capFor(cHigh, path, 2)) match {
+        case Some(t) => highs += t; highsClean += probe.clean() // closing bracket
+        case None => highsAborted += 1
       }
     }
+    def takeLow(deadline: Double): Unit = {
+      probe.awaitClean(attempts = 2, deadline = elapsedS > deadline)
+      runCapped(cLow, path, reps = 1, capFor(cLow, path, 1)) match {
+        case Some(t) => lows += t
+        case None => lowsAborted += 1
+      }
+    }
+    var pair = 0
+    while (pair < 3 && elapsedS < 430) { takeHigh(430); takeLow(450); pair += 1 }
+    // top-ups: refill holes left by caps/aborts — HIGH first (it owns
+    // the min estimator and is the side round 5 starved)
+    while (highs.size < 3 && elapsedS < 520) takeHigh(520)
+    while (lows.size < 3 && elapsedS < 560) takeLow(560)
+    // bracket integrity: if NO high sample has a clean closing bracket,
+    // keep resampling while budget remains (ADVICE r5: the round-5 gate
+    // protected only the lows; its one surviving high was bracket-dirty)
+    while (!highsClean.contains(true) && highs.size < 6 && elapsedS < 580)
+      takeHigh(580)
+    // dispersion-triggered extras on BOTH sides — round-5 windows showed
+    // a 3x low spread and a 1.8x high spread; the trigger is dispersion
+    // (a contention measure), never the efficiency value
+    while (highs.size < 5 && highs.nonEmpty &&
+        median(highs.toSeq) > 1.25 * highs.min && elapsedS < 600)
+      takeHigh(600)
+    while (lows.size < 5 && lows.nonEmpty &&
+        median(lows.toSeq) > 1.25 * lows.min && elapsedS < 640)
+      takeLow(640)
+    // last resort so a pathological window still ships an artifact: one
+    // UNgated, UNcapped sample per empty side (flagged dirty below)
+    if (highs.isEmpty) { highs += runIsolated(cHigh, path, reps = 2); highsClean += false }
+    if (lows.isEmpty) lows += runIsolated(cLow, path)
     probe.save()
+    // window_dirty: the artifact's own verdict on itself — fewer than two
+    // samples on either side, or no high with a clean closing bracket,
+    // means the window never came clean and the efficiency number should
+    // be read as a LOWER BOUND, not the engine's scaling.
+    val windowDirty =
+      highs.size < 2 || lows.size < 2 || !highsClean.contains(true)
     // median for odd counts; for an even count (budget curtailed a pair)
     // the lower middle — a contended low inflates the ratio, so the
     // conservative pick can only UNDERSTATE the reported efficiency
@@ -343,7 +421,11 @@ object Bench {
     // line outgrew the driver's stdout tail capture (full-precision
     // doubles for 59 queries + samples) and parsed as null
     val samplesJson =
-      s"""{"lows":${lows.map(r3).mkString("[", ",", "]")},"highs":${highs.map(r3).mkString("[", ",", "]")}}"""
+      s"""{"lows":${lows.map(r3).mkString("[", ",", "]")},""" +
+      s""""highs":${highs.map(r3).mkString("[", ",", "]")},""" +
+      s""""highs_bracket_clean":${highsClean.mkString("[", ",", "]")},""" +
+      s""""lows_aborted":$lowsAborted,"highs_aborted":$highsAborted,""" +
+      s""""window_dirty":$windowDirty}"""
 
 
     // ---- per-query timings on the driver's sf dir -----------------------
@@ -431,7 +513,13 @@ object Bench {
       s""""rows_per_sec_low":${rpsLow.toLong},"rows_per_sec_high":${rpsHigh.toLong},""" +
       s""""scaling_efficiency":${r3(eff)},""" +
       s""""scaling_efficiency_min_min":${r3(effMinMin)},""" +
-      s""""scaling_efficiency_med_med":${r3(effMedMed)}}"""
+      s""""scaling_efficiency_med_med":${r3(effMedMed)}""" +
+      // flag + abort counts ship on the LINE only when nonzero — the
+      // honest-red marker costs line budget only on the runs it indicts
+      (if (windowDirty) s""","window_dirty":true""" else "") +
+      (if (lowsAborted + highsAborted > 0)
+        s""","aborted":{"low":$lowsAborted,"high":$highsAborted}"""
+      else "") + "}"
     val skewJson =
       s""""skew_hot_cell":{"rows":20000000,"hot_frac":0.5,""" +
       s""""secs_naive":${r3(skNaive)},"secs_aqe_skewjoin":${r3(skAqe)},""" +
