@@ -123,6 +123,119 @@ object Clump {
       .drop("__tgt", "__tcat")
   }
 
+  /**
+   * Iterative sieve (gdal fixpoint semantics, bounded): repeat the
+   * one-pass merge rule — every region < `minPix` merges into its
+   * largest adjacent region of size ≥ `minPix` (tie: smallest id),
+   * NULL-cat regions excluded both ways — until no merge fires or
+   * `rounds` is exhausted. Closes the documented [[sieve]] divergence
+   * on nested small-region chains: a small region whose neighbor GREW
+   * past the threshold in an earlier round merges in a later one.
+   *
+   * Scale shape: the pixel relation is touched exactly twice (region
+   * stats going in, one relabel join coming out); every round runs on
+   * the REGION graph — ids, sizes, adjacency — whose cardinality is
+   * ≪ pixels, so the per-round joins are dim-sized (AQE broadcasts
+   * them) and the loop's cost is independent of raster size. Merged
+   * sizes accumulate (n_target += n_small) and edges contract
+   * (relabel + drop self-loops + distinct) exactly like the
+   * components loop.
+   */
+  def sieveFixpoint(labeled0: DataFrame, catCol: String, minPix: Int,
+                    rounds: Int = 3,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val labeled = graft.plans.Caches.track(labeled0)
+    // loop-state lineage MUST truncate per round: each round's plan
+    // embeds the previous round's tree several times (pick joins reg
+    // twice, the relabel joins again), so on top of the clump DAG the
+    // logical plan grows ~5x per round and planning/explain dominates
+    // (observed: 3 rounds at 217k px wedged the driver in
+    // explainString). Same checkpoint+resetStats discipline as
+    // Dedup.components.
+    checkpointDir.foreach(labeled.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftBridge.resetStats(
+        if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint())
+    def adj(w: WindowSpec, runCoord: String): DataFrame = labeled
+      .withColumn("__pc", lag(col("component"), 1).over(w))
+      .withColumn("__pcoord", lag(col(runCoord), 1).over(w))
+      .where(col("__pc").isNotNull && col("__pc") =!= col("component") &&
+        col("__pcoord") === col(runCoord) - 1L)
+      .select(col("component").as("s"), col("__pc").as("t"))
+    val e0 = adj(hOrd, "col").unionByName(adj(vOrd, "row"))
+    // region-level state: reg(id, n, cat) + undirected distinct edges
+    var reg = truncate(labeled
+      .groupBy(col("component").as("id"))
+      .agg(count(lit(1)).as("n"), max(col(catCol)).as("rcat")))
+    var edges = truncate(
+      e0.unionByName(e0.select(col("t").as("s"), col("s").as("t"))).distinct())
+    // orig region id -> current label (identity to start)
+    var relabel = reg.select(col("id").as("orig"), col("id").as("lbl"))
+    var r = 0
+    var done = false
+    val debug = sys.env.contains("GRAFT_COMP_DEBUG")
+    def step[A](l: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val res = f
+      if (sys.env.contains("GRAFT_COMP_DEBUG"))
+        println(f"SIEVE   $l ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      res
+    }
+    while (r < rounds && !done) {
+      val tRound = System.nanoTime()
+      val valid = reg.where(col("rcat").isNotNull).select("id")
+      val pick = edges
+        .join(valid.withColumnRenamed("id", "s"), "s")
+        .join(valid.withColumnRenamed("id", "t"), "t")
+        .join(reg.select(col("id").as("s"), col("n").as("sn")), "s")
+        .where(col("sn") < minPix)
+        .join(reg.select(col("id").as("t"), col("n").as("tn")), "t")
+        .where(col("tn") >= minPix)
+        .groupBy(col("s"))
+        .agg(graft.functions.top_k(
+          struct((-col("tn")).as("neg"), col("t")), 1).as("top"))
+        .select(col("s").as("id"), col("top").getItem(0).getField("t").as("tgt"))
+      val p = step("pick")(truncate(pick))
+      if (step("isEmpty")(p.isEmpty)) done = true
+      else {
+        val mapStep = reg.select(col("id")).join(p, Seq("id"), "left")
+          .select(col("id"), coalesce(col("tgt"), col("id")).as("nid"))
+        relabel = step("relabel")(truncate(relabel
+          .join(mapStep.withColumnRenamed("id", "lbl"), Seq("lbl"))
+          .select(col("orig"), col("nid").as("lbl"))))
+        reg = step("reg")(truncate(reg
+          .join(mapStep, Seq("id"))
+          .groupBy(col("nid").as("id"))
+          .agg(sum(col("n")).as("n"),
+            // the surviving id keeps ITS OWN category: merged-away
+            // smalls contribute only when id == nid, and a region
+            // never receives a different-cat value for its own id
+            max(when(col("id") === col("nid"), col("rcat"))).as("rcat"))))
+        val em = mapStep
+        // the last round's contracted edges are never read - skip the
+        // most expensive per-round job when the loop is about to exit
+        if (r + 1 < rounds) edges = step("edges")(truncate(edges
+          .join(em.withColumnRenamed("id", "s"), "s")
+          .withColumnRenamed("nid", "ns")
+          .join(em.withColumnRenamed("id", "t"), "t")
+          .withColumnRenamed("nid", "nt")
+          .where(col("ns") =!= col("nt"))
+          .select(col("ns").as("s"), col("nt").as("t")).distinct()))
+        r += 1
+      }
+      if (debug) println(f"SIEVE round=$r done=$done ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+    }
+    val cmap = labeled.groupBy(col("component")).agg(max(col(catCol)).as("__ocat"))
+      .select(col("component").as("__lbl"), col("__ocat"))
+    labeled
+      .join(relabel.select(col("orig").as("component"), col("lbl").as("__lbl")),
+        Seq("component"))
+      .join(cmap, Seq("__lbl"), "left")
+      .withColumn("component_out", col("__lbl"))
+      .withColumn("cat_out",
+        when(col("__lbl") =!= col("component"), col("__ocat")).otherwise(col(catCol)))
+      .drop("__lbl", "__ocat")
+  }
+
   def clump(px: DataFrame, catCol: String, g: GridMeta,
             checkpointDir: Option[String] = None): DataFrame = {
     // RUN-LENGTH PRE-CONTRACTION (round-6): maximal horizontal

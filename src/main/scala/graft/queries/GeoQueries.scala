@@ -323,6 +323,37 @@ object GeoQueries {
         RasterStack.stack(s, AeaSrcG).drop("x", "y"), AeaSrcG,
         RasterStack.NcBands.map(_.name)).select(Seq("b1", "b4"))
       st.toCrs(AeaG, AeaCrs, "rms").df.select("row", "col", "b1", "b4")
+    }),
+
+    // to_crs onto the British National Grid (EPSG:27700) via the EPSG
+    // REGISTRY — the first target on a LEGACY DATUM: the back-
+    // projection chains the generic-TM inverse on Airy 1830 with the
+    // OSGB36->WGS84 Helmert hop (ECEF + Bowring). The chain evaluates
+    // STAGED (CrsTransform.bindSource) because the composed scalar
+    // text explodes combinatorially (5.3 MB vs 4 KB/stage); the oracle
+    // replays the SAME stage boundaries as nested SELECTs, so IEEE op
+    // order stays identical by construction.
+    "q112_to_crs_bng" -> ((s, _) => {
+      import graft.sources.RasterStack
+      val st = graft.operators.Stack(
+        RasterStack.stack(s, BngSrcG).drop("x", "y"), BngSrcG,
+        RasterStack.NcBands.map(_.name)).select(Seq("b2", "b5"))
+      st.toCrs(BngCrs, "nearest", "EPSG:27700").df.select("row", "col", "b2", "b5")
+    }),
+
+    // min-pooling onto the NZTM2000 grid (EPSG:2193, GRS80 — second
+    // registry-dispatched TM, no datum shift, southern hemisphere,
+    // near-antimeridian domain): source lon/lat pixel centers project
+    // through the FORWARD generic-TM (crs.inverse of the registry
+    // transform) — pins the bidirectional contract for the generic
+    // kernel like q74/q79/q83/q85 do for the fixed families. Exact:
+    // integral MIN, no arithmetic after the shuffle.
+    "q113_warp_nztm_min" -> ((s, _) => {
+      import graft.sources.RasterStack
+      val st = graft.operators.Stack(
+        RasterStack.stack(s, NztmSrcG).drop("x", "y"), NztmSrcG,
+        RasterStack.NcBands.map(_.name)).select(Seq("b1", "b4"))
+      st.toCrs(NztmG, NztmCrs, "min").df.select("row", "col", "b1", "b4")
     })
   )
 
@@ -353,6 +384,20 @@ object GeoQueries {
   val PsCrs: Warp.PsToLonLat =
     Warp.PsToLonLat(graft.operators.PolarStereo.Epsg3413, "EPSG:3413")
   val PsG: GridMeta = Warp.defaultTarget(PsSrcG, PsCrs, PsCrs.epsg)
+
+  /** BNG fixture: a UK lon/lat window (WGS84) warped onto EPSG:27700
+    * through the registry (generic TM on Airy 1830 + OSGB36 Helmert). */
+  val BngSrcG: GridMeta = GridMeta.northUp(-7.0, 50.0, 2.0, 59.0, width = 180, height = 180)
+  val BngCrs: graft.operators.Epsg.TmercToLonLat =
+    graft.operators.Epsg.toLonLat(27700).asInstanceOf[graft.operators.Epsg.TmercToLonLat]
+  val BngG: GridMeta = Warp.defaultTarget(BngSrcG, BngCrs, "EPSG:27700")
+
+  /** NZTM fixture: a New Zealand lon/lat window (GRS80 TM, south,
+    * close to the antimeridian), registry-dispatched EPSG:2193. */
+  val NztmSrcG: GridMeta = GridMeta.northUp(166.0, -47.0, 179.0, -34.0, width = 130, height = 130)
+  val NztmCrs: graft.operators.Epsg.TmercToLonLat =
+    graft.operators.Epsg.toLonLat(2193).asInstanceOf[graft.operators.Epsg.TmercToLonLat]
+  val NztmG: GridMeta = Warp.defaultTarget(NztmSrcG, NztmCrs, "EPSG:2193")
 
   /** Web-Mercator target grid (meters, EPSG:3857): DERIVED from the
     * source grid + transform by Warp.defaultTarget — exactly what the
@@ -794,6 +839,41 @@ object GeoQueries {
          |    ${RasterStack.NcBands.filter(b => Set("b2", "b5")(b.name)).map(b => RasterStack.bandSql("row", "col", b) + s" AS ${b.name}").mkString(", ")}
          |  FROM ${RasterStack.gridSql(G)}) g
          |ON g.row = t.srow AND g.col = t.scol""".stripMargin
+    },
+
+    "q112_to_crs_bng" -> {
+      val tx = RasterStack.xSql(BngG, "tcol"); val ty = RasterStack.ySql(BngG, "trow")
+      val inner =
+        s"""SELECT CAST(range // ${BngG.width} AS BIGINT) AS trow,
+           |       CAST(range % ${BngG.width} AS BIGINT) AS tcol,
+           |       $tx AS tx, $ty AS ty FROM range(${BngG.cells})""".stripMargin
+      val staged = BngCrs.stagedSql(inner, "tx", "ty", Seq("trow", "tcol"), "lonx", "laty")
+      val srow = s"CAST(FLOOR((laty - ${OracleLit.d(BngSrcG.f)}) / (${OracleLit.d(BngSrcG.e)})) AS BIGINT)"
+      val scol = s"CAST(FLOOR((lonx - ${OracleLit.d(BngSrcG.c)}) / (${OracleLit.d(BngSrcG.a)})) AS BIGINT)"
+      s"""SELECT t.trow AS row, t.tcol AS col, g.b2, g.b5
+         |FROM (SELECT trow, tcol, $srow AS srow, $scol AS scol FROM ($staged)) t
+         |LEFT JOIN (SELECT row, col,
+         |    ${RasterStack.NcBands.filter(b => Set("b2", "b5")(b.name)).map(b => RasterStack.bandSql("row", "col", b) + s" AS ${b.name}").mkString(", ")}
+         |  FROM ${RasterStack.gridSql(BngSrcG)}) g
+         |ON g.row = t.srow AND g.col = t.scol""".stripMargin
+    },
+
+    "q113_warp_nztm_min" -> {
+      import OracleLit.d
+      val fwd = NztmCrs.inverse.asInstanceOf[graft.operators.Epsg.LonLatToTmerc]
+      val x = RasterStack.xSql(NztmSrcG); val y = RasterStack.ySql(NztmSrcG)
+      val fx = fwd.sxSql(x, y); val fy = fwd.sySql(x, y)
+      val trow = s"CAST(FLOOR(($fy - ${d(NztmG.f)}) / (${d(NztmG.e)})) AS BIGINT)"
+      val tcol = s"CAST(FLOOR(($fx - ${d(NztmG.c)}) / (${d(NztmG.a)})) AS BIGINT)"
+      val pix = s"(SELECT row, col, ${Seq("b1", "b4").map(n => RasterStack.bandSql("row", "col", RasterStack.NcBands.find(_.name == n).get) + s" AS $n").mkString(", ")} FROM ${RasterStack.gridSql(NztmSrcG)})"
+      s"""SELECT t.row, t.col, s.m1 AS b1, s.m4 AS b4
+         |FROM ${RasterStack.gridSql(NztmG)} t
+         |LEFT JOIN (
+         | SELECT trow, tcol, MIN(b1) AS m1, MIN(b4) AS m4
+         | FROM (SELECT $trow AS trow, $tcol AS tcol, b1, b4 FROM $pix)
+         | WHERE trow >= 0 AND trow < ${NztmG.height} AND tcol >= 0 AND tcol < ${NztmG.width}
+         | GROUP BY 1, 2) s
+         |ON s.trow = t.row AND s.tcol = t.col""".stripMargin
     }
   )
 }

@@ -418,6 +418,23 @@ object StackQueries {
         .select("row", "col", "cat_out", "component_out")
     }),
 
+    // Iterative sieve to fixpoint (gdal semantics, bounded 3 rounds):
+    // after each merge pass the REGION graph contracts and sizes
+    // accumulate, so a small region whose neighbor grew past the
+    // threshold merges in a later round — the nested-small-chain case
+    // the one-pass q101 documents as divergent. minPix=6 (vs q101's 4)
+    // makes multi-round growth chains common on the percolation
+    // fixture. Oracle unrolls the same 3 region-level rounds as CTEs.
+    "q114_sieve_fixpoint" -> ((s, _) => {
+      val av = graft.operators.Clump.avalanche31(
+        col("row") * G.width.toLong + col("col"))
+      val px = RasterStack.grid(s, G).withColumn("cat",
+        when(av % lit(89L) === 0L, lit(null)).otherwise(av % lit(4L)))
+      val labeled = graft.operators.Clump.clump(px, "cat", G)
+      graft.operators.Clump.sieveFixpoint(labeled, "cat", minPix = 6, rounds = 3)
+        .select("row", "col", "cat_out", "component_out")
+    }),
+
     // Analytic hillshade from Horn slope/aspect; per-row SIN carries
     // DuckDB's 1-ulp variance, so the output ships floor(x1e3).
     "q92_hillshade" -> ((s, _) => {
@@ -480,6 +497,59 @@ object StackQueries {
        |  CAST(LEAST(n.id, COALESCE(MIN(r.dst), n.id)) AS BIGINT) AS component
        |FROM n LEFT JOIN reach r ON r.src = n.id
        |GROUP BY n.row, n.col, n.cat, n.id""".stripMargin
+  }
+
+  /**
+   * Oracle for [[graft.operators.Clump.sieveFixpoint]]: the clump
+   * labeling, then `rounds` UNROLLED region-level merge rounds — each
+   * round replays exactly the engine's algebra (valid/size-filtered
+   * pick with (n DESC, t) tie-break, label map composition, size
+   * accumulation, edge contraction) as chained CTEs.
+   */
+  private def sieveFixpointOracleSql(catSql: String, minPix: Int,
+                                     rounds: Int): String = {
+    val lab = clumpOracleSql(catSql)
+    val sb = new StringBuilder
+    // every multi-referenced CTE is MATERIALIZED: the unrolled rounds
+    // reference lab 4x and reg/m 3x each — inlined, the recursive
+    // clump closure would re-execute ~4^rounds times (observed: >10
+    // min at 216k px vs seconds materialized).
+    sb ++= s"WITH lab AS MATERIALIZED ($lab),\n"
+    sb ++= "reg0 AS MATERIALIZED (SELECT component AS id, COUNT(*) AS n, MAX(cat) AS rcat FROM lab GROUP BY 1),\n"
+    sb ++=
+      """adjp AS MATERIALIZED (
+        |  SELECT a.component AS s, b.component AS t FROM lab a JOIN lab b
+        |    ON b.row = a.row AND b.col = a.col + 1 AND a.component <> b.component
+        |  UNION ALL SELECT a.component, b.component FROM lab a JOIN lab b
+        |    ON b.col = a.col AND b.row = a.row + 1 AND a.component <> b.component),
+        |""".stripMargin
+    sb ++= "e0 AS MATERIALIZED (SELECT DISTINCT s, t FROM (SELECT s, t FROM adjp UNION ALL SELECT t, s FROM adjp)),\n"
+    sb ++= "map0 AS MATERIALIZED (SELECT id AS orig, id AS lbl FROM reg0),\n"
+    for (k <- 1 to rounds) {
+      val j = k - 1
+      sb ++=
+        s"""pick$k AS MATERIALIZED (SELECT s, t FROM (
+           |  SELECT b.s, b.t, ROW_NUMBER() OVER (PARTITION BY b.s ORDER BY tz.n DESC, b.t) AS rn
+           |  FROM e$j b
+           |  JOIN reg$j cs ON cs.id = b.s AND cs.rcat IS NOT NULL AND cs.n < $minPix
+           |  JOIN reg$j tz ON tz.id = b.t AND tz.rcat IS NOT NULL AND tz.n >= $minPix) WHERE rn = 1),
+           |m$k AS MATERIALIZED (SELECT r.id, COALESCE(p.t, r.id) AS nid FROM reg$j r LEFT JOIN pick$k p ON p.s = r.id),
+           |reg$k AS MATERIALIZED (SELECT m.nid AS id, SUM(r.n) AS n,
+           |    MAX(CASE WHEN r.id = m.nid THEN r.rcat END) AS rcat
+           |  FROM reg$j r JOIN m$k m ON m.id = r.id GROUP BY 1),
+           |e$k AS MATERIALIZED (SELECT DISTINCT ms.nid AS s, mt.nid AS t FROM e$j x
+           |  JOIN m$k ms ON ms.id = x.s JOIN m$k mt ON mt.id = x.t WHERE ms.nid <> mt.nid),
+           |map$k AS MATERIALIZED (SELECT mp.orig, m.nid AS lbl FROM map$j mp JOIN m$k m ON m.id = mp.lbl),
+           |""".stripMargin
+    }
+    sb ++=
+      s"""fin AS (SELECT orig, lbl FROM map$rounds)
+         |SELECT lab.row, lab.col,
+         |  CASE WHEN f.lbl <> lab.component THEN rc.rcat ELSE lab.cat END AS cat_out,
+         |  CAST(f.lbl AS BIGINT) AS component_out
+         |FROM lab JOIN fin f ON f.orig = lab.component
+         |LEFT JOIN reg0 rc ON rc.id = f.lbl""".stripMargin
+    sb.toString
   }
 
   /** Shared focal CTE: pixel relation + the horizontal [1,1,1] pass
@@ -582,6 +652,9 @@ object StackQueries {
          |FROM lab LEFT JOIN pick p ON p.s = lab.component
          |LEFT JOIN cm tc ON tc.component = p.t""".stripMargin
     },
+
+    "q114_sieve_fixpoint" ->
+      sieveFixpointOracleSql(catNodataSql, minPix = 6, rounds = 3),
 
     "q97_zonal" -> graft.operators.Zonal.statsSql(
       s"($extractPolygonsOracle)", "poly_id", Seq("b1", "b4")),
