@@ -241,6 +241,34 @@ object PipelineQueries {
     "q99_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramScore(docs(s, dir), "doc_id", "text")),
 
+    // REAL image decode path (round 6, retires the stub as the only
+    // decoder): per-doc payloads are honest 24-bit BMP container bytes
+    // (synthBmp), decoded by a real header parse, nearest-resized on
+    // real pixels, re-encoded, decoded AGAIN for stats — so the codec
+    // runs twice and the resize once per doc. The oracle computes the
+    // expected position-weighted pixel checksums straight from the
+    // generative formula, independent of any codec code; CodecSpec's
+    // golden bytes pin the container layout itself.
+    "q115_image_decode" -> ((s, dir) => {
+      val ids = docs(s, dir).select("doc_id")
+      val withImg = Multimodal.synthBmp(ids, "doc_id", 16, 16)
+      val orig = Multimodal.imageStats(withImg, Seq("doc_id"), "img")
+      val resized = Multimodal.resizeImage(withImg, Seq("doc_id"), "img", 4, 4)
+      val rstats = Multimodal.imageStats(resized, Seq("doc_id"), "resized")
+        .withColumnRenamed("w", "rw").withColumnRenamed("h", "rh")
+        .withColumnRenamed("px_cksum", "r_cksum")
+      orig.join(rstats, Seq("doc_id"))
+    }),
+
+    // REAL audio decode path: PCM16 RIFF/WAVE payloads (ragged lengths
+    // 300 + id % 200 exercise the tail window), chunk-walked decode,
+    // per-256-sample window energy/peak — integral outputs, exact.
+    "q116_audio_windows" -> ((s, dir) => {
+      val ids = docs(s, dir).select("doc_id")
+      val withWav = Multimodal.synthWav(ids, "doc_id")
+      Multimodal.audioWindows(withWav, Seq("doc_id"), "wav", 256)
+    }),
+
     "q39_multimodal" -> ((s, dir) => {
       val pages = graft.sources.Pages.fromDocuments(s, dir)
       val stats = Multimodal.frameStats(pages, "html", 64)
@@ -490,6 +518,38 @@ object PipelineQueries {
         yield s"substr($html, ${(y * 4) * 16 + x * 4 + 1}, 1)").mkString(" || ")
       s"""SELECT doc_id, md5($terms) AS rs_md5
          |FROM documents WHERE octet_length(encode($html)) >= 256""".stripMargin
+    },
+
+    "q115_image_decode" -> {
+      // expected checksums computed from the generative pixel formula —
+      // no BMP bytes anywhere in the oracle (codec-independent).
+      val v = "(((doc_id*7 + y*31 + x*13 + c*5) % 256) + 256) % 256"
+      val vr = "(((doc_id*7 + (y*4)*31 + (x*4)*13 + c*5) % 256) + 256) % 256"
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |px AS (SELECT doc_id, y.range AS y, x.range AS x, c.range AS c
+         |  FROM ids, range(16) y, range(16) x, range(3) c),
+         |orig AS (SELECT doc_id,
+         |    CAST(SUM(($v) * ((y*16 + x)*3 + c + 1)) AS BIGINT) AS px_cksum
+         |  FROM px GROUP BY 1),
+         |rpx AS (SELECT doc_id, y.range AS y, x.range AS x, c.range AS c
+         |  FROM ids, range(4) y, range(4) x, range(3) c),
+         |rs AS (SELECT doc_id,
+         |    CAST(SUM(($vr) * ((y*4 + x)*3 + c + 1)) AS BIGINT) AS r_cksum
+         |  FROM rpx GROUP BY 1)
+         |SELECT o.doc_id, CAST(16 AS INT) AS w, CAST(16 AS INT) AS h, o.px_cksum,
+         |  CAST(4 AS INT) AS rw, CAST(4 AS INT) AS rh, r.r_cksum
+         |FROM orig o JOIN rs r ON r.doc_id = o.doc_id""".stripMargin
+    },
+
+    "q116_audio_windows" -> {
+      val v = "((((doc_id*31 + i.range*17) % 4096) + 4096) % 4096 - 2048)"
+      s"""WITH ids AS (SELECT doc_id, 300 + doc_id % 200 AS n FROM documents),
+         |s AS (SELECT doc_id, i.range AS i, $v AS v
+         |  FROM ids, range(500) i WHERE i.range < n)
+         |SELECT doc_id, CAST(i // 256 AS INT) AS win_idx,
+         |  CAST(COUNT(*) AS INT) AS n_samples,
+         |  CAST(SUM(v*v) AS BIGINT) AS energy, CAST(MAX(ABS(v)) AS INT) AS peak
+         |FROM s GROUP BY 1, 2""".stripMargin
     },
 
     "q39_multimodal" -> {
