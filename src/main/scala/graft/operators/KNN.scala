@@ -47,6 +47,41 @@ object KNN {
         col(fid).as("near_id"): _*)
 
   /**
+   * Density-derived starting resolution (round 6): pick the finest
+   * level whose EXPECTED 3x3-disk candidate count is ~`target`, from
+   * one bounded stats pass over train (count + bbox — 5 values to the
+   * driver). Starting too fine costs widening rounds (each a fixed
+   * multi-job ladder step); too coarse floods every probe's heap with
+   * candidates. Result is res-invariant — [[join]] is exact at ANY
+   * starting level — so this is purely a round-count/cost lever.
+   *
+   * Model: train uniform over its bbox -> expected disk candidates at
+   * res r = 9 * density * cellW(r) * cellH(r)
+   *       = 9 * (n / bboxArea) * 360 * 180 / 4^r.
+   *
+   * `target` trades the two costs: measured on the world-spread q21
+   * fixture (715 train / 5000 probes, 32 cores), target=4096 resolved
+   * to res 0 — ONE join key, every candidate pair through a single
+   * task, 13 s — while target=256 resolves to res 2 (16 keys, one
+   * round, margin still safe): 4.3 s vs 15.5 s at the old fixed res 4
+   * (which paid widening retries). Too-small targets over-resolve and
+   * pay ladder rounds; too-large ones serialize the candidate join.
+   */
+  def autoRes(train: DataFrame, tLon: String, tLat: String,
+              target: Long = 256L): Int = {
+    val r = train.agg(count(lit(1)),
+      min(col(tLon).cast("double")), max(col(tLon).cast("double")),
+      min(col(tLat).cast("double")), max(col(tLat).cast("double"))).head()
+    val n = r.getLong(0)
+    if (n == 0) return 0
+    val w = math.max(r.getDouble(2) - r.getDouble(1), 1e-9)
+    val h = math.max(r.getDouble(4) - r.getDouble(3), 1e-9)
+    val ratio = 9.0 * (n / (w * h)) * 360.0 * 180.0 / math.max(target, 1L).toDouble
+    val res = math.round(math.log(math.max(ratio, 1.0)) / math.log(4.0)).toInt
+    math.min(math.max(res, 0), CellIndex.MaxRes)
+  }
+
+  /**
    * Returns one row per (probe, neighbor): probe columns + `__rank`,
    * `__dist`, and all train columns. Exact top-k per probe.
    */

@@ -15,7 +15,9 @@ import graft.sources.{OracleLit, Pages, RasterStack}
 object GeoQueries {
 
   val G: GridMeta = GridMeta.TestGrid
-  /** kNN cell resolution: res 4 -> 22.5 x 11.25 deg cells. */
+  /** kNN fallback cell resolution (kept for specs pinning a fixed
+    * level); the qNN queries use KNN.autoRes — the RESULT is identical
+    * at any starting level, only round count/cost changes. */
   val KnnRes = 4
   val K = 5
 
@@ -52,8 +54,9 @@ object GeoQueries {
     // Exact kNN join via two-stage cell-disk expansion (SURVEY.md §2.3):
     // ranks + distances are integer/IEEE-exact against the cross-join oracle.
     "q21_knn_join" -> ((s, dir) => {
+      val t = train(s, dir)
       KNN.join(probes(s, dir), "pid", "plon", "plat",
-          train(s, dir), "tlon", "tlat", "tid", K, KnnRes)
+          t, "tlon", "tlat", "tid", K, KNN.autoRes(t, "tlon", "tlat"))
         .select(col("pid"), col("__rank").cast("long").as("rnk"),
           col("tid").as("nbr_id"), col("__dist").as("dist"))
     }),
@@ -61,8 +64,9 @@ object GeoQueries {
     // kNN feature: uniform mean of an integer-valued target over the k
     // neighbors (KNNTransformer, transformers.py:182-233).
     "q22_knn_mean" -> ((s, dir) => {
+      val t = train(s, dir)
       val knn = KNN.join(probes(s, dir), "pid", "plon", "plat",
-        train(s, dir), "tlon", "tlat", "tid", K, KnnRes)
+        t, "tlon", "tlat", "tid", K, KNN.autoRes(t, "tlon", "tlat"))
       KNN.meanFeature(knn, "pid", "y", weighting = "uniform")
     }),
 
@@ -70,8 +74,9 @@ object GeoQueries {
     // callable): a user Column->Column kernel — integral floor weights
     // keep the oracle's sums combine-order-free, hence exact.
     "q71_knn_callable" -> ((s, dir) => {
+      val t = train(s, dir)
       val knn = KNN.join(probes(s, dir), "pid", "plon", "plat",
-        train(s, dir), "tlon", "tlat", "tid", K, KnnRes)
+        t, "tlon", "tlat", "tid", K, KNN.autoRes(t, "tlon", "tlat"))
       KNN.meanFeatureWith(knn, "pid", "y",
         d => floor(lit(100.0) / (lit(1.0) + d)))
     }),
