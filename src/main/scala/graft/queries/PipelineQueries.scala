@@ -241,6 +241,23 @@ object PipelineQueries {
     "q99_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramScore(docs(s, dir), "doc_id", "text")),
 
+    // Batch hot-band audit (the q76 streaming audit's batch twin, over
+    // the jaccardPairs path): 150 DISTINCT texts sharing a long common
+    // prefix survive the exact-dup collapse (unlike q76's byte-clones)
+    // and flood their MinHash band buckets past the cap — the rows this
+    // query emits are exactly what jaccardPairs(maxBucket=50) would
+    // silently exclude. Run beside any capped dedup pass at scale; a
+    // biting cap must never be silent.
+    "q117_hot_bands" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val planted = s.range(150).select((col("id") + 300000L).as("doc_id"))
+        .crossJoin(d.where(col("doc_id") === 0).select(col("text").as("t0")))
+        .select(col("doc_id"),
+          concat(col("t0"), lit(" tail "), col("doc_id") - 300000L).as("text"))
+      Dedup.hotBands(d.unionByName(planted), "doc_id", "text",
+        w = 3, maxBucket = 50)
+    }),
+
     // REAL image decode path (round 6, retires the stub as the only
     // decoder): per-doc payloads are honest 24-bit BMP container bytes
     // (synthBmp), decoded by a real header parse, nearest-resized on
@@ -518,6 +535,23 @@ object PipelineQueries {
         yield s"substr($html, ${(y * 4) * 16 + x * 4 + 1}, 1)").mkString(" || ")
       s"""SELECT doc_id, md5($terms) AS rs_md5
          |FROM documents WHERE octet_length(encode($html)) >= 256""".stripMargin
+    },
+
+    "q117_hot_bands" -> {
+      val sig = Dedup.minhashSignatureSql("string_split(text, ' ')", 3)
+      val corpus =
+        """(SELECT doc_id, text FROM documents
+          | UNION ALL SELECT 300000 + t.i,
+          |   (SELECT text FROM documents WHERE doc_id = 0) || ' tail ' || t.i
+          | FROM range(0, 150) t(i))""".stripMargin
+      val key = (1 to 4).map(r => s"CAST(sig[bi*4+$r] AS VARCHAR)").mkString(" || ',' || ")
+      s"""WITH reps AS (SELECT doc_id, text FROM ${Dedup.representativesSql(corpus)}),
+         |sigs AS (SELECT doc_id, $sig AS sig FROM reps
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |bands AS (SELECT doc_id, CAST(b.bi AS INT) AS band, $key AS band_key
+         |  FROM sigs, range(0, 4) b(bi))
+         |SELECT band, band_key, COUNT(*) AS n_docs
+         |FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 50""".stripMargin
     },
 
     "q115_image_decode" -> {
