@@ -26,13 +26,16 @@ class ContractSpec extends AnyFunSuite {
     // already breach the 2x bar; and Bench's ordered-drop ladder (skew
     // block first, ~110 chars) still absorbs one such regression
     // without losing the query map.
-    val qsLen = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_').length + 9).sum
-    // fixed fields (metric/value/unit/sf/pipeline/skew) measured 332
-    // chars on the 105-query run-G line (1,598 total = 1,266 map +
-    // 332); +100 margin on top. Beyond this, Bench's ordered-drop
-    // ladder (skew block first, ~120 chars) still absorbs ~10 more
-    // queries before the map itself would be dropped.
-    assert(qsLen + 332 + 100 <= 1800,
+    // per query: "qNN":12.3, = len(short)+2 quotes+1 colon+4 digits+1
+    // comma — the compact map is ADAPTIVE precision (0.1 s above 1 s),
+    // so 4 digits covers every query under 100 s
+    val qsLen = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_').length + 8).sum
+    // fixed fields measured 332 chars on the 105-query run-G line;
+    // round 6: companion estimator key renames (-28), slim skew block
+    // (-35), sf1 block (+55) -> ~324. +80 margin on top. Beyond this,
+    // Bench's ordered-drop ladder (skew ~80, then sf1 ~55) still
+    // absorbs ~15 more queries before the map would be dropped.
+    assert(qsLen + 324 + 80 <= 1800,
       s"query-map JSON ~$qsLen chars + fixed fields would overflow the driver tail window")
   }
 }
