@@ -140,10 +140,23 @@ object Clump {
    * sizes accumulate (n_target += n_small) and edges contract
    * (relabel + drop self-loops + distinct) exactly like the
    * components loop.
+   *
+   * SMALL-GRAPH FINISH (same two-phase discipline as
+   * [[Dedup.components]]): when the region graph fits one task
+   * (`localRegions` bound on BOTH region and edge counts, default 2M ≈
+   * tens of MB of longs), ALL bounded rounds run in ONE single-task
+   * kernel over the packed (regions ∪ edges) relation — the per-round
+   * rule is replayed exactly (round-start sizes, largest-valid-target,
+   * smallest-id tie, size accumulation, edge contraction), so labels
+   * are identical to the distributed loop's (spec-pinned both paths).
+   * At 100 TB a continental raster's region graph can exceed the
+   * bound — the distributed loop remains the primary path; pass
+   * `localRegions = 0` to force it.
    */
   def sieveFixpoint(labeled0: DataFrame, catCol: String, minPix: Int,
                     rounds: Int = 3,
-                    checkpointDir: Option[String] = None): DataFrame = {
+                    checkpointDir: Option[String] = None,
+                    localRegions: Long = 2000000L): DataFrame = {
     val labeled = graft.plans.Caches.track(labeled0)
     // loop-state lineage MUST truncate per round: each round's plan
     // embeds the previous round's tree several times (pick joins reg
@@ -179,6 +192,18 @@ object Clump {
       if (sys.env.contains("GRAFT_COMP_DEBUG"))
         println(f"SIEVE   $l ${(System.nanoTime() - t0) / 1e9}%.2f s")
       res
+    }
+    // two-phase: reg/edges are freshly checkpointed, so the bound
+    // probe is two cheap counts; inside the bound ALL rounds run in
+    // one single-task kernel instead of rounds × ~5 checkpoint jobs
+    val localOk = localRegions > 0 && reg.count() <= localRegions &&
+      edges.count() <= localRegions
+    if (localOk) {
+      // lazy + persisted: the kernel runs once, inside the caller's
+      // final relabel join, instead of as its own checkpoint job
+      relabel = graft.plans.Caches.track(
+        localSieveFixpoint(reg, edges, minPix, rounds))
+      done = true
     }
     while (r < rounds && !done) {
       val tRound = System.nanoTime()
@@ -236,8 +261,82 @@ object Clump {
       .drop("__lbl", "__ocat")
   }
 
+  /**
+   * Single-task replay of the [[sieveFixpoint]] round rule over a
+   * bounded region graph: regions (id, size, validity) and directed
+   * edges pack into one tagged relation, `coalesce(1)`, and every
+   * bounded round runs in memory — pick targets from ROUND-START
+   * sizes (largest valid ≥-threshold neighbor, tie = smallest id),
+   * accumulate sizes, contract edges, repeat until no merge fires.
+   * Returns (orig, lbl) for every input region — bit-identical to the
+   * distributed loop's relabel relation by construction.
+   */
+  private def localSieveFixpoint(reg: DataFrame, edges: DataFrame,
+                                 minPix: Int, rounds: Int): DataFrame = {
+    val spark = reg.sparkSession
+    import spark.implicits._
+    val packed = reg
+      .select(lit(0).as("tag"), col("id").cast("long").as("u"),
+        col("n").cast("long").as("v"), col("rcat").isNotNull.as("ok"))
+      .unionByName(edges
+        .select(lit(1).as("tag"), col("s").cast("long").as("u"),
+          col("t").cast("long").as("v"), lit(true).as("ok")))
+      .as[(Int, Long, Long, Boolean)]
+    packed.coalesce(1).mapPartitions { it =>
+      val size = scala.collection.mutable.LongMap.empty[Long]
+      val valid = scala.collection.mutable.LongMap.empty[Boolean]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val lbl = scala.collection.mutable.LongMap.empty[Long]
+      it.foreach {
+        case (0, id, sz, ok) =>
+          size.update(id, sz); valid.update(id, ok); lbl.update(id, id)
+        case (_, s, t, _) => cur += ((s, t))
+      }
+      var r = 0
+      var done = false
+      while (r < rounds && !done) {
+        // pick from ROUND-START sizes: a target has n >= minPix so it
+        // is never simultaneously a source; a source's size is never
+        // read as a target's — accumulation order is immaterial
+        val pick = scala.collection.mutable.LongMap.empty[(Long, Long)]
+        cur.foreach { case (s, t) =>
+          if (valid.getOrElse(s, false) && size(s) < minPix &&
+              valid.getOrElse(t, false) && size(t) >= minPix) {
+            val tn = size(t)
+            pick.get(s) match {
+              case Some((bn, bt)) =>
+                if (tn > bn || (tn == bn && t < bt)) pick.update(s, (tn, t))
+              case None => pick.update(s, (tn, t))
+            }
+          }
+        }
+        if (pick.isEmpty) done = true
+        else {
+          lbl.foreachKey { k =>
+            pick.get(lbl(k)).foreach { case (_, t) => lbl.update(k, t) }
+          }
+          pick.foreach { case (s, (_, t)) => size.update(t, size(t) + size(s)) }
+          pick.foreachKey { s => size.remove(s); valid.remove(s) }
+          val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+          val ne = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          cur.foreach { case (s, t) =>
+            val s2 = pick.get(s).map(_._2).getOrElse(s)
+            val t2 = pick.get(t).map(_._2).getOrElse(t)
+            if (s2 != t2 && seen.add((s2, t2))) ne += ((s2, t2))
+          }
+          cur = ne
+          r += 1
+        }
+      }
+      val out = Array.newBuilder[(Long, Long)]
+      lbl.foreachKey(k => out += ((k, lbl(k))))
+      out.result().iterator
+    }.toDF("orig", "lbl")
+  }
+
   def clump(px: DataFrame, catCol: String, g: GridMeta,
-            checkpointDir: Option[String] = None): DataFrame = {
+            checkpointDir: Option[String] = None,
+            localFinishEdges: Long = 2000000L): DataFrame = {
     // RUN-LENGTH PRE-CONTRACTION (round-6): maximal horizontal
     // same-category runs collapse to their FIRST pixel id in one
     // running-max window pass — the same by-row shuffle the horizontal
@@ -266,7 +365,7 @@ object Clump {
         col("__prow") === col("row") - 1L &&
         col("__prun") =!= col("__run"))
       .select(col("__prun").as("id_a"), col("__run").as("id_b"))
-    val comp = Dedup.components(e, "id_a", "id_b", checkpointDir)
+    val comp = Dedup.components(e, "id_a", "id_b", checkpointDir, localFinishEdges)
       .withColumnRenamed("id", "__run")
     // runs with no inter-run edge keep their own id — which IS the
     // min pixel id of their (purely horizontal) region

@@ -258,9 +258,23 @@ object Dedup {
    * cluster so round snapshots survive executor loss; the default
    * `localCheckpoint` keeps blocks on executors (fine single-node, lost
    * with an executor on a cluster).
+   *
+   * SMALL-GRAPH FINISH (the second phase of the two-phase MapReduce-CC
+   * design): once the contracted edge set fits one task's memory
+   * budget (`localFinishEdges`, default 2M edges ≈ 32 MB of longs —
+   * including round 0, when the INPUT is already small), the remaining
+   * O(log d) rounds collapse into ONE single-task union-find job
+   * (path-halving find, link-larger-root-under-smaller so the root is
+   * always the component minimum — the identical label contract).
+   * Contraction shrinks the edge set geometrically, so at 100 TB the
+   * distributed rounds run only until the graph crosses the bound and
+   * the tail of tiny all-shuffle rounds — which scheduling overhead,
+   * not data, dominates — never runs. Pass `localFinishEdges = 0` to
+   * force the pure distributed loop (specs pin both paths identical).
    */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-                 checkpointDir: Option[String] = None): DataFrame = {
+                 checkpointDir: Option[String] = None,
+                 localFinishEdges: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     // reliable-FS mode: RDD checkpoints go through the Hadoop FileSystem
     // resolved from the dir (same contract as plans.Checkpoint markers)
@@ -275,20 +289,49 @@ object Dedup {
     // the pair relation is referenced twice (vertex set + edge set) and
     // is typically an expensive near-dup join — materialize it once
     val p = truncate(pairs.select(col(aCol).as("__a"), col(bCol).as("__b")))
+    val debug = sys.env.contains("GRAFT_COMP_DEBUG")
+    // the local finish needs ids a single task can hold as primitives;
+    // every production caller keys on LONG ids (doc ids, run ids) —
+    // exotic key types just keep the pure distributed loop
+    val longKeys = p.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    // one count on the fresh checkpoint doubles as the emptiness probe
+    // AND the round-0 size bound (pair count >= distinct edge count, so
+    // the bound check is conservative)
+    val nPairs = p.count()
     // an empty pair set is a normal outcome for a clean corpus
-    if (p.isEmpty)
+    if (nPairs == 0)
       return p.select(col("__a").as("id"), col("__b").as("component")).limit(0)
+    if (longKeys && nPairs <= localFinishEdges) {
+      // ROUND-0 FAST PATH: the union-find map already covers EVERY id
+      // appearing in the pair set (both endpoints are inserted), so the
+      // result IS the map — no vertex distinct, no label join, no ce
+      // distinct+checkpoint (union-find is idempotent under duplicate
+      // edges). One single-task job over the checkpointed pairs.
+      if (debug) println(s"COMP local finish at round=0 pairs=$nPairs")
+      return Caches.track(localComponents(
+        p.select(col("__a").as("ca"), col("__b").as("cb")))
+        .select(col("c").as("id"), col("m").as("component")))
+    }
     var labels =
       p.select(col("__a").as("id")).unionByName(p.select(col("__b").as("id")))
         .distinct().withColumn("component", col("id"))
     // contracted edge set, one undirected copy per edge
     var ce = truncate(p.select(col("__a").as("ca"), col("__b").as("cb")).distinct())
-    val debug = sys.env.contains("GRAFT_COMP_DEBUG")
     var round = 0
     // the per-round mappings stay PERSISTED until the final label
     // materialization (the lazy label chain references every one)
     val ms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    while (!ce.isEmpty) {
+    var nEdges = ce.count()
+    while (nEdges > 0) {
+      if (longKeys && nEdges <= localFinishEdges) {
+        val lm = truncate(localComponents(ce))
+        labels = labels
+          .join(lm.select(col("c").as("component"), col("m")), Seq("component"), "left_outer")
+          .select(col("id"), coalesce(col("m"), col("component")).as("component"))
+        if (debug) println(s"COMP local finish at round=$round edges=$nEdges")
+        nEdges = 0
+      } else {
       val tRound = System.nanoTime()
       // m0(c) = min(c, smallest neighbor) over the contracted graph
       val m0 = ce.select(col("ca").as("c"), col("cb").as("n"))
@@ -321,11 +364,55 @@ object Dedup {
           greatest(col("ca"), col("cb")).as("cb"))
         .distinct())
       round += 1
+      nEdges = ce.count()
       if (debug) println(f"COMP round=$round ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+      }
     }
     val out = truncate(labels)
     ms.foreach(_.unpersist(false))
     out
+  }
+
+  /**
+   * Single-task union-find over a bounded edge set — the finishing
+   * phase of [[components]]. Path-halving `find`; `union` always hangs
+   * the LARGER root under the SMALLER, so every root is its component's
+   * minimum id (the same label the distributed hash-min converges to).
+   * Runs as one `mapPartitions` task over `coalesce(1)` — bounded by
+   * the caller's `localFinishEdges`, never the input size.
+   */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("ca").cast("long"), col("cb").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        // LongMap: primitive-specialized keys, no boxed-Long identity traps
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) {
+            val gp = parent.getOrElse(p, p)
+            parent.update(x, gp) // path halving
+            x = p
+            p = parent.getOrElse(p, p)
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent.update(a, a)
+          if (!parent.contains(b)) parent.update(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.update(rb, ra)
+          else if (rb < ra) parent.update(ra, rb)
+        }
+        val out = Array.newBuilder[(Long, Long)]
+        parent.foreachKey(k => out += ((k, find(k))))
+        out.result().iterator
+      }
+      .toDF("c", "m")
   }
 
   /**

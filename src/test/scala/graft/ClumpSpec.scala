@@ -62,6 +62,20 @@ class ClumpSpec extends AnyFunSuite with SparkSpec {
       assert(got((r, c)) === r.toLong * W + c, s"nodata ($r,$c)")
   }
 
+  test("clump: forced distributed components path matches the local finish") {
+    import spark.implicits._
+    val cells = for { r <- 0 until H; c <- 0 until W } yield (r, c)
+    val px = cells.map { case (r, c) => (r.toLong, c.toLong, catAt(r, c)) }
+      .toDF("row", "col", "cat")
+    val dist = Clump.clump(px, "cat", g, localFinishEdges = 0L)
+      .select("row", "col", "component")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val loc = Clump.clump(px, "cat", g)
+      .select("row", "col", "component")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dist === loc)
+  }
+
   test("sparse grid: a missing pixel breaks the run (no false adjacency)") {
     val cells = (for { r <- 0 until H; c <- 0 until W } yield (r, c))
       .filterNot { case (r, c) => r == 5 && c >= 2 && c <= 7 } // punch a gap
@@ -109,6 +123,35 @@ class ClumpSpec extends AnyFunSuite with SparkSpec {
           assert(gc === catAt(rc._1, rc._2), s"$rc keeps cat")
       }
     }
+  }
+
+  test("sieveFixpoint: multi-round growth chain; local kernel == distributed loop") {
+    import spark.implicits._
+    // one grid row, three regions in a chain: X (2 px) - Y (5 px) -
+    // Z (7 px), all distinct cats. minPix=6: round 1 merges Y into Z
+    // (Z grows to 12); X's only neighbor was too small that round, so
+    // X merges only in round 2 through the contracted X-Z edge — the
+    // exact nested-small-chain case the one-pass sieve diverges on.
+    val strip = GridMeta.northUp(0.0, 0.0, 14.0, 1.0, width = 14, height = 1)
+    val px = (0 until 14).map { c =>
+      (0L, c.toLong, Some(if (c < 2) 10L else if (c < 7) 20L else 30L))
+    }.toDF("row", "col", "cat")
+    val labeled = Clump.clump(px, "cat", strip)
+    def run(localRegions: Long, rounds: Int): Map[Long, (Option[Long], Long)] =
+      Clump.sieveFixpoint(labeled, "cat", minPix = 6, rounds = rounds,
+          localRegions = localRegions)
+        .select("col", "cat_out", "component_out").collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getLong(2))).toMap
+    val local = run(2000000L, rounds = 3)
+    // everything lands in Z (component id 7 = Z's first pixel), cat 30
+    assert(local.values.toSet === Set((Some(30L), 7L)))
+    // the distributed loop computes the identical relabel
+    assert(run(0L, rounds = 3) === local)
+    // rounds=1 bounds the fixpoint: X stays unmerged (component 0)
+    val one = run(2000000L, rounds = 1)
+    assert(one(0L) === ((Some(10L), 0L)) && one(7L) === ((Some(30L), 7L)))
+    assert(run(0L, rounds = 1) === one)
   }
 
   test("edge construction is window lags, not a self-join") {

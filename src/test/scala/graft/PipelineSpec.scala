@@ -501,6 +501,25 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got === Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 20L -> 20L, 30L -> 20L))
   }
 
+  test("dedup components: single-task finish == pure distributed loop") {
+    import spark.implicits._
+    // percolation-ish random graph with chains, forks and isolates —
+    // big enough that the distributed loop runs several contraction
+    // rounds when the local finish is disabled
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 4000).map { _ =>
+      val a = rnd.nextInt(3000).toLong
+      (a, a + 1 + rnd.nextInt(3))
+    }.toDF("id_a", "id_b")
+    val local = Dedup.components(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.components(pairs, "id_a", "id_b", localFinishEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist)
+    // labels are component minima: every label maps to itself
+    assert(local.filter { case (id, c) => id == c }.keySet === local.values.toSet)
+  }
+
   test("dedup components: empty pair set returns the empty relation (no NPE)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
