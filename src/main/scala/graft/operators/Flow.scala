@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.GridMeta
+
+/**
+ * D8 flow routing over the [[Focal.d8]] pointer forest: watershed
+ * (outlet) labeling and flow length — for every cell, the pit it
+ * ultimately drains to and how many hops the water takes to get there
+ * (the gdal/ESRI Watershed + FlowLength analogues, composing the same
+ * way the reference composes rasterio derivatives into `predict`
+ * inputs; cf. raster.py:1981 `apply`'s role as the extension point).
+ *
+ * The D8 forest is acyclic by construction — a pointer follows a
+ * STRICTLY positive drop, so elevation strictly decreases along every
+ * path and equal-elevation plateaus become pits rather than cycles.
+ *
+ * Scale design — POINTER DOUBLING, not per-hop propagation: each round
+ * joins the (id → pointer, hops) relation with itself, composing
+ * p ← p∘p and len ← len(x→p) + len(p→p∘p), so after k rounds every
+ * cell knows its 2^k-hop ancestor: O(log depth) rounds for ANY raster,
+ * where per-hop flooding is O(depth) (a continental river system is
+ * thousands of hops deep). Each round is ONE equi-join on the pointer
+ * key plus a checkpoint truncation (same lineage discipline as
+ * [[Dedup.components]]: the self-join would otherwise square the
+ * LogicalRDD size estimate every round). Near convergence the join key
+ * concentrates on popular outlets — a giant watershed is a genuinely
+ * hot key — so the session should keep AQE skew handling on (the
+ * fixture grids converge before concentration matters; at continental
+ * scale pre-salting the settled rows out of the join is the documented
+ * escape hatch: rows whose pointer is already a root are FILTERED out
+ * of the next round's probe side here, which is also what makes late
+ * rounds cheap).
+ *
+ * Output: the input columns plus `outlet` (the root cell's id
+ * row·W+col, = the cell's own id for pits/nodata), `outlet_row`/
+ * `outlet_col`, and `flow_len` (exact LONG hop count to the outlet, 0
+ * at roots). Convergence is exact: the loop stops when no pointer
+ * advanced (every target was already a root).
+ */
+object Flow {
+
+  /** Downstream-step id delta for a D8 code column over grid width `w`
+    * (0 for pits/flats/nodata — the cell is its own root). */
+  def delta(dir: Column, w: Long): Column =
+    Focal.D8Codes.foldLeft(lit(0L)) { case (acc, (code, dr, dc, _)) =>
+      when(dir === code, lit(dr * w + dc)).otherwise(acc)
+    }
+
+  /** SQL twin of [[delta]] over a D8 code expression. */
+  def deltaSql(dir: String, w: Long): String =
+    Focal.D8Codes.foldLeft("CAST(0 AS BIGINT)") { case (acc, (code, dr, dc, _)) =>
+      s"(CASE WHEN $dir = $code THEN CAST(${dr * w + dc} AS BIGINT) ELSE $acc END)"
+    }
+
+  def routing(px: DataFrame, b: String, g: GridMeta,
+              checkpointDir: Option[String] = None,
+              maxRounds: Int = 40): DataFrame = {
+    val spark = px.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftBridge.resetStats(
+        if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint())
+    val w = g.width.toLong
+    val d8 = Focal.d8(px, b)
+    val id = col("row") * w + col("col")
+    val dl = delta(col("d8_dir"), w)
+    var pt = truncate(d8.select(id.as("id"), (id + dl).as("p"),
+      when(dl === 0L, 0L).otherwise(1L).as("len")))
+    val debug = sys.env.contains("GRAFT_COMP_DEBUG")
+    var moved = 1L
+    var round = 0
+    while (moved > 0 && round < maxRounds) {
+      val tRound = System.nanoTime()
+      // compose p <- p(p): the build side is keyed by id (unique), the
+      // probe side by the current pointer; `_moved` marks rows whose
+      // target was NOT yet a root — zero such rows = converged
+      val j = pt.as("a").join(
+          pt.select(col("id").as("pid"), col("p").as("pp"), col("len").as("plen")),
+          col("p") === col("pid"))
+        .select(col("a.id").as("id"), col("pp").as("p"),
+          (col("a.len") + col("plen")).as("len"),
+          (col("pp") =!= col("pid")).as("_moved"))
+      val nt = truncate(j)
+      moved = nt.where(col("_moved")).count()
+      pt = nt.drop("_moved")
+      round += 1
+      if (debug) println(f"FLOW round=$round moved=$moved " +
+        f"${(System.nanoTime() - tRound) / 1e9}%.2f s")
+    }
+    graft.plans.Caches.track(
+      d8.withColumn("__id", id)
+        .join(pt.select(col("id").as("__id"), col("p").as("outlet"),
+          col("len").as("flow_len")), Seq("__id"))
+        // Column./ is double division; ids stay < 2^53 so r + c/w is
+        // exact to truncate (all values non-negative)
+        .withColumn("outlet_row", (col("outlet") / lit(w)).cast("long"))
+        .withColumn("outlet_col", pmod(col("outlet"), lit(w)))
+        .drop("__id"))
+  }
+}

@@ -272,6 +272,97 @@ object Focal {
     slopeAspect[String](gxNum, gyNum, xres, yres)(Utm.SqlAr)
 
   /**
+   * D8 flow-direction codes and their (Δrow, Δcol, distance) in the
+   * grid convention (+row = grid-south): the ESRI power-of-two codes
+   * E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128, ordered ASCENDING
+   * so the strict-> fold's tie-break is deterministic (smallest code
+   * wins an equal-drop tie — both engines evaluate the identical CASE
+   * chain, so the tie-break is shared by construction).
+   */
+  val D8Codes: Seq[(Int, Int, Int, Double)] = Seq(
+    (1, 0, 1, 1.0), (2, 1, 1, math.sqrt(2.0)), (4, 1, 0, 1.0),
+    (8, 1, -1, math.sqrt(2.0)), (16, 0, -1, 1.0),
+    (32, -1, -1, math.sqrt(2.0)), (64, -1, 0, 1.0),
+    (128, -1, 1, math.sqrt(2.0)))
+
+  /** Distance-weighted drop toward one neighbor, over [[Ar]] (one
+    * definition, both engines): (z − zn) / dist. Band values are
+    * integral doubles, so the subtraction is exact and the single ÷ is
+    * the only rounding — identical IEEE ops in Spark and DuckDB, no
+    * quantization needed. A missing neighbor (NULL zn) propagates NULL. */
+  def d8Drop[T](z: T, zn: T, dist: Double)(implicit F: Ar[T]): T =
+    F.div(F.sub(z, zn), F.lit(dist))
+
+  /**
+   * Argmax CASE chain over the 8 named drop expressions, over [[Ar]]:
+   * returns (code, drop) where `code` is the D8 code of the strictly
+   * steepest positive drop (0.0 when no neighbor is lower — pit/flat)
+   * and `drop` is that steepest drop (0.0 likewise). NULL drops
+   * (missing neighbors at borders / beside nodata) compare false and
+   * are skipped, so border cells route among the neighbors that exist.
+   * The inputs MUST be simple column references (the fold nests each
+   * accumulator twice per step — named columns keep the expression
+   * tree linear, not exponential).
+   */
+  def d8Parts[T](drops: Seq[(Int, T)])(implicit F: Ar[T]): (T, T) = {
+    var bestCode: T = F.lit(0.0)
+    var bestDrop: T = F.lit(0.0)
+    drops.foreach { case (code, d) =>
+      val c2 = F.gt(d, bestDrop, F.lit(code.toDouble), bestCode)
+      val d2 = F.gt(d, bestDrop, d, bestDrop)
+      bestCode = c2
+      bestDrop = d2
+    }
+    (bestCode, bestDrop)
+  }
+
+  /**
+   * D8 steepest-descent flow direction for integral band `b` — the
+   * hydrology primitive (gdal/ESRI FlowDirection analogue) feeding
+   * flow-accumulation / watershed pipelines. Adds `d8_dir` (LONG code,
+   * 0 for pits/flats, NULL where the cell itself is nodata) and
+   * `d8_drop` (the winning distance-weighted drop, raw double).
+   *
+   * Scale design — the full 8-neighbor GATHER in exactly two window
+   * shuffles (never an 8-way self-join): pass 1 (by `row` ordered by
+   * `col`) carries each cell's W/E values alongside it; pass 2 (by
+   * `col` ordered by `row`) lags/leads those three columns one row in
+   * each direction — six vertical window expressions sharing ONE
+   * Exchange. Same plumbing cost as [[stats3x3]] on a raster of any
+   * width; partition keys are dense grid lines (uniform, no skew).
+   */
+  def d8(px: DataFrame, b: String): DataFrame = {
+    val p1 = px
+      .withColumn("_w", lag(col(b), 1).over(hOrd))
+      .withColumn("_e", lead(col(b), 1).over(hOrd))
+    val p2 = p1
+      .withColumn("_n", lag(col(b), 1).over(vOrd))
+      .withColumn("_s", lead(col(b), 1).over(vOrd))
+      .withColumn("_nw", lag(col("_w"), 1).over(vOrd))
+      .withColumn("_ne", lag(col("_e"), 1).over(vOrd))
+      .withColumn("_sw", lead(col("_w"), 1).over(vOrd))
+      .withColumn("_se", lead(col("_e"), 1).over(vOrd))
+    val nbr = Map(
+      1 -> "_e", 2 -> "_se", 4 -> "_s", 8 -> "_sw",
+      16 -> "_w", 32 -> "_nw", 64 -> "_n", 128 -> "_ne")
+    val p3 = D8Codes.foldLeft(p2) { case (d, (code, _, _, dist)) =>
+      d.withColumn(s"_d$code",
+        d8Drop[Column](col(b), col(nbr(code)), dist)(Utm.ColAr))
+    }
+    val (dirD, dropD) = d8Parts[Column](
+      D8Codes.map { case (code, _, _, _) => code -> col(s"_d$code") })(Utm.ColAr)
+    p3.withColumn("d8_dir", when(col(b).isNotNull, dirD.cast("long")))
+      .withColumn("d8_drop", when(col(b).isNotNull, dropD))
+      .drop(nbr.values.toSeq ++ D8Codes.map(c => s"_d${c._1}"): _*)
+  }
+
+  /** SQL twins of the D8 pieces over drop-column names. */
+  def d8DropSql(z: String, zn: String, dist: Double): String =
+    d8Drop[String](z, zn, dist)(Utm.SqlAr)
+  def d8PartsSql(drops: Seq[(Int, String)]): (String, String) =
+    d8Parts[String](drops)(Utm.SqlAr)
+
+  /**
    * Analytic hillshade from slope+aspect (Lambertian):
    * `cos(zen)·cos(slope) + sin(zen)·sin(slope)·cos(azRad − aspect)`,
    * scaled ×255. `azDeg` is measured in the same grid convention as

@@ -404,4 +404,119 @@ object TextAnalysis {
     conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long")
   def wordHashSql(w: String): String =
     s"CAST(concat('0x', substr(md5($w), 1, 15)) AS BIGINT)"
+
+  /**
+   * URL canonicalization — the normalization pass that keys web-corpus
+   * exact dedup and per-host accounting (a Common-Crawl index stores
+   * SURT-normalized urls for the same reason). Deterministic, documented
+   * rules, all pure codegen'd string expressions (one projection, no
+   * UDF, no shuffle):
+   *   1. strip the fragment (`#...`);
+   *   2. lowercase the scheme and the host (never the path/query);
+   *   3. drop a leading `www.` host label;
+   *   4. drop the default port (`:80` for http, `:443` for https);
+   *   5. empty path → `/`; otherwise strip trailing slashes
+   *      (`/a/b/` → `/a/b`);
+   *   6. drop tracking params (`utm_*`, `fbclid`, `gclid`), sort the
+   *      survivors bytewise, rejoin; an emptied query drops its `?`.
+   * Inputs that aren't `scheme://host...` urls yield NULL (both
+   * engines: the scheme regex fails → empty extract → gated).
+   */
+  def canonicalUrl(url: Column): Column = {
+    val defrag = regexp_replace(url, "#.*", "")
+    val query = regexp_extract(defrag, "\\?(.*)$", 1)
+    val preq = regexp_replace(defrag, "\\?.*$", "")
+    val scheme = lower(regexp_extract(preq, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(preq, "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val host = regexp_replace(regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", "")
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_replace(preq, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]+", "")
+    val path1 = regexp_replace(path0, "/+$", "")
+    val path = when(path1 === "", lit("/")).otherwise(path1)
+    val params = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && substring(p, 1, 4) =!= "utm_" &&
+        substring(p, 1, 7) =!= "fbclid=" && substring(p, 1, 6) =!= "gclid="))
+    val qPart = when(size(params) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(params, "&")))
+    when(scheme =!= "" && host =!= "",
+      concat(scheme, lit("://"), host, portPart, path, qPart))
+  }
+
+  /** SQL twin of [[canonicalUrl]] — the identical rule chain in DuckDB
+    * (RE2 regexes; `substr` prefix tests instead of LIKE, whose `_`
+    * wildcard would also match `utmX`). */
+  def canonicalUrlSql(u: String): String = {
+    val defrag = s"regexp_replace($u, '#.*', '')"
+    val query = s"regexp_extract($defrag, '\\?(.*)$$', 1)"
+    val preq = s"regexp_replace($defrag, '\\?.*$$', '')"
+    val scheme = s"lower(regexp_extract($preq, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val hostport = s"lower(regexp_extract($preq, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1))"
+    val port = s"regexp_extract($hostport, ':([0-9]+)$$', 1)"
+    val host = s"regexp_replace(regexp_replace($hostport, ':[0-9]+$$', ''), '^www\\.', '')"
+    val portPart = s"(CASE WHEN $port = '' OR ($scheme = 'http' AND $port = '80') " +
+      s"OR ($scheme = 'https' AND $port = '443') THEN '' ELSE ':' || $port END)"
+    val path0 = s"regexp_replace($preq, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]+', '')"
+    val path1 = s"regexp_replace($path0, '/+$$', '')"
+    val path = s"(CASE WHEN $path1 = '' THEN '/' ELSE $path1 END)"
+    val params = s"list_sort(list_filter(string_split($query, '&'), p -> " +
+      s"p <> '' AND substr(p, 1, 4) <> 'utm_' AND substr(p, 1, 7) <> 'fbclid=' " +
+      s"AND substr(p, 1, 6) <> 'gclid='))"
+    val qPart = s"(CASE WHEN len($params) = 0 THEN '' " +
+      s"ELSE '?' || array_to_string($params, '&') END)"
+    s"(CASE WHEN $scheme <> '' AND $host <> '' " +
+      s"THEN $scheme || '://' || $host || $portPart || $path || $qPart END)"
+  }
+
+  /**
+   * CCNet-style line-level boilerplate removal: a line that occurs in
+   * MORE than `maxDocs` distinct documents is corpus boilerplate
+   * (cookie banners, nav menus, footers) and is dropped from every
+   * document; surviving lines reassemble IN ORDER, byte-identically
+   * (`\n`-joined — the per-url byte-identity invariant holds for every
+   * untouched line). Documents whose every line is boilerplate drop out
+   * entirely (the all-boilerplate page IS the thing being curated away).
+   *
+   * Scale shape at 100 TB: the line relation is materialized ONCE
+   * (explode + persist); the document-frequency side aggregates
+   * (line, doc) → line in TWO levels — never a `countDistinct` Expand
+   * over the corpus — and the banned set (lines above the threshold) is
+   * by construction tiny and EXPLICITLY broadcast into a left-anti
+   * join, so the corpus-sized kept side never shuffles for the ban.
+   * Reassembly is one (doc) hash-agg: `array_sort` on (pos, line)
+   * structs restores arrival order without a sort-based window.
+   */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                             maxDocs: Long): DataFrame = {
+    val lines = Caches.track(docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line"))))
+    val banned = lines.groupBy(col("line"), col("doc_id")).agg(count(lit(1)).as("_"))
+      .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > maxDocs).select("line")
+    val kept = lines.join(broadcast(banned), Seq("line"), "left_anti")
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"))
+  }
+
+  /** SQL twin of [[removeBoilerplateLines]] over a `(doc_id, text)`
+    * relation (1-based ordinality via `generate_series`; ordering is
+    * all that matters, so the 0/1 base difference is immaterial). */
+  def removeBoilerplateLinesSql(corpus: String, maxDocs: Long): String =
+    s"""WITH l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $corpus),
+       |lines AS (SELECT doc_id, i AS pos, ls[CAST(i AS INT)] AS line
+       |          FROM (SELECT doc_id, ls,
+       |                  unnest(generate_series(1, len(ls))) AS i FROM l0)),
+       |pd AS (SELECT line, doc_id FROM lines GROUP BY 1, 2),
+       |banned AS (SELECT line FROM pd GROUP BY line HAVING COUNT(*) > $maxDocs),
+       |kept AS (SELECT doc_id, pos, line FROM lines
+       |         WHERE line NOT IN (SELECT line FROM banned))
+       |SELECT doc_id, COUNT(*) AS n_lines_kept,
+       |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+       |FROM kept GROUP BY 1""".stripMargin
 }

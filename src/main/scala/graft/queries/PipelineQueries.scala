@@ -79,11 +79,64 @@ object PipelineQueries {
       |         ELSE embedding[i] END for i in range(1, 65)]
       | FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin
 
+  /** Deterministically messy urls for the canonicalization fixture:
+    * mixed-case scheme/host, www, default AND explicit ports, trailing
+    * slashes, unsorted + tracking query params, fragments. */
+  private def messyUrl: org.apache.spark.sql.Column = concat(
+    lit("HtTpS://WWW.Host-"), (col("doc_id") % 97).cast("string"),
+    lit(".Example.COM"),
+    when(col("doc_id") % 5 === 0, lit(":443"))
+      .when(col("doc_id") % 5 === 1, lit(":8080")).otherwise(lit("")),
+    lit("/Path/"), col("doc_id").cast("string"),
+    when(col("doc_id") % 4 === 0, lit("/"))
+      .when(col("doc_id") % 4 === 1, lit(""))
+      .when(col("doc_id") % 4 === 2, lit("?b=2&a=1&utm_source=x"))
+      .otherwise(lit("?a=1&b=2&gclid=zz&b=10")),
+    when(col("doc_id") % 3 === 0, lit("#Frag")).otherwise(lit("")))
+  private val messyUrlSql =
+    "'HtTpS://WWW.Host-' || CAST(doc_id % 97 AS VARCHAR) || '.Example.COM' || " +
+      "(CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END) || " +
+      "'/Path/' || CAST(doc_id AS VARCHAR) || " +
+      "(CASE doc_id % 4 WHEN 0 THEN '/' WHEN 1 THEN '' " +
+      " WHEN 2 THEN '?b=2&a=1&utm_source=x' ELSE '?a=1&b=2&gclid=zz&b=10' END) || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN '#Frag' ELSE '' END)"
+
+  /** Multi-line page text with planted corpus boilerplate lines (a
+    * subscribe banner, per-id-class footers, a rights line) around the
+    * unique body line. */
+  private def pageText: org.apache.spark.sql.Column = concat(
+    when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter\n"))
+      .otherwise(lit("")),
+    col("text"), lit("\n"),
+    lit("copyright footer "), (col("doc_id") % 7).cast("string"),
+    when(col("doc_id") % 2 === 0, lit("\nall rights reserved"))
+      .otherwise(lit("")))
+  private val pageTextSql =
+    "(CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter' || chr(10) " +
+      "ELSE '' END) || text || chr(10) || 'copyright footer ' || " +
+      "CAST(doc_id % 7 AS VARCHAR) || (CASE WHEN doc_id % 2 = 0 " +
+      "THEN chr(10) || 'all rights reserved' ELSE '' END)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash group-by, keep smallest id.
     "q30_dedup_exact" -> ((s, dir) =>
       Dedup.exact(corpusExact(s, dir), "doc_id", "text")),
+
+    // URL canonicalization: the web-corpus dedup key — pure codegen'd
+    // string projection (fragment/port/www/tracking-param/slash rules,
+    // sorted query), over deterministically messy fixture urls.
+    "q119_url_canon" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), messyUrl.as("url"))
+        .withColumn("canon_url", TextAnalysis.canonicalUrl(col("url")))),
+
+    // CCNet-style line-level boilerplate removal: lines in > 50 docs
+    // are banned corpus-wide (two-level distinct, broadcast anti join);
+    // survivors reassemble in order, byte-identically.
+    "q120_line_boilerplate" -> ((s, dir) =>
+      TextAnalysis.removeBoilerplateLines(
+        docs(s, dir).select(col("doc_id"), pageText.as("text")),
+        "doc_id", "text", maxDocs = 50L)),
 
     // Text analysis: token counts (whitespace + BPE-ish regex),
     // language-ID heuristic, quality score.
@@ -362,6 +415,14 @@ object PipelineQueries {
 
     "q32_fingerprint" ->
       s"SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp FROM documents",
+
+    "q119_url_canon" ->
+      s"""SELECT doc_id, $messyUrlSql AS url,
+         |  ${TextAnalysis.canonicalUrlSql(s"($messyUrlSql)")} AS canon_url
+         |FROM documents""".stripMargin,
+
+    "q120_line_boilerplate" -> TextAnalysis.removeBoilerplateLinesSql(
+      s"(SELECT doc_id, $pageTextSql AS text FROM documents)", 50L),
 
     "q33_jaccard_pairs" -> jaccardOracle(corpusNearSql),
 

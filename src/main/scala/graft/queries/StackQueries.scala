@@ -435,6 +435,28 @@ object StackQueries {
         .select("row", "col", "cat_out", "component_out")
     }),
 
+    // D8 flow direction (hydrology FlowDirection analogue): steepest
+    // positive distance-weighted drop among the 8 neighbors, ESRI
+    // power-of-two codes, smallest-code tie-break, 0 at pits/flats,
+    // NULL at nodata centers. The 8-neighbor gather is TWO window
+    // shuffles (W/E carried along the row pass, then six vertical
+    // lags/leads share one Exchange); drop = exact integral subtract +
+    // one shared-Ar division, so d8_drop ships raw.
+    "q118_d8_flowdir" -> ((s, _) =>
+      graft.operators.Focal.d8(
+        stack(s).df.select("row", "col", "b1"), "b1")
+        .select("row", "col", "d8_dir", "d8_drop")),
+
+    // Watershed labeling + flow length over the D8 pointer forest:
+    // pointer doubling (O(log depth) self-join rounds with checkpoint
+    // truncation), exact LONG hop counts; the oracle walks the same
+    // forest one hop at a time with a recursive CTE.
+    "q121_watershed" -> ((s, _) =>
+      graft.operators.Flow.routing(
+        stack(s).df.select("row", "col", "b1"), "b1", G)
+        .select("row", "col", "outlet", "outlet_row", "outlet_col",
+          "flow_len")),
+
     // Analytic hillshade from Horn slope/aspect; per-row SIN carries
     // DuckDB's 1-ulp variance, so the output ships floor(x1e3).
     "q92_hillshade" -> ((s, _) => {
@@ -581,6 +603,40 @@ object StackQueries {
   private val gxGated = "CAST(CASE WHEN c9 = 9 THEN gx END AS DOUBLE)"
   private val gyGated = "CAST(CASE WHEN c9 = 9 THEN gy END AS DOUBLE)"
 
+  /** D8 CTE chain (no `WITH ` prefix — q121 needs `WITH RECURSIVE`):
+    * the same two-pass 8-neighbor gather as the engine (W/E carried
+    * along the row pass, six vertical lags/leads), per-code
+    * distance-weighted drops as NAMED columns (the argmax fold nests
+    * its accumulators twice per step — names keep the text linear),
+    * ending in `dd(row, col, b1, d8_dir, d8_drop)`. */
+  private def d8OracleCtes: String = {
+    import graft.operators.Focal
+    val b1 = bandSql("row", "col", NcBands.head)
+    val nbr = Map(1 -> "e8", 2 -> "se8", 4 -> "s8", 8 -> "sw8",
+      16 -> "w8", 32 -> "nw8", 64 -> "n8", 128 -> "ne8")
+    val dropCols = Focal.D8Codes.map { case (code, _, _, dist) =>
+      s"${Focal.d8DropSql("b1", nbr(code), dist)} AS d$code"
+    }.mkString(",\n|        ")
+    val (dirSql, dropSql) = Focal.d8PartsSql(
+      Focal.D8Codes.map { case (code, _, _, _) => code -> s"d$code" })
+    s"""px AS (SELECT row, col, $b1 AS b1 FROM ${gridSql(G)}),
+       |h AS (SELECT row, col, b1,
+       |        LAG(b1, 1) OVER ho AS w8, LEAD(b1, 1) OVER ho AS e8
+       |      FROM px WINDOW ho AS (PARTITION BY row ORDER BY col)),
+       |v AS (SELECT row, col, b1, w8, e8,
+       |        LAG(b1, 1) OVER vo AS n8, LEAD(b1, 1) OVER vo AS s8,
+       |        LAG(w8, 1) OVER vo AS nw8, LAG(e8, 1) OVER vo AS ne8,
+       |        LEAD(w8, 1) OVER vo AS sw8, LEAD(e8, 1) OVER vo AS se8
+       |      FROM h WINDOW vo AS (PARTITION BY col ORDER BY row)),
+       |d AS (SELECT row, col, b1,
+       |        $dropCols
+       |      FROM v),
+       |dd AS (SELECT row, col, b1,
+       |         CASE WHEN b1 IS NOT NULL THEN CAST($dirSql AS BIGINT) END AS d8_dir,
+       |         CASE WHEN b1 IS NOT NULL THEN $dropSql END AS d8_drop
+       |       FROM d)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
 
     "q94_focal_gauss5" -> {
@@ -620,6 +676,37 @@ object StackQueries {
          |  CAST(FLOOR(($slope) * 1000000000.0) AS BIGINT) AS slope_q,
          |  CASE WHEN c9 = 9 THEN $aspect END AS aspect
          |FROM g""".stripMargin
+    },
+
+    "q118_d8_flowdir" ->
+      s"""WITH $d8OracleCtes
+         |SELECT row, col, d8_dir, d8_drop FROM dd""".stripMargin,
+
+    "q121_watershed" -> {
+      // per-cell downstream pointer (self for pits/nodata), then a
+      // recursive walk to the forest root — the oracle replays the
+      // engine's pointer-doubling fixpoint one hop at a time (acyclic
+      // by the strict-drop construction, so the recursion terminates)
+      val w = G.width.toLong
+      val pSql = s"(CAST(row * $w + col AS BIGINT) + " +
+        s"${graft.operators.Flow.deltaSql("d8_dir", w)})"
+      s"""WITH RECURSIVE $d8OracleCtes,
+         |pt AS MATERIALIZED (SELECT row, col, CAST(row * $w + col AS BIGINT) AS id,
+         |         $pSql AS p FROM dd),
+         |walk(id, cur, len) AS (
+         |  SELECT id, p, CASE WHEN p = id THEN 0 ELSE 1 END FROM pt
+         |  UNION ALL
+         |  SELECT wk.id, p2.p, wk.len + 1
+         |  FROM walk wk JOIN pt p2 ON p2.id = wk.cur AND p2.p <> p2.id)
+         |SELECT pt.row, pt.col, f.outlet,
+         |  CAST(f.outlet // $w AS BIGINT) AS outlet_row,
+         |  CAST(f.outlet % $w AS BIGINT) AS outlet_col,
+         |  CAST(f.len AS BIGINT) AS flow_len
+         |FROM pt JOIN (
+         |  SELECT id, cur AS outlet, len FROM (
+         |    SELECT id, cur, len,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY len DESC) AS rn
+         |    FROM walk) WHERE rn = 1) f ON f.id = pt.id""".stripMargin
     },
 
     "q96_clump" -> clumpOracleSql(

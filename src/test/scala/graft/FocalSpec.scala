@@ -142,10 +142,82 @@ class FocalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("d8 equals the scalar shared-Ar argmax at every pixel (ties, pits, borders, nodata)") {
+    val got = Focal.d8(px, "b1").select("row", "col", "d8_dir", "d8_drop")
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2))),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got.size === H * W)
+    import graft.operators.Utm.DblAr
+    for (r <- 0 until H; c <- 0 until W) {
+      val (dir, drop) = got((r, c))
+      valueAt(r, c) match {
+        case None => assert(dir.isEmpty && drop.isEmpty, s"($r,$c) nodata")
+        case Some(z) =>
+          // the identical fold over Double — missing neighbors skipped
+          // exactly like the engine's NULL-compares-false semantics
+          var bd = 0.0; var bc = 0.0
+          Focal.D8Codes.foreach { case (code, dr, dc, dist) =>
+            val rr = r + dr; val cc = c + dc
+            if (rr >= 0 && rr < H && cc >= 0 && cc < W)
+              valueAt(rr, cc).foreach { zn =>
+                val d = Focal.d8Drop[Double](z.toDouble, zn.toDouble, dist)(DblAr)
+                if (d > bd) { bc = code.toDouble; bd = d }
+              }
+          }
+          assert(dir === Some(bc.toLong), s"($r,$c) dir")
+          assert(drop === Some(bd), s"($r,$c) drop")
+      }
+    }
+    // the fixture must exercise a pit/flat (dir 0) and at least one
+    // diagonal winner, or the assertions above prove less than claimed
+    val dirs = got.values.flatMap(_._1).toSet
+    assert(dirs.contains(0L))
+    assert(dirs.exists(d => Set(2L, 8L, 32L, 128L).contains(d)))
+  }
+
+  test("flow routing equals the scalar per-hop walk (outlet + hop count)") {
+    val g = GridMeta.northUp(0.0, 0.0, W.toDouble, H.toDouble, width = W, height = H)
+    val got = graft.operators.Flow.routing(px, "b1", g)
+      .select("row", "col", "outlet", "outlet_row", "outlet_col", "flow_len")
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size === H * W)
+    // scalar twin: D8 argmax per cell, then follow pointers to the root
+    import graft.operators.Utm.DblAr
+    def step(r: Int, c: Int): (Int, Int) =
+      valueAt(r, c).map { z =>
+        var bd = 0.0; var best = (r, c)
+        Focal.D8Codes.foreach { case (_, dr, dc, dist) =>
+          val rr = r + dr; val cc = c + dc
+          if (rr >= 0 && rr < H && cc >= 0 && cc < W)
+            valueAt(rr, cc).foreach { zn =>
+              val d = Focal.d8Drop[Double](z.toDouble, zn.toDouble, dist)(DblAr)
+              if (d > bd) { bd = d; best = (rr, cc) }
+            }
+        }
+        best
+      }.getOrElse((r, c))
+    var sawMultiHop = false
+    for (r0 <- 0 until H; c0 <- 0 until W) {
+      var cur = (r0, c0); var len = 0L
+      var next = step(cur._1, cur._2)
+      while (next != cur) { cur = next; len += 1; next = step(cur._1, cur._2) }
+      if (len >= 2) sawMultiHop = true
+      assert(got((r0, c0)) ===
+        ((cur._1.toLong * W + cur._2, cur._1.toLong, cur._2.toLong, len)),
+        s"cell ($r0,$c0)")
+    }
+    // the fixture must exercise a real multi-hop path or the doubling
+    // loop (vs a single jump) is untested
+    assert(sawMultiHop)
+  }
+
   test("focal plans are separable windows: WindowExec, no join, no cartesian") {
     for (df <- Seq(Focal.stats3x3(px, "b1"),
                    Focal.horn(px, "b1", GridMeta.TestGrid),
-                   Focal.curvature(px, "b1", GridMeta.TestGrid))) {
+                   Focal.curvature(px, "b1", GridMeta.TestGrid),
+                   Focal.d8(px, "b1"))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("Window"), plan.take(400))
       assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),

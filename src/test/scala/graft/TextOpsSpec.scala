@@ -69,4 +69,57 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     // "the cat" appears once, prefix "the" has 3 continuations -> ln(1/3)<0
     assert(got(0L)._2 < 0L)
   }
+
+  test("canonicalUrl: every documented rule, plus non-url inputs -> NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // scheme+host lowercase, www strip, https default port, fragment
+      "HtTpS://WWW.Example.COM:443/A/B/#frag" -> Some("https://example.com/A/B"),
+      // http default port; path case PRESERVED; trailing slashes
+      "http://Example.com:80/Keep/Case///" -> Some("http://example.com/Keep/Case"),
+      // explicit non-default port kept; empty path -> /
+      "https://example.com:8080" -> Some("https://example.com:8080/"),
+      // tracking params dropped, rest sorted bytewise ('b=10' < 'b=2')
+      "https://example.com/p?b=2&a=1&utm_source=x&gclid=1&b=10" ->
+        Some("https://example.com/p?a=1&b=10&b=2"),
+      // all params tracking -> '?' dropped entirely
+      "https://example.com/p?utm_a=1&fbclid=2" -> Some("https://example.com/p"),
+      // utm_ must be a PREFIX test, not a LIKE (utmx survives)
+      "https://example.com/p?utmx=1" -> Some("https://example.com/p?utmx=1"),
+      // non-urls gate to NULL
+      "not a url" -> None, "" -> None)
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), TextAnalysis.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    for ((u, want) <- cases) assert(got(u) === want, s"url <$u>")
+  }
+
+  test("removeBoilerplateLines: bans >maxDocs lines, reassembles byte-exact in order") {
+    import spark.implicits._
+    // 'common' is in 3 docs (> 2 = banned); 'twice' in 2 (kept);
+    // doc 3 is all-boilerplate and must drop out entirely
+    val docs = Seq(
+      (0L, "alpha\ncommon\nbeta\ntwice"),
+      (1L, "common\ngamma"),
+      (2L, "twice\ndelta\ncommon\ndelta"),
+      (3L, "common")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got === Map(
+      0L -> ((3L, "alpha\nbeta\ntwice")),
+      1L -> ((1L, "gamma")),
+      2L -> ((3L, "twice\ndelta\ndelta"))))
+  }
+
+  test("removeBoilerplateLines: repeated line within ONE doc counts that doc once") {
+    import spark.implicits._
+    // 'x' appears 3 times in doc 0 but only in 2 DISTINCT docs -> kept
+    val docs = Seq(
+      (0L, "x\nx\nx"), (1L, "x\ny"), (2L, "z")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got === Map(0L -> "x\nx\nx", 1L -> "x\ny", 2L -> "z"))
+  }
 }
