@@ -94,8 +94,13 @@ object Clump {
         col("__pcoord") === col(runCoord) - 1L)
       .select(col("component").as("s"), col("__pc").as("t"))
     val edges = adj(hOrd, "col").unionByName(adj(vOrd, "row"))
-    val both = edges.unionByName(
-      edges.select(col("t").as("s"), col("s").as("t")))
+    // single-pass explode symmetrization (the union form would evaluate
+    // the two-window adjacency subtree once per direction)
+    val both = edges
+      .select(explode(array(
+        struct(col("s"), col("t")),
+        struct(col("t").as("s"), col("s").as("t")))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
     // per-region category (uniform by construction: clump edges require
     // equal non-null cats, so nodata pixels are always singletons);
     // NULL-cat regions neither merge nor receive merges (gdal's nodata
@@ -176,28 +181,36 @@ object Clump {
         col("__pcoord") === col(runCoord) - 1L)
       .select(col("component").as("s"), col("__pc").as("t"))
     val e0 = adj(hOrd, "col").unionByName(adj(vOrd, "row"))
-    // region-level state: reg(id, n, cat) + undirected distinct edges
-    var reg = truncate(labeled
-      .groupBy(col("component").as("id"))
-      .agg(count(lit(1)).as("n"), max(col(catCol)).as("rcat")))
-    var edges = truncate(
-      e0.unionByName(e0.select(col("t").as("s"), col("s").as("t"))).distinct())
-    // orig region id -> current label (identity to start)
-    var relabel = reg.select(col("id").as("orig"), col("id").as("lbl"))
     var r = 0
     var done = false
     val debug = sys.env.contains("GRAFT_COMP_DEBUG")
     def step[A](l: String)(f: => A): A = {
       val t0 = System.nanoTime(); val res = f
-      if (sys.env.contains("GRAFT_COMP_DEBUG"))
+      if (debug)
         println(f"SIEVE   $l ${(System.nanoTime() - t0) / 1e9}%.2f s")
       res
     }
+    // region-level state: reg(id, n, cat) + undirected distinct edges
+    var reg = step("reg0")(truncate(labeled
+      .groupBy(col("component").as("id"))
+      .agg(count(lit(1)).as("n"), max(col(catCol)).as("rcat"))))
+    // symmetrize with ONE explode over e0, not e0 UNION reverse(e0) —
+    // the union form evaluates the two-window adjacency subtree once
+    // per branch (4 window shuffles instead of 2; measured 6.7 s vs
+    // 2.9 s on the 217k-px fixture)
+    var edges = step("edges0")(truncate(e0
+      .select(explode(array(
+        struct(col("s"), col("t")),
+        struct(col("t").as("s"), col("s").as("t")))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t")).distinct()))
+    // orig region id -> current label (identity to start)
+    var relabel = reg.select(col("id").as("orig"), col("id").as("lbl"))
     // two-phase: reg/edges are freshly checkpointed, so the bound
     // probe is two cheap counts; inside the bound ALL rounds run in
     // one single-task kernel instead of rounds × ~5 checkpoint jobs
-    val localOk = localRegions > 0 && reg.count() <= localRegions &&
-      edges.count() <= localRegions
+    val localOk = step("bound probe")(
+      localRegions > 0 && reg.count() <= localRegions &&
+        edges.count() <= localRegions)
     if (localOk) {
       // lazy + persisted: the kernel runs once, inside the caller's
       // final relabel join, instead of as its own checkpoint job
