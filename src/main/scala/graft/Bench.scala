@@ -589,6 +589,12 @@ object Bench {
       "qNN bench keys must be unique")
     val qs = results.map { case (k, v) => s""""${shortKey(k)}":${r2(v)}""" }
       .mkString("{", ",", "}")
+    // second-rung key form: the bare NN digits (one char per query) —
+    // used only when the qNN line overflows, BEFORE any block is
+    // dropped; bench_detail.json always carries full names
+    val qsBare = results.map { case (k, v) =>
+      s""""${shortKey(k).stripPrefix("q")}":${r2(v)}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val pipelineJson =
       s""""pipeline":{"rows":$benchRows,"cores_low":$cLow,"cores_high":$cHigh,""" +
@@ -621,9 +627,10 @@ object Bench {
       s""""sf1":{"clump_s":${r3(sf1._1)},"jacc_s":${r3(sf1._2)},""" +
       s""""corr_s":${r3(sf1._3)}}"""
     def line(withQueries: Boolean, withSkew: Boolean,
-             withSf1: Boolean = true): String =
+             withSf1: Boolean = true, bareKeys: Boolean = false): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      (if (withQueries) s""""queries":$qs,""" else "") +
+      (if (withQueries) s""""queries":${if (bareKeys) qsBare else qs},"""
+       else "") +
       s""""sf":"$sfDir",$pipelineJson""" +
       (if (withSf1) s",$sf1Json" else "") +
       (if (withSkew) s",$skewJson" else "") + "}"
@@ -638,12 +645,16 @@ object Bench {
       s"""$skewDetailJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes)
-    // drop order: skew detail first, then the sf1 block, then the
-    // per-query map — the scaling pipeline block is never dropped
+    // drop order: bare query keys first (no information lost — the
+    // digits stay unique and bench_detail.json maps them), then skew
+    // detail, then the sf1 block, then the per-query map — the scaling
+    // pipeline block is never dropped
     val candidates =
       Seq(line(withQueries = true, withSkew = true),
-          line(withQueries = true, withSkew = false),
-          line(withQueries = true, withSkew = false, withSf1 = false),
+          line(withQueries = true, withSkew = true, bareKeys = true),
+          line(withQueries = true, withSkew = false, bareKeys = true),
+          line(withQueries = true, withSkew = false, withSf1 = false,
+            bareKeys = true),
           line(withQueries = false, withSkew = false, withSf1 = false))
     val out = candidates.find(_.length <= 1800).getOrElse(candidates.last)
     System.err.println(s"bench line length: ${out.length} (budget 1800)")

@@ -208,4 +208,33 @@ package object functions {
     val r1 = (key.cast("long") * lit(1103515245L) + lit(seed % 2147483648L)) % lit(2147483648L)
     (r1 * lit(69069L) + lit(12345L)) % lit(2147483648L)
   }
+
+  /**
+   * Deterministic train/val/test assignment — the split step of a
+   * training-data pipeline, reproducible across runs/engines and stable
+   * under repartitioning because it keys on the RECORD ID, never on
+   * partition or row position. Uses the avalanching hash (LCGs are
+   * affine in the key, so sequential ids would stripe the splits;
+   * [[graft.operators.Clump.avalanche31]] documents the failure).
+   * `cuts` are cumulative percentages, e.g. Seq(80, 90) -> 0=train
+   * (80%), 1=val (10%), 2=test (10%).
+   */
+  def split_assign(key: Column, cuts: Seq[Int], seed: Long): Column = {
+    require(cuts.nonEmpty && cuts.head > 0 && cuts.last < 100 &&
+      cuts == cuts.sorted, s"cuts must be ascending in (0,100): $cuts")
+    val bucket = graft.operators.Clump.avalanche31(
+      key.cast("long") + lit(seed)) % lit(100L)
+    cuts.zipWithIndex.foldRight(lit(cuts.size.toLong)) { case ((cut, i), els) =>
+      when(bucket < cut, i.toLong).otherwise(els)
+    }
+  }
+
+  /** SQL twin of [[split_assign]]. */
+  def split_assign_sql(key: String, cuts: Seq[Int], seed: Long): String = {
+    val bucket = graft.operators.Clump.avalanche31Sql(s"($key + $seed)") + " % 100"
+    cuts.zipWithIndex.foldRight(s"CAST(${cuts.size} AS BIGINT)") {
+      case ((cut, i), els) =>
+        s"(CASE WHEN ($bucket) < $cut THEN CAST($i AS BIGINT) ELSE $els END)"
+    }
+  }
 }

@@ -57,7 +57,8 @@ object Flow {
 
   def routing(px: DataFrame, b: String, g: GridMeta,
               checkpointDir: Option[String] = None,
-              maxRounds: Int = 40): DataFrame = {
+              maxRounds: Int = 40,
+              localCells: Long = 2000000L): DataFrame = {
     val spark = px.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
@@ -72,6 +73,18 @@ object Flow {
     val debug = sys.env.contains("GRAFT_COMP_DEBUG")
     var moved = 1L
     var round = 0
+    // SMALL-FOREST FINISH (the [[Dedup.components]] two-phase
+    // discipline): a pointer forest that fits one task resolves every
+    // root + hop count in ONE memoized chase instead of ~log(depth)
+    // join+checkpoint rounds — q121's fixture ran 6 rounds at ~1.5 s
+    // each for a 217k-cell forest a single task walks in milliseconds.
+    // At continental scale the doubling loop remains the path; pass
+    // `localCells = 0` to force it (specs pin both paths identical).
+    if (localCells > 0 && pt.count() <= localCells) {
+      if (debug) println("FLOW local finish")
+      pt = graft.plans.Caches.track(localRouting(pt))
+      moved = 0
+    }
     while (moved > 0 && round < maxRounds) {
       val tRound = System.nanoTime()
       // compose p <- p(p): the build side is keyed by id (unique), the
@@ -92,6 +105,8 @@ object Flow {
     }
     graft.plans.Caches.track(
       d8.withColumn("__id", id)
+        // (join target: pt — either the converged doubling state or the
+        // local kernel's (id, root, len) relation; identical contract)
         .join(pt.select(col("id").as("__id"), col("p").as("outlet"),
           col("len").as("flow_len")), Seq("__id"))
         // Column./ is double division; ids stay < 2^53 so r + c/w is
@@ -99,5 +114,40 @@ object Flow {
         .withColumn("outlet_row", (col("outlet") / lit(w)).cast("long"))
         .withColumn("outlet_col", pmod(col("outlet"), lit(w)))
         .drop("__id"))
+  }
+
+  /**
+   * Single-task root resolution over a bounded pointer forest: one
+   * memoized chase with path compression — every visited prefix stores
+   * its (root, remaining-hops), so total work is O(cells). Returns the
+   * same (id, p = root, len = hops) relation the doubling loop
+   * converges to.
+   */
+  private def localRouting(pt: DataFrame): DataFrame = {
+    val spark = pt.sparkSession
+    import spark.implicits._
+    pt.select(col("id"), col("p"), col("len").cast("long"))
+      .as[(Long, Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val next = scala.collection.mutable.LongMap.empty[Long]
+        it.foreach { case (i, p, _) => next.update(i, p) }
+        val root = scala.collection.mutable.LongMap.empty[Long]
+        val dist = scala.collection.mutable.LongMap.empty[Long]
+        def resolve(x0: Long): Unit = {
+          var x = x0
+          val path = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (!root.contains(x) && next(x) != x) { path += x; x = next(x) }
+          val (r, d0) = if (root.contains(x)) (root(x), dist(x)) else (x, 0L)
+          var d = d0 + path.length
+          path.foreach { y => root.update(y, r); dist.update(y, d); d -= 1 }
+          if (!root.contains(x0)) { root.update(x0, r); dist.update(x0, d0) }
+        }
+        next.foreachKey(resolve)
+        val out = Array.newBuilder[(Long, Long, Long)]
+        next.foreachKey(k => out += ((k, root(k), dist(k))))
+        out.result().iterator
+      }
+      .toDF("id", "p", "len")
   }
 }

@@ -406,6 +406,42 @@ object TextAnalysis {
     s"CAST(concat('0x', substr(md5($w), 1, 15)) AS BIGINT)"
 
   /**
+   * Per-host document cap — the domain-balancing pass of web-corpus
+   * curation (C4/RefinedWeb cap the records any one domain contributes):
+   * keep at most `k` documents per host, chosen DETERMINISTICALLY by an
+   * avalanching id hash (reproducible across runs and engines; ties on
+   * the 31-bit hash break by id).
+   *
+   * Scale shape: ONE hash-agg on `host` through the bounded-heap
+   * [[graft.functions.top_k]] aggregate — ≤ k rows per host survive
+   * EACH MAPPER before the shuffle, so a 100M-page host costs the
+   * shuffle k rows, not 100M (a rank window would sort whole host
+   * partitions; the hot-host skew is exactly where that dies).
+   */
+  def hostCap(docs: DataFrame, urlCol: String, idCol: String, k: Int): DataFrame = {
+    val h = Clump.avalanche31(col(idCol).cast("long"))
+    docs.select(
+        regexp_extract(col(urlCol), "^https?://([^/]+)/", 1).as("host"),
+        h.as("__h"), col(idCol).cast("long").as("doc_id"))
+      .groupBy(col("host"))
+      .agg(graft.functions.top_k(
+        struct(col("__h"), col("doc_id")), k).as("top"))
+      .select(col("host"), posexplode(col("top")))
+      .select(col("host"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.doc_id").as("doc_id"))
+  }
+
+  /** SQL twin of [[hostCap]] over a `(url, doc_id)` relation. */
+  def hostCapSql(rel: String, k: Int): String =
+    s"""SELECT host, rnk, doc_id FROM (
+       |  SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+       |    doc_id,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY regexp_extract(url, '^https?://([^/]+)/', 1)
+       |      ORDER BY ${Clump.avalanche31Sql("doc_id")}, doc_id) AS rnk
+       |  FROM $rel) WHERE rnk <= $k""".stripMargin
+
+  /**
    * URL canonicalization — the normalization pass that keys web-corpus
    * exact dedup and per-host accounting (a Common-Crawl index stores
    * SURT-normalized urls for the same reason). Deterministic, documented

@@ -138,6 +138,23 @@ object PipelineQueries {
         docs(s, dir).select(col("doc_id"), pageText.as("text")),
         "doc_id", "text", maxDocs = 50L)),
 
+    // Deterministic train/val/test split: avalanching id hash (stable
+    // under repartitioning, identical across engines), 80/10/10.
+    "q123_hash_split" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.split_assign(col("doc_id"), Seq(80, 90), seed = 42L)
+          .as("split"))),
+
+    // Per-host document cap (domain balancing): keep <= 3 docs per
+    // host by avalanching hash via the bounded-heap top_k aggregate —
+    // <= k rows per host per MAPPER, no rank window over hot hosts.
+    "q124_host_cap" -> ((s, dir) =>
+      TextAnalysis.hostCap(
+        docs(s, dir).select(col("doc_id"), concat(lit("https://host-"),
+          (col("doc_id") % 97).cast("string"), lit(".example/d/"),
+          col("doc_id").cast("string")).as("url")),
+        "url", "doc_id", k = 3)),
+
     // Text analysis: token counts (whitespace + BPE-ish regex),
     // language-ID heuristic, quality score.
     "q31_text_analysis" -> ((s, dir) =>
@@ -423,6 +440,15 @@ object PipelineQueries {
 
     "q120_line_boilerplate" -> TextAnalysis.removeBoilerplateLinesSql(
       s"(SELECT doc_id, $pageTextSql AS text FROM documents)", 50L),
+
+    "q123_hash_split" ->
+      s"""SELECT doc_id,
+         |  ${graft.functions.split_assign_sql("doc_id", Seq(80, 90), 42L)} AS split
+         |FROM documents""".stripMargin,
+
+    "q124_host_cap" -> TextAnalysis.hostCapSql(
+      "(SELECT doc_id, 'https://host-' || CAST(doc_id % 97 AS VARCHAR) || " +
+        "'.example/d/' || CAST(doc_id AS VARCHAR) AS url FROM documents)", 3),
 
     "q33_jaccard_pairs" -> jaccardOracle(corpusNearSql),
 

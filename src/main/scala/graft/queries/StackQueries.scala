@@ -447,6 +447,15 @@ object StackQueries {
         stack(s).df.select("row", "col", "b1"), "b1")
         .select("row", "col", "d8_dir", "d8_drop")),
 
+    // Marching-squares contour extraction at level 127.5 (raster ->
+    // vector): two-shuffle 2x2 corner gather, table-driven 14-case
+    // segment CASE with exact-LONG saddle rule, shared-Ar edge
+    // interpolation (raw doubles, bit-exact), one explode (no
+    // per-slot union re-evaluating the windows).
+    "q122_contour" -> ((s, _) =>
+      graft.operators.Contour.segments(
+        stack(s).df.select("row", "col", "b1"), "b1", level = 127.5)),
+
     // Watershed labeling + flow length over the D8 pointer forest:
     // pointer doubling (O(log depth) self-join rounds with checkpoint
     // truncation), exact LONG hop counts; the oracle walks the same
@@ -681,6 +690,10 @@ object StackQueries {
     "q118_d8_flowdir" ->
       s"""WITH $d8OracleCtes
          |SELECT row, col, d8_dir, d8_drop FROM dd""".stripMargin,
+
+    "q122_contour" -> graft.operators.Contour.segmentsSql(
+      s"(SELECT row, col, ${bandSql("row", "col", NcBands.head)} AS b1 " +
+        s"FROM ${gridSql(G)})", "b1", level = 127.5),
 
     "q121_watershed" -> {
       // per-cell downstream pointer (self for pits/nodata), then a

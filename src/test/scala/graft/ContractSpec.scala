@@ -32,10 +32,17 @@ class ContractSpec extends AnyFunSuite {
     val qsLen = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_').length + 8).sum
     // fixed fields measured 332 chars on the 105-query run-G line;
     // round 6: companion estimator key renames (-28), slim skew block
-    // (-35), sf1 block (+55) -> ~324. +80 margin on top. Beyond this,
-    // Bench's ordered-drop ladder (skew ~80, then sf1 ~55) still
-    // absorbs ~15 more queries before the map would be dropped.
-    assert(qsLen + 324 + 80 <= 1800,
-      s"query-map JSON ~$qsLen chars + fixed fields would overflow the driver tail window")
+    // (-35), sf1 block (+55) -> ~324. +80 margin on top.
+    // BARE-KEY second rung (round 6): when the qNN line overflows,
+    // Bench re-emits the map with the digit-only keys (one char per
+    // query back) BEFORE dropping any block — so the catalog has two
+    // budgets: the soft one below (full keys fit outright) and the
+    // hard one (bare keys must fit with skew+sf1 intact).
+    val nQ = SparkEntry.queries.size
+    assert(qsLen - nQ + 324 + 80 <= 1800,
+      s"even bare-key query map ~${qsLen - nQ} chars would overflow the driver tail window")
+    if (qsLen + 324 + 80 > 1800)
+      info(s"full qNN keys past the soft budget ($qsLen chars, $nQ queries) — " +
+        "the bare-key rung will carry the line")
   }
 }

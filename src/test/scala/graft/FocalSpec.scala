@@ -211,6 +211,12 @@ class FocalSpec extends AnyFunSuite with SparkSpec {
     // the fixture must exercise a real multi-hop path or the doubling
     // loop (vs a single jump) is untested
     assert(sawMultiHop)
+    // forced distributed doubling loop == the single-task local finish
+    val dist = graft.operators.Flow.routing(px, "b1", g, localCells = 0L)
+      .select("row", "col", "outlet", "outlet_row", "outlet_col", "flow_len")
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(dist === got)
   }
 
   test("focal plans are separable windows: WindowExec, no join, no cartesian") {

@@ -113,6 +113,56 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       2L -> ((3L, "twice\ndelta\ndelta"))))
   }
 
+  test("split_assign: deterministic, well-mixed 80/10/10, sequential ids don't stripe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = (0L until 10000L).toDF("id")
+    def splits() = ids
+      .select(col("id"), graft.functions.split_assign(col("id"), Seq(80, 90), 42L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = splits()
+    assert(a === splits()) // reproducible
+    val byS = a.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(byS.keySet === Set(0L, 1L, 2L))
+    assert(byS(0L) > 7700 && byS(0L) < 8300, byS.toString)
+    assert(byS(1L) > 800 && byS(1L) < 1200, byS.toString)
+    assert(byS(2L) > 800 && byS(2L) < 1200, byS.toString)
+    // avalanche property: consecutive ids must not stripe into runs —
+    // the count of adjacent-id pairs sharing a split should be near the
+    // collision rate of independence (0.66), nowhere near 1.0
+    val same = (0L until 9999L).count(i => a(i) == a(i + 1))
+    assert(same < 7500, s"sequential ids stripe: $same/9999 adjacent pairs agree")
+    // a different seed reassigns a nontrivial fraction
+    val b = ids.select(col("id"),
+        graft.functions.split_assign(col("id"), Seq(80, 90), 43L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 10000L).count(i => a(i) != b(i)) > 1000)
+  }
+
+  test("hostCap keeps exactly min(k, n) per host, ranked by avalanche hash then id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 200L)
+      .map(i => (i, s"https://host-${i % 7}.example/d/$i"))
+      .toDF("doc_id", "url")
+    val got = TextAnalysis.hostCap(docs, "url", "doc_id", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byHost = got.groupBy(_._1)
+    assert(byHost.keySet.size === 7)
+    assert(byHost.values.forall(_.size == 3))
+    // scalar twin of the selection rule, hashes read back from the engine
+    val hashes = docs.select(col("doc_id"),
+        graft.operators.Clump.avalanche31(col("doc_id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((host, rows) <- byHost) {
+      val ids = (0L until 200L).filter(i => s"host-${i % 7}" == host.split("\\.")(0))
+      val want = ids.sortBy(i => (hashes(i), i)).take(3)
+      assert(rows.sortBy(_._2.toInt).map(x => (x._2, x._3)).sortBy(_._1) ===
+        want.zipWithIndex.map { case (id, i) => ((i + 1).toLong, id) }.sortBy(_._1),
+        s"host $host")
+    }
+  }
+
   test("removeBoilerplateLines: repeated line within ONE doc counts that doc once") {
     import spark.implicits._
     // 'x' appears 3 times in doc 0 but only in 2 DISTINCT docs -> kept
