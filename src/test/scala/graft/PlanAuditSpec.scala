@@ -146,4 +146,47 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       withUrl, "url", "text"),
       mustNotContain = Seq("Expand", "Window", "CartesianProduct", "BroadcastNestedLoopJoin"))
   }
+
+  test("hostCap: bounded-heap top_k per host, no rank window, no join") {
+    val withUrl = docs.withColumn("url",
+      concat(lit("https://host-"), col("doc_id") % 97L, lit(".example/d/"), col("doc_id")))
+    assertShape("host_cap", graft.operators.TextAnalysis.hostCap(
+      withUrl, "url", "doc_id", k = 3),
+      mustContain = Seq("ObjectHashAggregate"),
+      mustNotContain = Seq("Window", "CartesianProduct",
+        "BroadcastNestedLoopJoin", "Join"))
+  }
+
+  test("removeBoilerplateLines: broadcast anti join for the ban, no Expand") {
+    val multi = docs.withColumn("text",
+      concat(col("text"), lit("\nfooter line")))
+    val df = graft.operators.TextAnalysis.removeBoilerplateLines(
+      multi, "doc_id", "text", maxDocs = 50)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "banned-line set must broadcast into a left-anti join:\n" + plan.take(800))
+    assert(!plan.contains("Expand") && !plan.contains("CartesianProduct"),
+      plan.take(800))
+    graft.plans.Caches.flush()
+  }
+
+  test("canonicalUrl: pure projection — no shuffle at all") {
+    val withUrl = docs.select(concat(lit("https://WWW.Example.com:443/p/"),
+      col("doc_id"), lit("?b=2&a=1#f")).as("url"))
+    val df = withUrl.select(
+      graft.operators.TextAnalysis.canonicalUrl(col("url")).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "canonicalUrl must not shuffle:\n" + plan.take(600))
+  }
+
+  test("contour: two window shuffles + explode, no join, no cartesian") {
+    import spark.implicits._
+    val px = (for { r <- 0 until 8; c <- 0 until 8 }
+      yield (r.toLong, c.toLong, ((r * 7 + c * 13) % 31).toDouble)).toDF("row", "col", "b1")
+    val df = graft.operators.Contour.segments(px, "b1", level = 15.5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(400))
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      "contour must not plan a join:\n" + plan.take(800))
+  }
 }
