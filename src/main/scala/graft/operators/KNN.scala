@@ -261,4 +261,86 @@ object KNN {
       val dist = dist_to(col(xCol), col(yCol), rx, ry)
       d.withColumn(s"geodist_$i", if (log) org.apache.spark.sql.functions.log(dist) else dist)
     }
+
+  /** Candidate-cell resolution whose cell HEIGHT covers `radius`
+    * degrees (the [[Points]] thinning rule): a 3×3 disk at this level
+    * then contains every point within `radius` of a cell center. */
+  def radiusRes(radius: Double): Int = math.max(0, math.min(28,
+    (math.log(180.0 / radius) / math.log(2.0)).floor.toInt))
+
+  /**
+   * Inverse-distance-weighted gridding (gdal_grid `invdist` analogue):
+   * scattered observations interpolate onto the raster grid `g` —
+   * every cell center averages the observations within `radius`,
+   * weighted by 1/(d² + smooth) (gdal's smoothing keeps the weight
+   * finite when an observation sits ON a center). Cells with no
+   * observation in range stay NULL (nodata), like gdal.
+   *
+   * Scale shape: observations bucket to cover cells ONCE; each grid
+   * cell explodes its 3×3 cell disk at [[radiusRes]] (cell height ≥
+   * radius, so the disk covers the search circle) into a cell-keyed
+   * equi-join — never a crossJoin, shuffles keyed by cell id exactly
+   * like [[join]]. One (row, col) hash-agg finishes.
+   *
+   * Exactness: weights quantize to LONGs — `floor(scale / (d² +
+   * smooth))` — and observation values are integral by the engine's
+   * raster convention, so numerator and denominator are ORDER-FREE
+   * integer sums in any engine and the one final division is
+   * deterministic. `scale`=1e9 with `smooth`=0.01 bounds a weight at
+   * 1e11, leaving ~10⁷ × max|v| of Σ-headroom in the LONG.
+   */
+  def idw(points: DataFrame, xCol: String, yCol: String, vCol: String,
+          g: graft.core.GridMeta, radius: Double,
+          smooth: Double = 0.01, scale: Double = 1.0e9): DataFrame = {
+    val spark = points.sparkSession
+    val res = radiusRes(radius)
+    val obs = points.select(
+      cell_encode(col(xCol), col(yCol), res).as("cellkey"),
+      col(xCol).as("__px"), col(yCol).as("__py"),
+      col(vCol).cast("long").as("__v"))
+    val cells = graft.sources.RasterStack.grid(spark, g)
+      .withColumn("__x", grid_x(col("row"), col("col"), g))
+      .withColumn("__y", grid_y(col("row"), col("col"), g))
+    val probes = cells
+      .withColumn("cellkey", explode(array_distinct(
+        cell_disk(cell_encode(col("__x"), col("__y"), res), 1))))
+    val dx = col("__x") - col("__px")
+    val dy = col("__y") - col("__py")
+    val d2 = dx * dx + dy * dy
+    val wq = floor(lit(scale) / (d2 + lit(smooth))).cast("long")
+    val hits = probes.join(obs, Seq("cellkey"))
+      .where(d2 <= lit(radius * radius))
+      .groupBy(col("row"), col("col"))
+      .agg(count(lit(1)).as("n_obs"), sum(wq).as("wsum"),
+        sum(wq * col("__v")).as("num"))
+    cells.select("row", "col")
+      .join(hits, Seq("row", "col"), "left_outer")
+      .select(col("row"), col("col"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("wsum"),
+        (col("num").cast("double") / col("wsum").cast("double")).as("idw"))
+  }
+
+  /** SQL twin of [[idw]] — brute-force over the (small) oracle grid:
+    * same distance, gate, quantized weights and single division. */
+  def idwSql(ptsRel: String, gridRel: String, xExpr: String, yExpr: String,
+             radius: Double, smooth: Double = 0.01,
+             scale: Double = 1.0e9): String = {
+    val sc = graft.sources.OracleLit.d(scale)
+    val sm = graft.sources.OracleLit.d(smooth)
+    val r2 = graft.sources.OracleLit.d(radius * radius)
+    s"""WITH cg AS (SELECT row, col, $xExpr AS x, $yExpr AS y FROM $gridRel),
+       |hits AS (
+       |  SELECT cg.row, cg.col, COUNT(*) AS n_obs,
+       |    CAST(SUM(CAST(FLOOR($sc / (((cg.x - p.px) * (cg.x - p.px) +
+       |      (cg.y - p.py) * (cg.y - p.py)) + $sm)) AS BIGINT)) AS BIGINT) AS wsum,
+       |    CAST(SUM(CAST(FLOOR($sc / (((cg.x - p.px) * (cg.x - p.px) +
+       |      (cg.y - p.py) * (cg.y - p.py)) + $sm)) AS BIGINT) * p.v) AS BIGINT) AS num
+       |  FROM cg JOIN $ptsRel p
+       |    ON ((cg.x - p.px) * (cg.x - p.px) + (cg.y - p.py) * (cg.y - p.py)) <= $r2
+       |  GROUP BY 1, 2)
+       |SELECT cg.row, cg.col, COALESCE(h.n_obs, 0) AS n_obs, h.wsum,
+       |  CAST(h.num AS DOUBLE) / CAST(h.wsum AS DOUBLE) AS idw
+       |FROM cg LEFT JOIN hits h ON h.row = cg.row AND h.col = cg.col""".stripMargin
+  }
 }

@@ -25,6 +25,10 @@ object GeoQueries {
   val TargetG: GridMeta = GridMeta.northUp(-100.0, -50.0, 100.0, 50.0, width = 120, height = 100)
   val Crs: Warp.AffineCrs = Warp.AffineCrs(0.9, 0.05, 3.1, -0.02, 0.95, -1.7)
 
+  /** IDW gridding target: a 40x40, 1-degree window (the oracle
+    * brute-forces grid x points, so the window bounds its cost). */
+  val IdwG: GridMeta = GridMeta.northUp(-20.0, -20.0, 20.0, 20.0, width = 40, height = 40)
+
   private def pages(s: SparkSession, dir: String): DataFrame =
     Pages.withIdPoint(Pages.fromDocuments(s, dir), "doc_id")
 
@@ -119,6 +123,15 @@ object GeoQueries {
     "q63_filter_points_dist" -> ((s, dir) =>
       graft.operators.Points.filterPointsDist(
         pages(s, dir), "doc_id", "lon", "lat", minDist = 5.0)),
+
+    // IDW gridding (gdal_grid invdist): scattered page points
+    // interpolate onto a 40x40 window — cell-disk equi-join (no
+    // crossJoin), LONG-quantized 1/(d2+smooth) weights, one division;
+    // out-of-range cells stay NULL.
+    "q125_idw" -> ((s, dir) =>
+      KNN.idw(pages(s, dir)
+          .select(col("lon"), col("lat"), (col("doc_id") % 23L).cast("double").as("v")),
+        "lon", "lat", "v", IdwG, radius = 8.0)),
 
     // GeoDistTransformer: distance columns to fixed reference points
     // (transformers.py:286-355).
@@ -537,6 +550,12 @@ object GeoQueries {
       s"""SELECT $cell AS cell, MIN(doc_id) AS keep_id, COUNT(*) AS n_points
          |FROM $pagesSql GROUP BY 1""".stripMargin
     },
+
+    "q125_idw" -> KNN.idwSql(
+      s"""(SELECT ${Pages.lonSql("doc_id")} AS px, ${Pages.latSql("doc_id")} AS py,
+         |  CAST(doc_id % 23 AS BIGINT) AS v FROM documents)""".stripMargin,
+      RasterStack.gridSql(IdwG), RasterStack.xSql(IdwG), RasterStack.ySql(IdwG),
+      radius = 8.0),
 
     "q25_geodist" -> {
       def d(rx: Double, ry: Double, i: Int) =

@@ -79,6 +79,55 @@ class ZonalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("idw gridding equals brute force (quantized weights, nodata cells NULL)") {
+    import spark.implicits._
+    import graft.core.GridMeta
+    // 8x8 1-degree grid over [0,8)^2; observations clustered lower-left
+    // so some cells are out of the 2.5-degree radius -> NULL idw
+    val g = GridMeta.northUp(0.0, 0.0, 8.0, 8.0, width = 8, height = 8)
+    val pts = Seq((0.7, 0.9, 5L), (1.3, 2.1, 11L), (2.9, 0.4, 2L),
+      (3.5, 3.5, 22L), (0.1, 3.9, 7L))
+    val got = graft.operators.KNN.idw(
+        pts.toDF("px", "py", "v").withColumn("v", col("v").cast("double")),
+        "px", "py", "v", g, radius = 2.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    graft.plans.Caches.flush()
+    assert(got.size === 64)
+    var sawNull = false
+    for (r <- 0 until 8; c <- 0 until 8) {
+      val x = 0.5 + c; val y = 8.0 - (0.5 + r) // north-up centers
+      val hits = pts.map { case (px, py, v) =>
+        val d2 = (x - px) * (x - px) + (y - py) * (y - py)
+        (d2, v)
+      }.filter(_._1 <= 2.5 * 2.5)
+      val (n, ws, idw) = got((r.toLong, c.toLong))
+      assert(n === hits.size.toLong, s"($r,$c) n_obs")
+      if (hits.isEmpty) { assert(ws.isEmpty && idw.isEmpty); sawNull = true }
+      else {
+        val wqs = hits.map { case (d2, v) =>
+          (math.floor(1.0e9 / (d2 + 0.01)).toLong, v) }
+        assert(ws === Some(wqs.map(_._1).sum), s"($r,$c) wsum")
+        assert(idw === Some(wqs.map(p => p._1 * p._2).sum.toDouble /
+          wqs.map(_._1).sum.toDouble), s"($r,$c) idw")
+      }
+    }
+    assert(sawNull, "fixture must exercise out-of-range (nodata) cells")
+  }
+
+  test("idw plan: cell-keyed equi-join only — no cartesian, no nested loop") {
+    import spark.implicits._
+    import graft.core.GridMeta
+    val g = GridMeta.northUp(0.0, 0.0, 8.0, 8.0, width = 8, height = 8)
+    val pts = Seq((0.7, 0.9, 5.0)).toDF("px", "py", "v")
+    val plan = graft.operators.KNN.idw(pts, "px", "py", "v", g, radius = 2.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "idw must stay a cell-keyed equi-join:\n" + plan.take(800))
+  }
+
   test("plan is one hash aggregate: no sort, no window, no join") {
     import spark.implicits._
     val df = Seq((1, 2.0)).toDF("zone", "b1")
