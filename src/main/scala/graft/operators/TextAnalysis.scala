@@ -405,6 +405,44 @@ object TextAnalysis {
   def wordHashSql(w: String): String =
     s"CAST(concat('0x', substr(md5($w), 1, 15)) AS BIGINT)"
 
+  /** PII patterns, ordered — the scrub applies them IN THIS ORDER, so
+    * earlier replacements can't create later matches (the replacement
+    * tokens carry no digits or '@'). Kept RE2-safe (no backrefs, no
+    * lookaround) so Spark's Java regex and DuckDB's RE2 agree. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+?[0-9][0-9 -]{7,}[0-9]", "<PHONE>"))
+
+  /**
+   * PII scrubbing — the redaction pass of web-corpus curation (emails,
+   * IPv4 addresses, phone-shaped digit runs → typed tokens), plus
+   * per-document match counts for the curation ledger. One codegen'd
+   * projection, no UDF, no shuffle; counts are taken BEFORE each
+   * replacement on the already-scrubbed-so-far text, so the count and
+   * the redaction see the identical string (order matters: an IP inside
+   * an email would otherwise double-count).
+   */
+  def piiScrub(docs: DataFrame, textCol: String): DataFrame =
+    PiiPatterns.foldLeft(docs) { case (d, (name, pat, token)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)))
+        .withColumn(textCol, regexp_replace(col(textCol), pat, token))
+    }
+
+  /** SQL twin of [[piiScrub]]: the same ordered chain (DuckDB
+    * regexp_replace needs the 'g' flag — it replaces only the FIRST
+    * match by default, unlike Spark). Returns (scrubExpr, counts) —
+    * count i is over the text with patterns < i already applied. */
+  def piiScrubSql(textExpr: String): (String, Seq[(String, String)]) = {
+    var cur = textExpr
+    val counts = PiiPatterns.map { case (name, pat, token) =>
+      val n = s"CAST(len(regexp_extract_all($cur, '$pat')) AS INT) AS n_$name"
+      cur = s"regexp_replace($cur, '$pat', '$token', 'g')"
+      (name, n)
+    }
+    (cur, counts)
+  }
+
   /**
    * Per-host document cap — the domain-balancing pass of web-corpus
    * curation (C4/RefinedWeb cap the records any one domain contributes):

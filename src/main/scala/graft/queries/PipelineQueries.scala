@@ -117,6 +117,25 @@ object PipelineQueries {
       "CAST(doc_id % 7 AS VARCHAR) || (CASE WHEN doc_id % 2 = 0 " +
       "THEN chr(10) || 'all rights reserved' ELSE '' END)"
 
+  /** Text with deterministically planted PII (emails, IPv4s, phone
+    * numbers) for the scrub fixture. */
+  private def piiText: org.apache.spark.sql.Column = concat(
+    col("text"),
+    when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com now"))).otherwise(lit("")),
+    when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
+      (col("doc_id") % 256).cast("string"), lit(".0.1 logged"))).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, concat(lit(" call +1 555 01"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit(" today")))
+      .otherwise(lit("")))
+  private val piiTextSql =
+    "text || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || " +
+      "CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.0.1 logged' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 01' || " +
+      "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' today' ELSE '' END)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash group-by, keep smallest id.
@@ -137,6 +156,12 @@ object PipelineQueries {
       TextAnalysis.removeBoilerplateLines(
         docs(s, dir).select(col("doc_id"), pageText.as("text")),
         "doc_id", "text", maxDocs = 50L)),
+
+    // PII scrubbing: ordered email/IPv4/phone redaction to typed
+    // tokens + per-doc match counts, one codegen'd projection.
+    "q126_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(
+        docs(s, dir).select(col("doc_id"), piiText.as("text")), "text")),
 
     // Deterministic train/val/test split: avalanching id hash (stable
     // under repartitioning, identical across engines), 80/10/10.
@@ -440,6 +465,13 @@ object PipelineQueries {
 
     "q120_line_boilerplate" -> TextAnalysis.removeBoilerplateLinesSql(
       s"(SELECT doc_id, $pageTextSql AS text FROM documents)", 50L),
+
+    "q126_pii_scrub" -> {
+      val (scrub, counts) = TextAnalysis.piiScrubSql(s"($piiTextSql)")
+      s"""SELECT doc_id, $scrub AS text,
+         |  ${counts.map(_._2).mkString(",\n|  ")}
+         |FROM documents""".stripMargin
+    },
 
     "q123_hash_split" ->
       s"""SELECT doc_id,

@@ -113,6 +113,25 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       2L -> ((3L, "twice\ndelta\ndelta"))))
   }
 
+  test("piiScrub: ordered redaction + counts; IP inside an email never double-counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "mail a.b+c@sub.example.org and 192.168.1.10 call +1 555 0101 end"),
+      // numeric-host "email": no alphabetic TLD, so the email rule
+      // (deliberately) skips it and the IP rule redacts the host
+      (1L, "root@10.0.0.1 stays one email"),
+      (2L, "no pii here"),
+      (3L, "two mails x@y.zz w@v.qq and 8.8.8.8")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got(0L) === (("mail <EMAIL> and <IP> call <PHONE> end", 1, 1, 1)))
+    assert(got(1L) === (("root@<IP> stays one email", 0, 1, 0)))
+    assert(got(2L) === (("no pii here", 0, 0, 0)))
+    assert(got(3L) === (("two mails <EMAIL> <EMAIL> and <IP>", 2, 1, 0)))
+  }
+
   test("split_assign: deterministic, well-mixed 80/10/10, sequential ids don't stripe") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
