@@ -69,6 +69,21 @@ object Focal {
   }
 
   /**
+   * 3×3 focal min/max/range — like every kernel here, SEPARABLE (the
+   * max of a 3×3 window is the max of the three row-maxes), so two
+   * window shuffles. Borders shrink; all-nodata windows yield NULL;
+   * `focal_range` is the local relief (max − min), exact on integral
+   * bands.
+   */
+  def minmax3x3(px: DataFrame, b: String): DataFrame =
+    px.withColumn("_hmin", min(col(b)).over(hWin))
+      .withColumn("_hmax", max(col(b)).over(hWin))
+      .withColumn("focal_min", min(col("_hmin")).over(vWin))
+      .withColumn("focal_max", max(col("_hmax")).over(vWin))
+      .withColumn("focal_range", col("focal_max") - col("focal_min"))
+      .drop("_hmin", "_hmax")
+
+  /**
    * Horn gradient numerators + slope + aspect for integral band `b`.
    * `gx_num` = [1,2,1]-smoothed central difference along `col`
    * (positive toward +col/east), `gy_num` along `row` (positive toward

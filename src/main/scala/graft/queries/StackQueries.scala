@@ -447,6 +447,13 @@ object StackQueries {
         stack(s).df.select("row", "col", "b1"), "b1")
         .select("row", "col", "d8_dir", "d8_drop")),
 
+    // Focal 3x3 min/max/range (local relief): separable two-pass
+    // sliding min/max, exact integral outputs.
+    "q127_focal_minmax" -> ((s, _) =>
+      graft.operators.Focal.minmax3x3(
+        stack(s).df.select("row", "col", "b1"), "b1")
+        .select("row", "col", "focal_min", "focal_max", "focal_range")),
+
     // Marching-squares contour extraction at level 127.5 (raster ->
     // vector): two-shuffle 2x2 corner gather, table-driven 14-case
     // segment CASE with exact-LONG saddle rule, shared-Ar edge
@@ -690,6 +697,19 @@ object StackQueries {
     "q118_d8_flowdir" ->
       s"""WITH $d8OracleCtes
          |SELECT row, col, d8_dir, d8_drop FROM dd""".stripMargin,
+
+    "q127_focal_minmax" -> {
+      val b1 = bandSql("row", "col", NcBands.head)
+      val hw = "PARTITION BY row ORDER BY col ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING"
+      s"""WITH px AS (SELECT row, col, $b1 AS b1 FROM ${gridSql(G)}),
+         |mh AS (SELECT row, col, MIN(b1) OVER ($hw) AS hmin,
+         |         MAX(b1) OVER ($hw) AS hmax
+         |       FROM px)
+         |SELECT row, col,
+         |  MIN(hmin) OVER vw AS focal_min, MAX(hmax) OVER vw AS focal_max,
+         |  MAX(hmax) OVER vw - MIN(hmin) OVER vw AS focal_range
+         |FROM mh WINDOW vw AS (PARTITION BY col ORDER BY row ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin
+    },
 
     "q122_contour" -> graft.operators.Contour.segmentsSql(
       s"(SELECT row, col, ${bandSql("row", "col", NcBands.head)} AS b1 " +

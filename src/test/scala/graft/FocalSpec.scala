@@ -142,6 +142,22 @@ class FocalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("minmax3x3 equals brute force (borders shrink, nodata skipped)") {
+    val got = Focal.minmax3x3(px, "b1")
+      .select("row", "col", "focal_min", "focal_max", "focal_range")
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        ((2 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i))))).toMap
+    for (r <- 0 until H; c <- 0 until W) {
+      val n = neigh(r, c)
+      val Seq(mn, mx, rg) = got((r, c))
+      if (n.isEmpty) assert(mn.isEmpty && mx.isEmpty && rg.isEmpty, s"($r,$c)")
+      else {
+        assert(mn === Some(n.min.toDouble) && mx === Some(n.max.toDouble), s"($r,$c)")
+        assert(rg === Some((n.max - n.min).toDouble), s"($r,$c)")
+      }
+    }
+  }
+
   test("d8 equals the scalar shared-Ar argmax at every pixel (ties, pits, borders, nodata)") {
     val got = Focal.d8(px, "b1").select("row", "col", "d8_dir", "d8_drop")
       .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
