@@ -221,17 +221,25 @@ package object functions {
    */
   def split_assign(key: Column, cuts: Seq[Int], seed: Long): Column = {
     require(cuts.nonEmpty && cuts.head > 0 && cuts.last < 100 &&
-      cuts == cuts.sorted, s"cuts must be ascending in (0,100): $cuts")
-    val bucket = graft.operators.Clump.avalanche31(
-      key.cast("long") + lit(seed)) % lit(100L)
+      cuts.sliding(2).forall(p => p.size < 2 || p(0) < p(1)),
+      s"cuts must be STRICTLY ascending in (0,100): $cuts")
+    // fold the key into avalanche31's documented 31-bit-safe domain
+    // FIRST: feeding a raw 64-bit id overflows its first multiply
+    // (Spark wraps silently -> negative bucket -> everything lands in
+    // split 0; DuckDB errors), so the mask is a correctness gate, not
+    // hygiene. pmod keeps negatives in range in both engines.
+    val folded = pmod(key.cast("long") + lit(seed), lit(2147483648L))
+    val bucket = graft.operators.Clump.avalanche31(folded) % lit(100L)
     cuts.zipWithIndex.foldRight(lit(cuts.size.toLong)) { case ((cut, i), els) =>
       when(bucket < cut, i.toLong).otherwise(els)
     }
   }
 
-  /** SQL twin of [[split_assign]]. */
+  /** SQL twin of [[split_assign]] (the same pmod fold — DuckDB `%` is
+    * sign-preserving like Spark's, so the double-mod spells pmod). */
   def split_assign_sql(key: String, cuts: Seq[Int], seed: Long): String = {
-    val bucket = graft.operators.Clump.avalanche31Sql(s"($key + $seed)") + " % 100"
+    val folded = s"((($key + $seed) % 2147483648 + 2147483648) % 2147483648)"
+    val bucket = graft.operators.Clump.avalanche31Sql(folded) + " % 100"
     cuts.zipWithIndex.foldRight(s"CAST(${cuts.size} AS BIGINT)") {
       case ((cut, i), els) =>
         s"(CASE WHEN ($bucket) < $cut THEN CAST($i AS BIGINT) ELSE $els END)"

@@ -191,9 +191,10 @@ object Clump {
       res
     }
     // region-level state: reg(id, n, cat) + undirected distinct edges
-    var reg = step("reg0")(truncate(labeled
+    val reg0 = step("reg0")(truncate(labeled
       .groupBy(col("component").as("id"))
       .agg(count(lit(1)).as("n"), max(col(catCol)).as("rcat"))))
+    var reg = reg0
     // symmetrize with ONE explode over e0, not e0 UNION reverse(e0) —
     // the union form evaluates the two-window adjacency subtree once
     // per branch (4 window shuffles instead of 2; measured 6.7 s vs
@@ -262,8 +263,11 @@ object Clump {
       }
       if (debug) println(f"SIEVE round=$r done=$done ${(System.nanoTime() - tRound) / 1e9}%.2f s")
     }
-    val cmap = labeled.groupBy(col("component")).agg(max(col(catCol)).as("__ocat"))
-      .select(col("component").as("__lbl"), col("__ocat"))
+    // the round-0 region frame already holds (component, max(cat)) and
+    // is checkpointed — re-aggregating the full pixel relation here
+    // would be a second corpus pass the "touched exactly twice" design
+    // note forbids
+    val cmap = reg0.select(col("id").as("__lbl"), col("rcat").as("__ocat"))
     labeled
       .join(relabel.select(col("orig").as("component"), col("lbl").as("__lbl")),
         Seq("component"))

@@ -173,7 +173,10 @@ object Codec {
     while (pos + 8 <= bytes.length) {
       val tag = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val len = u32(bytes, pos + 4)
-      if (len < 0 || pos + 8 + len > bytes.length) return None
+      // Long arithmetic: a corrupt chunk length near Int.MaxValue would
+      // wrap `pos + 8 + len` negative and slip past the bound (the
+      // decodeBmp guard already does this in Long)
+      if (len < 0 || pos.toLong + 8L + len.toLong > bytes.length) return None
       tag match {
         case "fmt " =>
           if (len < 16) return None

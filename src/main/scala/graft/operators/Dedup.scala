@@ -287,8 +287,14 @@ object Dedup {
       org.apache.spark.sql.GraftBridge.resetStats(
         if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint())
     // the pair relation is referenced twice (vertex set + edge set) and
-    // is typically an expensive near-dup join — materialize it once
-    val p = truncate(pairs.select(col(aCol).as("__a"), col(bCol).as("__b")))
+    // is typically an expensive near-dup join — materialize it once.
+    // NULL ids are dropped up front: a null can't name a vertex, the
+    // hash-min joins would silently drop it anyway, and the local
+    // finish's primitive-Long decode would NPE on it — one explicit
+    // rule, identical on both paths.
+    val p = truncate(pairs
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull))
     val debug = sys.env.contains("GRAFT_COMP_DEBUG")
     // the local finish needs ids a single task can hold as primitives;
     // every production caller keys on LONG ids (doc ids, run ids) —

@@ -96,7 +96,9 @@ object Epsg {
     // one JVM static call), so fusing into downstream stages is safe.
 
     /**
-     * Staged SQL twin for the DuckDB oracle (SQL has no opaque scalar\n     * kernel, so the oracle materializes the chain at the four function\n     * boundaries as nested SELECTs instead): wraps
+     * Staged SQL twin for the DuckDB oracle (SQL has no opaque scalar
+     * kernel, so the oracle materializes the chain at the four function
+     * boundaries as nested SELECTs instead): wraps
      * subquery `inner` (which must SELECT `tx`, `ty` plus the `pass`
      * columns) in chained SELECTs with the SAME stage boundaries, so
      * engine and oracle share IEEE op order by construction.

@@ -28,11 +28,14 @@ import graft.core.GridMeta
  * LogicalRDD size estimate every round). Near convergence the join key
  * concentrates on popular outlets — a giant watershed is a genuinely
  * hot key — so the session should keep AQE skew handling on (the
- * fixture grids converge before concentration matters; at continental
- * scale pre-salting the settled rows out of the join is the documented
- * escape hatch: rows whose pointer is already a root are FILTERED out
- * of the next round's probe side here, which is also what makes late
- * rounds cheap).
+ * fixture grids converge before concentration matters). Each round
+ * composes the FULL relation (classic doubling: every pointer halves
+ * its remaining depth, including already-long jumps); an
+ * active/settled split would shrink only the probe side — the lookup
+ * side must stay complete because an active row's target may be
+ * settled — so it buys a constant, not a complexity class, and is
+ * left as the documented refinement if a continental forest ever
+ * makes the constant matter.
  *
  * Output: the input columns plus `outlet` (the root cell's id
  * row·W+col, = the cell's own id for pits/nodata), `outlet_row`/

@@ -73,7 +73,9 @@ object KNN {
       min(col(tLon).cast("double")), max(col(tLon).cast("double")),
       min(col(tLat).cast("double")), max(col(tLat).cast("double"))).head()
     val n = r.getLong(0)
-    if (n == 0) return 0
+    // all-NULL coordinates also fall back (rows exist but min/max are
+    // NULL — getDouble would NPE); res 0 keeps the join correct-empty
+    if (n == 0 || r.isNullAt(1)) return 0
     val w = math.max(r.getDouble(2) - r.getDouble(1), 1e-9)
     val h = math.max(r.getDouble(4) - r.getDouble(3), 1e-9)
     val ratio = 9.0 * (n / (w * h)) * 360.0 * 180.0 / math.max(target, 1L).toDouble

@@ -230,7 +230,7 @@ object TextAnalysis {
    */
   def hostStats(docs: DataFrame, urlCol: String, textCol: String): DataFrame = {
     val base = docs.select(
-      regexp_extract(col(urlCol), "^https?://([^/]+)/", 1).as("host"),
+      regexp_extract(col(urlCol), "^https?://([^/?#]+)", 1).as("host"),
       md5(col(textCol).cast("binary")).as("text_md5"),
       tokenCount(col(textCol)).cast("long").as("n_tok"),
       length(col(textCol)).cast("long").as("n_chars"))
@@ -247,7 +247,7 @@ object TextAnalysis {
 
   /** SQL twin of [[hostStats]] over a `(url, text)` relation. */
   def hostStatsSql(rel: String): String =
-    s"""WITH b AS (SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+    s"""WITH b AS (SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
        |             md5(text) AS text_md5,
        |             CAST(${tokenCountSql("text")} AS BIGINT) AS n_tok,
        |             CAST(length(text) AS BIGINT) AS n_chars
@@ -459,7 +459,7 @@ object TextAnalysis {
   def hostCap(docs: DataFrame, urlCol: String, idCol: String, k: Int): DataFrame = {
     val h = Clump.avalanche31(col(idCol).cast("long"))
     docs.select(
-        regexp_extract(col(urlCol), "^https?://([^/]+)/", 1).as("host"),
+        regexp_extract(col(urlCol), "^https?://([^/?#]+)", 1).as("host"),
         h.as("__h"), col(idCol).cast("long").as("doc_id"))
       .groupBy(col("host"))
       .agg(graft.functions.top_k(
@@ -472,10 +472,10 @@ object TextAnalysis {
   /** SQL twin of [[hostCap]] over a `(url, doc_id)` relation. */
   def hostCapSql(rel: String, k: Int): String =
     s"""SELECT host, rnk, doc_id FROM (
-       |  SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+       |  SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
        |    doc_id,
        |    ROW_NUMBER() OVER (
-       |      PARTITION BY regexp_extract(url, '^https?://([^/]+)/', 1)
+       |      PARTITION BY regexp_extract(url, '^https?://([^/?#]+)', 1)
        |      ORDER BY ${Clump.avalanche31Sql("doc_id")}, doc_id) AS rnk
        |  FROM $rel) WHERE rnk <= $k""".stripMargin
 
@@ -570,7 +570,12 @@ object TextAnalysis {
     val banned = lines.groupBy(col("line"), col("doc_id")).agg(count(lit(1)).as("_"))
       .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") > maxDocs).select("line")
-    val kept = lines.join(broadcast(banned), Seq("line"), "left_anti")
+    // no broadcast() hint: the banned set is usually tiny and AQE will
+    // broadcast it, but a template-heavy crawl can push MILLIONS of
+    // distinct >maxDocs lines — a forced hint would bypass the
+    // autoBroadcastJoinThreshold safety valve and OOM exactly at scale;
+    // the anti join degrades to a shuffle join instead
+    val kept = lines.join(banned, Seq("line"), "left_anti")
     kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines_kept"),
         array_join(transform(

@@ -157,14 +157,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         "BroadcastNestedLoopJoin", "Join"))
   }
 
-  test("removeBoilerplateLines: broadcast anti join for the ban, no Expand") {
+  test("removeBoilerplateLines: AQE broadcasts the small ban into a left-anti join, no Expand") {
     val multi = docs.withColumn("text",
       concat(col("text"), lit("\nfooter line")))
     val df = graft.operators.TextAnalysis.removeBoilerplateLines(
       multi, "doc_id", "text", maxDocs = 50)
+    // no broadcast() HINT on the operator (an unbounded ban set must be
+    // allowed to degrade to a shuffle join) — so execute and read the
+    // AQE-final plan: at this size the runtime stats broadcast it
+    df.count()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      "banned-line set must broadcast into a left-anti join:\n" + plan.take(800))
+      "small banned-line set should AQE-broadcast into a left-anti join:\n" +
+        plan.take(800))
     assert(!plan.contains("Expand") && !plan.contains("CartesianProduct"),
       plan.take(800))
     graft.plans.Caches.flush()
