@@ -120,6 +120,108 @@ object Flow {
   }
 
   /**
+   * D8 flow ACCUMULATION (gdal/ESRI FlowAccumulation analogue): for
+   * every cell, how many OTHER cells drain through it — the upstream
+   * contributing-area count driving stream-network extraction
+   * (cells with accumulation above a threshold ARE the channels).
+   *
+   * Scale design: WAVE PROPAGATION over the pointer forest — round k's
+   * wave carries, per node, the count of upstream cells at exactly
+   * depth k; each round is ONE cell-keyed hash-agg (children sum into
+   * parents) plus a join back onto the pointer relation, and the wave
+   * SHRINKS as branches exhaust. Rounds = forest depth (not log-depth:
+   * counting every path node has no doubling shortcut short of
+   * Euler-tour list ranking, which trades one giant sort for the
+   * rounds — the wave's per-round cost decays geometrically on real
+   * terrain, so depth × shrinking beats log × full-size until depths
+   * reach the tens of thousands). The small-forest finish (same bound
+   * discipline as [[routing]]) resolves bounded forests in ONE
+   * single-task chase that increments every node along each cell's
+   * path — O(total path length).
+   *
+   * Output: the [[Focal.d8]] columns plus `flow_acc` (exact LONG, 0
+   * for ridge cells and nodata).
+   */
+  def accumulation(px: DataFrame, b: String, g: GridMeta,
+                   checkpointDir: Option[String] = None,
+                   maxRounds: Int = 10000,
+                   localCells: Long = 2000000L): DataFrame = {
+    val spark = px.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftBridge.resetStats(
+        if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint())
+    val w = g.width.toLong
+    val d8 = Focal.d8(px, b)
+    val id = col("row") * w + col("col")
+    val dl = delta(col("d8_dir"), w)
+    val pt = truncate(d8.select(id.as("id"), (id + dl).as("p")))
+    val debug = sys.env.contains("GRAFT_COMP_DEBUG")
+    var acc: DataFrame = null
+    if (localCells > 0 && pt.count() <= localCells) {
+      if (debug) println("FLOWACC local finish")
+      acc = graft.plans.Caches.track(localAccumulation(pt))
+    } else {
+      // wave_0: every non-root child deposits 1 on its parent
+      var wave = truncate(pt.where(col("p") =!= col("id"))
+        .groupBy(col("p").as("id")).agg(count(lit(1)).as("w")))
+      acc = wave
+      var round = 0
+      var waveRows = wave.count()
+      while (waveRows > 0 && round < maxRounds) {
+        val tRound = System.nanoTime()
+        // arrivals at x forward to x's parent (roots absorb: p == id
+        // rows are dropped, their counts already accumulated)
+        wave = truncate(wave
+          .join(pt, Seq("id"))
+          .where(col("p") =!= col("id"))
+          .groupBy(col("p").as("id")).agg(sum(col("w")).as("w")))
+        waveRows = wave.count()
+        if (waveRows > 0)
+          acc = truncate(acc.unionByName(wave)
+            .groupBy(col("id")).agg(sum(col("w")).as("w")))
+        round += 1
+        if (debug) println(f"FLOWACC round=$round wave=$waveRows " +
+          f"${(System.nanoTime() - tRound) / 1e9}%.2f s")
+      }
+    }
+    graft.plans.Caches.track(
+      d8.withColumn("__id", id)
+        .join(acc.select(col("id").as("__id"), col("w").as("flow_acc")),
+          Seq("__id"), "left_outer")
+        .withColumn("flow_acc", coalesce(col("flow_acc"), lit(0L)))
+        .drop("__id"))
+  }
+
+  /** Single-task accumulation over a bounded forest: chase every
+    * cell's chain, incrementing each node on the path — O(Σ path
+    * length) with primitive maps. */
+  private def localAccumulation(pt: DataFrame): DataFrame = {
+    val spark = pt.sparkSession
+    import spark.implicits._
+    pt.select(col("id"), col("p")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val next = scala.collection.mutable.LongMap.empty[Long]
+        it.foreach { case (i, p) => next.update(i, p) }
+        val acc = scala.collection.mutable.LongMap.empty[Long]
+        next.foreachKey { id0 =>
+          var x = id0
+          var nx = next(x)
+          while (nx != x) {
+            x = nx
+            acc.update(x, acc.getOrElse(x, 0L) + 1L)
+            nx = next(x)
+          }
+        }
+        val out = Array.newBuilder[(Long, Long)]
+        acc.foreachKey(k => out += ((k, acc(k))))
+        out.result().iterator
+      }
+      .toDF("id", "w")
+  }
+
+  /**
    * Single-task root resolution over a bounded pointer forest: one
    * memoized chase with path compression — every visited prefix stores
    * its (root, remaining-hops), so total work is O(cells). Returns the

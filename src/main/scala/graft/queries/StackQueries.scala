@@ -463,6 +463,14 @@ object StackQueries {
       graft.operators.Contour.segments(
         stack(s).df.select("row", "col", "b1"), "b1", level = 127.5)),
 
+    // Flow accumulation (upstream contributing-cell count): wave
+    // propagation over the D8 forest / single-task chase under the
+    // bound; the oracle counts recursive-walk visits per node.
+    "q128_flow_accum" -> ((s, _) =>
+      graft.operators.Flow.accumulation(
+        stack(s).df.select("row", "col", "b1"), "b1", G)
+        .select("row", "col", "d8_dir", "flow_acc")),
+
     // Watershed labeling + flow length over the D8 pointer forest:
     // pointer doubling (O(log depth) self-join rounds with checkpoint
     // truncation), exact LONG hop counts; the oracle walks the same
@@ -714,6 +722,28 @@ object StackQueries {
     "q122_contour" -> graft.operators.Contour.segmentsSql(
       s"(SELECT row, col, ${bandSql("row", "col", NcBands.head)} AS b1 " +
         s"FROM ${gridSql(G)})", "b1", level = 127.5),
+
+    "q128_flow_accum" -> {
+      // each recursive-walk row (id, cur) with cur <> id is one visit
+      // of id's drainage path at node cur; paths are simple (strict
+      // descent), so COUNT(*) per cur IS the upstream cell count
+      val w = G.width.toLong
+      val pSql = s"(CAST(row * $w + col AS BIGINT) + " +
+        s"${graft.operators.Flow.deltaSql("d8_dir", w)})"
+      s"""WITH RECURSIVE $d8OracleCtes,
+         |pt AS MATERIALIZED (SELECT row, col, d8_dir,
+         |         CAST(row * $w + col AS BIGINT) AS id, $pSql AS p FROM dd),
+         |walk(id, cur) AS (
+         |  SELECT id, p FROM pt WHERE p <> id
+         |  UNION ALL
+         |  SELECT wk.id, p2.p
+         |  FROM walk wk JOIN pt p2 ON p2.id = wk.cur AND p2.p <> p2.id)
+         |SELECT pt.row, pt.col, pt.d8_dir,
+         |  COALESCE(a.n, 0) AS flow_acc
+         |FROM pt LEFT JOIN (
+         |  SELECT cur, CAST(COUNT(*) AS BIGINT) AS n FROM walk GROUP BY 1) a
+         |ON a.cur = pt.id""".stripMargin
+    },
 
     "q121_watershed" -> {
       // per-cell downstream pointer (self for pits/nodata), then a

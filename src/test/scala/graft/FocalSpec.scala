@@ -235,6 +235,43 @@ class FocalSpec extends AnyFunSuite with SparkSpec {
     assert(dist === got)
   }
 
+  test("flow accumulation equals the scalar path-visit count; both paths equal") {
+    val g = GridMeta.northUp(0.0, 0.0, W.toDouble, H.toDouble, width = W, height = H)
+    def collect(localCells: Long): Map[(Int, Int), Long] =
+      graft.operators.Flow.accumulation(px, "b1", g, localCells = localCells)
+        .select("row", "col", "flow_acc")
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+          r.getLong(2)).toMap
+    val got = collect(2000000L)
+    assert(got.size === H * W)
+    // scalar twin: walk every cell's chain, incrementing the visited
+    import graft.operators.Utm.DblAr
+    def step(r: Int, c: Int): (Int, Int) =
+      valueAt(r, c).map { z =>
+        var bd = 0.0; var best = (r, c)
+        Focal.D8Codes.foreach { case (_, dr, dc, dist) =>
+          val rr = r + dr; val cc = c + dc
+          if (rr >= 0 && rr < H && cc >= 0 && cc < W)
+            valueAt(rr, cc).foreach { zn =>
+              val d = Focal.d8Drop[Double](z.toDouble, zn.toDouble, dist)(DblAr)
+              if (d > bd) { bd = d; best = (rr, cc) }
+            }
+        }
+        best
+      }.getOrElse((r, c))
+    val want = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      .withDefaultValue(0L)
+    for (r0 <- 0 until H; c0 <- 0 until W) {
+      var cur = (r0, c0); var next = step(cur._1, cur._2)
+      while (next != cur) { want(next) += 1; cur = next; next = step(cur._1, cur._2) }
+    }
+    for (r <- 0 until H; c <- 0 until W)
+      assert(got((r, c)) === want((r, c)), s"cell ($r,$c)")
+    assert(got.values.max >= 3L, "fixture too flat to exercise accumulation")
+    // forced distributed wave loop == the single-task chase
+    assert(collect(0L) === got)
+  }
+
   test("focal plans are separable windows: WindowExec, no join, no cartesian") {
     for (df <- Seq(Focal.stats3x3(px, "b1"),
                    Focal.horn(px, "b1", GridMeta.TestGrid),
