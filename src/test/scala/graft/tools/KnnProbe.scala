@@ -25,10 +25,11 @@ object KnnProbe {
     println(s"KNNPROBE train n=${train.count()}")
     val auto = t("autoRes")(graft.operators.KNN.autoRes(train, "tlon", "tlat"))
     println(s"KNNPROBE autoRes=$auto")
-    for (r <- Seq(auto, 4, 2, 0).distinct) {
-      t(s"join res=$r") {
+    for (thr <- Seq("128", "128", "100000000", "100000000", "128")) {
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", thr)
+      t(s"join res=$auto thr=$thr") {
         val out = graft.operators.KNN.join(probes, "pid", "plon", "plat",
-          train, "tlon", "tlat", "tid", 5, r)
+          train, "tlon", "tlat", "tid", 5, auto)
         println(s"  rows=${out.count()}")
       }
       graft.plans.Caches.flush()
