@@ -20,6 +20,13 @@ final class TopKBuffer(val ord: Ordering[InternalRow], val k: Int) {
   def add(r: InternalRow): Unit =
     if (heap.size < k) heap.offer(r)
     else if (ord.lt(r, heap.peek())) { heap.poll(); heap.offer(r) }
+  /** Admission probe over a REUSED row: compare first, copy only if the
+    * row would enter the heap — the hot path sees every candidate row
+    * but admits at most k per group, so skipping the per-row copy for
+    * rejected candidates removes the dominant allocation. */
+  def addMaybe(r: UnsafeRow): Unit =
+    if (heap.size < k) heap.offer(r.copy())
+    else if (ord.lt(r, heap.peek())) { heap.poll(); heap.offer(r.copy()) }
   def sortedAsc: Array[InternalRow] = {
     val a = new Array[InternalRow](heap.size)
     heap.toArray(a)
@@ -68,14 +75,30 @@ case class BoundedTopK(child: Expression, k: Int,
   @transient private lazy val ordering: Ordering[InternalRow] =
     RowOrdering.createNaturalAscendingOrdering(structType.map(_.dataType))
   @transient private lazy val toUnsafe = UnsafeProjection.create(structType)
+  // Fast update path: when the struct is a literal CreateNamedStruct
+  // (every caller in this codebase), project its FIELD expressions
+  // straight off the input row in ONE codegen'd UnsafeProjection —
+  // skipping the interpreted per-row struct eval + re-projection. The
+  // projection's output row is reused; TopKBuffer.addMaybe copies only
+  // on heap admission.
+  @transient private lazy val directProj: UnsafeProjection = child match {
+    case s: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct
+        if s.valExprs.forall(_.deterministic) =>
+      UnsafeProjection.create(s.valExprs)
+    case _ => null
+  }
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(ordering, k)
 
   override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
-    val v = child.eval(input)
-    // copy through an UnsafeProjection: the evaluated struct row is a
-    // reused mutable row, and unsafe bytes also make serialize cheap
-    if (v != null) b.add(toUnsafe(v.asInstanceOf[InternalRow]).copy())
+    if (directProj != null) {
+      b.addMaybe(directProj(input))
+    } else {
+      val v = child.eval(input)
+      // copy through an UnsafeProjection: the evaluated struct row is a
+      // reused mutable row, and unsafe bytes also make serialize cheap
+      if (v != null) b.add(toUnsafe(v.asInstanceOf[InternalRow]).copy())
+    }
     b
   }
 

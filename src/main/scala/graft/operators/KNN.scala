@@ -110,14 +110,33 @@ object KNN {
       val cw = CellIndex.cellWidthDeg(resL)
       val ch = CellIndex.cellHeightDeg(resL)
       val n = 1L << resL
-      val t = train.withColumn("__tcell", cell_encode(col(tLon), col(tLat), resL))
+      // EXPLODE THE TRAIN SIDE, not the probes: probe p matches train t
+      // iff t's cell lies in p's 3x3 disk, and the disk relation is
+      // symmetric (d ∈ disk(c) ⇔ c ∈ disk(d) for the ±1 wrap-around
+      // square), so exploding train's disk against the probe's OWN cell
+      // yields the identical candidate pair set while multiplying the
+      // (bounded) train relation x9 instead of the probe corpus — at
+      // scale the probe side is the 100 TB side and never explodes
+      // (guide §3.3: explode the small side of a join).
+      // array_distinct: gridDisk wraps in lon, so at coarse levels
+      // (n <= 3 cells across) the 3x3 disk repeats cells — duplicates
+      // would double-count candidates and corrupt ranks
+      val t = train.withColumn("__tcell", explode(array_distinct(
+        cell_disk(cell_encode(col(tLon), col(tLat), resL), 1))))
       val p = pending
         .withColumn("__cell", cell_encode(col(pLon), col(pLat), resL))
-        // array_distinct: gridDisk wraps in lon, so at coarse levels
-        // (n <= 3 cells across) the 3x3 disk repeats cells — duplicates
-        // would double-count candidates and corrupt ranks
-        .withColumn("__tcell", explode(array_distinct(cell_disk(col("__cell"), 1))))
-      val cand = p.join(t, Seq("__tcell")).withColumn("__dist", dist)
+        .withColumn("__tcell", col("__cell"))
+      // Build-side choice is explicit: when the exploded train relation's
+      // optimizer estimate fits a broadcast comfortably, hint it — the
+      // static estimates here (two subtrees of the same tiny source) are
+      // too close for the planner to reliably pick the side that keeps
+      // the PROBE relation streaming (a mis-pick serializes the whole
+      // candidate expansion through the train scan's partitioning). Big
+      // train falls through to the planner's shuffle join, as before.
+      val tSmall = t.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        (8L << 20)
+      val cand = (if (tSmall) p.join(broadcast(t), Seq("__tcell"))
+                  else p.join(t, Seq("__tcell"))).withColumn("__dist", dist)
       // (dist, trainId) lead the struct: the heap's lexicographic order
       // is the ranking order, trainId the unique deterministic breaker
       val item = struct((col("__dist").as("__dist") +: col(tId).as(tId) +:
@@ -151,7 +170,18 @@ object KNN {
           col("col").getField(tId).as(tId)) ++
           trainPayload.map(c => col("col").getField(c).as(c)): _*)
 
-    var pending = probes
+    // Scan parallelism floor: a probe relation read from one small file
+    // (or any source with fewer splits than cores) would serialize the
+    // candidate expansion + partial top-k through its scan tasks. One
+    // cheap hash repartition on the unique probe id fixes the fan-out;
+    // sources already wider than the session's parallelism pass through
+    // untouched (scale-adaptive: defaultParallelism, never a constant).
+    val parallel = probes.sparkSession.sparkContext.defaultParallelism
+    val pending0 =
+      if (probes.queryExecution.toRdd.getNumPartitions < parallel)
+        probes.repartition(parallel, col(probeId))
+      else probes
+    var pending = pending0
     var resL = res
     val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var done = false
