@@ -190,34 +190,53 @@ object Clump {
         println(f"SIEVE   $l ${(System.nanoTime() - t0) / 1e9}%.2f s")
       res
     }
-    // region-level state: reg(id, n, cat) + undirected distinct edges
-    val reg0 = step("reg0")(truncate(labeled
+    // region-level state: reg(id, n, cat) + undirected distinct edges.
+    // Both are PACKED into one persisted tagged relation and
+    // materialized by a SINGLE job (the per-tag count below), which
+    // also doubles as the two-sided bound probe — the round-6 shape
+    // (reg0 checkpoint + edges0 checkpoint + 2 count jobs) paid four
+    // driver-blocking jobs before any sieve work started.
+    val reg0 = graft.plans.Caches.track(labeled
       .groupBy(col("component").as("id"))
-      .agg(count(lit(1)).as("n"), max(col(catCol)).as("rcat"))))
-    var reg = reg0
+      .agg(count(lit(1)).as("n"), max(col(catCol)).as("rcat")))
     // symmetrize with ONE explode over e0, not e0 UNION reverse(e0) —
     // the union form evaluates the two-window adjacency subtree once
     // per branch (4 window shuffles instead of 2; measured 6.7 s vs
     // 2.9 s on the 217k-px fixture)
-    var edges = step("edges0")(truncate(e0
+    val edges0 = e0
       .select(explode(array(
         struct(col("s"), col("t")),
         struct(col("t").as("s"), col("s").as("t")))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t")).distinct()))
+      .select(col("e.s").as("s"), col("e.t").as("t")).distinct()
+    val packed = graft.plans.Caches.track(reg0
+      .select(lit(0).as("tag"), col("id").cast("long").as("u"),
+        col("n").cast("long").as("v"), col("rcat").isNotNull.as("ok"))
+      .unionByName(edges0
+        .select(lit(1).as("tag"), col("s").cast("long").as("u"),
+          col("t").cast("long").as("v"), lit(true).as("ok"))))
+    val cnts = step("bound probe")(packed.groupBy(col("tag"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    val nReg = cnts.getOrElse(0, 0L)
+    val nEdges = cnts.getOrElse(1, 0L)
     // orig region id -> current label (identity to start)
-    var relabel = reg.select(col("id").as("orig"), col("id").as("lbl"))
-    // two-phase: reg/edges are freshly checkpointed, so the bound
-    // probe is two cheap counts; inside the bound ALL rounds run in
-    // one single-task kernel instead of rounds × ~5 checkpoint jobs
-    val localOk = step("bound probe")(
-      localRegions > 0 && reg.count() <= localRegions &&
-        edges.count() <= localRegions)
+    var relabel = reg0.select(col("id").as("orig"), col("id").as("lbl"))
+    var reg = reg0
+    var edges: DataFrame = null
+    val localOk =
+      localRegions > 0 && nReg <= localRegions && nEdges <= localRegions
     if (localOk) {
       // lazy + persisted: the kernel runs once, inside the caller's
       // final relabel join, instead of as its own checkpoint job
       relabel = graft.plans.Caches.track(
-        localSieveFixpoint(reg, edges, minPix, rounds))
+        localSieveFixpoint(packed, minPix, rounds))
       done = true
+    } else {
+      // distributed loop: checkpoint the round-0 state for the loop's
+      // lineage discipline (same contract as round 6)
+      reg = step("reg0")(truncate(reg0))
+      edges = step("edges0")(truncate(packed.where(col("tag") === 1)
+        .select(col("u").as("s"), col("v").as("t"))))
     }
     while (r < rounds && !done) {
       val tRound = System.nanoTime()
@@ -268,10 +287,15 @@ object Clump {
     // would be a second corpus pass the "touched exactly twice" design
     // note forbids
     val cmap = reg0.select(col("id").as("__lbl"), col("rcat").as("__ocat"))
+    // region-keyed dim relations: bounded by the local-finish bound on
+    // the local path — broadcast them so the pixel relation never
+    // shuffles for the final relabel (the kernel's LogicalRDD default
+    // stats would otherwise force sort-merge planning)
+    def dim(df: DataFrame): DataFrame = if (localOk) broadcast(df) else df
     labeled
-      .join(relabel.select(col("orig").as("component"), col("lbl").as("__lbl")),
+      .join(dim(relabel.select(col("orig").as("component"), col("lbl").as("__lbl"))),
         Seq("component"))
-      .join(cmap, Seq("__lbl"), "left")
+      .join(dim(cmap), Seq("__lbl"), "left")
       .withColumn("component_out", col("__lbl"))
       .withColumn("cat_out",
         when(col("__lbl") =!= col("component"), col("__ocat")).otherwise(col(catCol)))
@@ -288,16 +312,11 @@ object Clump {
    * Returns (orig, lbl) for every input region — bit-identical to the
    * distributed loop's relabel relation by construction.
    */
-  private def localSieveFixpoint(reg: DataFrame, edges: DataFrame,
+  private def localSieveFixpoint(packed0: DataFrame,
                                  minPix: Int, rounds: Int): DataFrame = {
-    val spark = reg.sparkSession
+    val spark = packed0.sparkSession
     import spark.implicits._
-    val packed = reg
-      .select(lit(0).as("tag"), col("id").cast("long").as("u"),
-        col("n").cast("long").as("v"), col("rcat").isNotNull.as("ok"))
-      .unionByName(edges
-        .select(lit(1).as("tag"), col("s").cast("long").as("u"),
-          col("t").cast("long").as("v"), lit(true).as("ok")))
+    val packed = packed0.select(col("tag"), col("u"), col("v"), col("ok"))
       .as[(Int, Long, Long, Boolean)]
     packed.coalesce(1).mapPartitions { it =>
       val size = scala.collection.mutable.LongMap.empty[Long]
@@ -382,11 +401,18 @@ object Clump {
         col("__prow") === col("row") - 1L &&
         col("__prun") =!= col("__run"))
       .select(col("__prun").as("id_a"), col("__run").as("id_b"))
-    val comp = Dedup.components(e, "id_a", "id_b", checkpointDir, localFinishEdges)
-      .withColumnRenamed("id", "__run")
+    val (comp0, compBounded) =
+      Dedup.componentsInfo(e, "id_a", "id_b", checkpointDir, localFinishEdges)
     // runs with no inter-run edge keep their own id — which IS the
-    // min pixel id of their (purely horizontal) region
-    base.join(comp, Seq("__run"), "left")
+    // min pixel id of their (purely horizontal) region.
+    // When the label relation came out of the bounded local finish,
+    // broadcast it: the default-stats LogicalRDD would otherwise plan a
+    // sort-merge join (two exchanges + sorts of the PIXEL relation) that
+    // AQE only converts after paying the shuffle writes — and the
+    // broadcast keeps `base`'s by-row partitioning on the output, so a
+    // downstream window pass (sieve adjacency) skips its row Exchange.
+    val comp = comp0.withColumnRenamed("id", "__run")
+    base.join(if (compBounded) broadcast(comp) else comp, Seq("__run"), "left")
       .withColumn("component", coalesce(col("component"), col("__run")))
       .drop("__id", "__run")
   }

@@ -274,7 +274,17 @@ object Dedup {
    */
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  checkpointDir: Option[String] = None,
-                 localFinishEdges: Long = 2000000L): DataFrame = {
+                 localFinishEdges: Long = 2000000L): DataFrame =
+    componentsInfo(pairs, aCol, bCol, checkpointDir, localFinishEdges)._1
+
+  /** [[components]] plus whether the LABEL relation is bounded by the
+    * local-finish bound (round-0 fast path): a true flag licenses the
+    * caller to broadcast the labels in its re-attach join — the same
+    * bound that let one task hold the graph guarantees the broadcast
+    * fits. */
+  private[graft] def componentsInfo(pairs: DataFrame, aCol: String, bCol: String,
+                 checkpointDir: Option[String] = None,
+                 localFinishEdges: Long = 2000000L): (DataFrame, Boolean) = {
     val spark = pairs.sparkSession
     // reliable-FS mode: RDD checkpoints go through the Hadoop FileSystem
     // resolved from the dir (same contract as plans.Checkpoint markers)
@@ -307,7 +317,7 @@ object Dedup {
     val nPairs = p.count()
     // an empty pair set is a normal outcome for a clean corpus
     if (nPairs == 0)
-      return p.select(col("__a").as("id"), col("__b").as("component")).limit(0)
+      return (p.select(col("__a").as("id"), col("__b").as("component")).limit(0), true)
     if (longKeys && nPairs <= localFinishEdges) {
       // ROUND-0 FAST PATH: the union-find map already covers EVERY id
       // appearing in the pair set (both endpoints are inserted), so the
@@ -315,9 +325,9 @@ object Dedup {
       // distinct+checkpoint (union-find is idempotent under duplicate
       // edges). One single-task job over the checkpointed pairs.
       if (debug) println(s"COMP local finish at round=0 pairs=$nPairs")
-      return Caches.track(localComponents(
+      return (Caches.track(localComponents(
         p.select(col("__a").as("ca"), col("__b").as("cb")))
-        .select(col("c").as("id"), col("m").as("component")))
+        .select(col("c").as("id"), col("m").as("component"))), true)
     }
     var labels =
       p.select(col("__a").as("id")).unionByName(p.select(col("__b").as("id")))
@@ -376,7 +386,8 @@ object Dedup {
     }
     val out = truncate(labels)
     ms.foreach(_.unpersist(false))
-    out
+    // the loop-exit label relation covers every vertex — unbounded
+    (out, false)
   }
 
   /**

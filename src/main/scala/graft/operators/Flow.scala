@@ -68,7 +68,10 @@ object Flow {
       org.apache.spark.sql.GraftBridge.resetStats(
         if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint())
     val w = g.width.toLong
-    val d8 = Focal.d8(px, b)
+    // persisted: the D8 relation (two window shuffles + the argmax
+    // chain) feeds BOTH the pointer extraction below and the final
+    // output join — without the persist the window passes run twice
+    val d8 = graft.plans.Caches.track(Focal.d8(px, b))
     val id = col("row") * w + col("col")
     val dl = delta(col("d8_dir"), w)
     var pt = truncate(d8.select(id.as("id"), (id + dl).as("p"),
@@ -83,10 +86,12 @@ object Flow {
     // each for a 217k-cell forest a single task walks in milliseconds.
     // At continental scale the doubling loop remains the path; pass
     // `localCells = 0` to force it (specs pin both paths identical).
+    var localFinish = false
     if (localCells > 0 && pt.count() <= localCells) {
       if (debug) println("FLOW local finish")
       pt = graft.plans.Caches.track(localRouting(pt))
       moved = 0
+      localFinish = true
     }
     while (moved > 0 && round < maxRounds) {
       val tRound = System.nanoTime()
@@ -106,12 +111,16 @@ object Flow {
       if (debug) println(f"FLOW round=$round moved=$moved " +
         f"${(System.nanoTime() - tRound) / 1e9}%.2f s")
     }
+    // bounded local-kernel output (<= localCells rows) broadcasts so
+    // the D8 relation never shuffles for the output join; the converged
+    // doubling state (unbounded) keeps the planner's join
+    val ptOut = pt.select(col("id").as("__id"), col("p").as("outlet"),
+      col("len").as("flow_len"))
     graft.plans.Caches.track(
       d8.withColumn("__id", id)
         // (join target: pt — either the converged doubling state or the
         // local kernel's (id, root, len) relation; identical contract)
-        .join(pt.select(col("id").as("__id"), col("p").as("outlet"),
-          col("len").as("flow_len")), Seq("__id"))
+        .join(if (localFinish) broadcast(ptOut) else ptOut, Seq("__id"))
         // Column./ is double division; ids stay < 2^53 so r + c/w is
         // exact to truncate (all values non-negative)
         .withColumn("outlet_row", (col("outlet") / lit(w)).cast("long"))
@@ -152,15 +161,18 @@ object Flow {
       org.apache.spark.sql.GraftBridge.resetStats(
         if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint())
     val w = g.width.toLong
-    val d8 = Focal.d8(px, b)
+    // persisted for the same two-consumer reason as in [[routing]]
+    val d8 = graft.plans.Caches.track(Focal.d8(px, b))
     val id = col("row") * w + col("col")
     val dl = delta(col("d8_dir"), w)
     val pt = truncate(d8.select(id.as("id"), (id + dl).as("p")))
     val debug = sys.env.contains("GRAFT_COMP_DEBUG")
     var acc: DataFrame = null
+    var localFinish = false
     if (localCells > 0 && pt.count() <= localCells) {
       if (debug) println("FLOWACC local finish")
       acc = graft.plans.Caches.track(localAccumulation(pt))
+      localFinish = true
     } else {
       // wave_0: every non-root child deposits 1 on its parent
       var wave = truncate(pt.where(col("p") =!= col("id"))
@@ -184,18 +196,32 @@ object Flow {
         if (debug) println(f"FLOWACC round=$round wave=$waveRows " +
           f"${(System.nanoTime() - tRound) / 1e9}%.2f s")
       }
+      // a biting cap must never be silent (the q117 hot-bands
+      // discipline): undercounted flow_acc without a signal would be a
+      // correctness trap on forests deeper than maxRounds
+      if (waveRows > 0)
+        System.err.println(s"WARN Flow.accumulation: wave loop exhausted " +
+          s"maxRounds=$maxRounds with $waveRows wave rows still in flight " +
+          s"- flow_acc is UNDERCOUNTED; raise maxRounds for this forest")
     }
+    // same bounded-broadcast rule as [[routing]]'s output join
+    val accOut = acc.select(col("id").as("__id"), col("w").as("flow_acc"))
     graft.plans.Caches.track(
       d8.withColumn("__id", id)
-        .join(acc.select(col("id").as("__id"), col("w").as("flow_acc")),
+        .join(if (localFinish) broadcast(accOut) else accOut,
           Seq("__id"), "left_outer")
         .withColumn("flow_acc", coalesce(col("flow_acc"), lit(0L)))
         .drop("__id"))
   }
 
-  /** Single-task accumulation over a bounded forest: chase every
-    * cell's chain, incrementing each node on the path — O(Σ path
-    * length) with primitive maps. */
+  /** Single-task accumulation over a bounded forest — O(cells) via a
+    * reverse-topological (Kahn) sweep: leaves push their subtree counts
+    * one hop at a time, acc(parent) += acc(child) + 1, so every edge is
+    * visited ONCE. (The round-6 chase walked every cell's full chain —
+    * O(Σ path length), which is O(n²) on a single long channel: a 2M-
+    * cell channel would stall the task for ~2e12 increments.) Emits the
+    * same (id, upstream-count) relation: exactly the nodes with ≥ 1
+    * upstream cell. */
   private def localAccumulation(pt: DataFrame): DataFrame = {
     val spark = pt.sparkSession
     import spark.implicits._
@@ -203,15 +229,21 @@ object Flow {
       .coalesce(1)
       .mapPartitions { it =>
         val next = scala.collection.mutable.LongMap.empty[Long]
-        it.foreach { case (i, p) => next.update(i, p) }
+        val indeg = scala.collection.mutable.LongMap.empty[Long]
+        it.foreach { case (i, p) =>
+          next.update(i, p)
+          if (p != i) indeg.update(p, indeg.getOrElse(p, 0L) + 1L)
+        }
         val acc = scala.collection.mutable.LongMap.empty[Long]
-        next.foreachKey { id0 =>
-          var x = id0
-          var nx = next(x)
-          while (nx != x) {
-            x = nx
-            acc.update(x, acc.getOrElse(x, 0L) + 1L)
-            nx = next(x)
+        val queue = new java.util.ArrayDeque[Long]()
+        next.foreachKey { k => if (!indeg.contains(k)) queue.add(k) }
+        while (!queue.isEmpty) {
+          val x = queue.poll()
+          val p = next(x)
+          if (p != x) {
+            acc.update(p, acc.getOrElse(p, 0L) + acc.getOrElse(x, 0L) + 1L)
+            val d = indeg(p) - 1L
+            if (d == 0L) queue.add(p) else indeg.update(p, d)
           }
         }
         val out = Array.newBuilder[(Long, Long)]
