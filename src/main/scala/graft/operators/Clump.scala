@@ -202,12 +202,18 @@ object Clump {
     // symmetrize with ONE explode over e0, not e0 UNION reverse(e0) —
     // the union form evaluates the two-window adjacency subtree once
     // per branch (4 window shuffles instead of 2; measured 6.7 s vs
-    // 2.9 s on the 217k-px fixture)
+    // 2.9 s on the 217k-px fixture). NO distinct: the kernel's pick is
+    // a max over neighbors (duplicates cannot change it) and the
+    // distributed loop re-distincts at every contraction, so the
+    // per-boundary-pixel duplicates only make the edge-count bound
+    // conservative (duplicates count toward localRegions) — and the
+    // dedup exchange + two aggregation passes disappear from the
+    // pre-loop job.
     val edges0 = e0
       .select(explode(array(
         struct(col("s"), col("t")),
         struct(col("t").as("s"), col("s").as("t")))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t")).distinct()
+      .select(col("e.s").as("s"), col("e.t").as("t"))
     val packed = graft.plans.Caches.track(reg0
       .select(lit(0).as("tag"), col("id").cast("long").as("u"),
         col("n").cast("long").as("v"), col("rcat").isNotNull.as("ok"))

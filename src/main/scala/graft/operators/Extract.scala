@@ -49,7 +49,10 @@ object Extract {
   def probeOuterBroadcast(big: DataFrame, probes: DataFrame, keys: Seq[String],
                           layerCols: Seq[String]): DataFrame = {
     val inner = graft.plans.Caches.track(big.join(broadcast(probes), keys))
-    val matched = inner.select(keys.map(col): _*).distinct()
+    // no distinct: the anti join only probes key PRESENCE, duplicate
+    // build keys are harmless — and the dedup cost an exchange plus two
+    // aggregation passes over the probe-sized inner result
+    val matched = inner.select(keys.map(col): _*)
     val nulls = layerCols.map(n => lit(null).cast(big.schema(n).dataType).as(n))
     val remainder = probes.join(broadcast(matched), keys, "left_anti")
     val probeCols = probes.columns.toIndexedSeq.map(col)

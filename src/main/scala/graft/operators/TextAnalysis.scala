@@ -117,7 +117,16 @@ object TextAnalysis {
    */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int,
                 totalDocs: Option[Long] = None): DataFrame = {
-    val n = totalDocs.getOrElse(docs.count())
+    // corpus size: a provided count folds to a literal; otherwise it is
+    // computed INSIDE the DAG as a single-row broadcast (one aggregate
+    // stage overlapping the token pass) instead of a separate eager
+    // docs.count() job + extra source scan before any real work starts.
+    // The idf arithmetic is unchanged either way: (N + 1.0) is the same
+    // double, so the quantized scores are bit-identical.
+    val nCol: Column = totalDocs match {
+      case Some(n) => lit(n + 1.0)
+      case None => col("__n") + lit(1.0)
+    }
     val words = docs.select(col(idCol).as("doc_id"),
       tokenCount(col(textCol)).as("n_tok"),
       explode(split(col(textCol), " ")).as("term"))
@@ -125,10 +134,16 @@ object TextAnalysis {
       words.groupBy(col("doc_id"), col("n_tok"), col("term"))
         .agg(count(lit(1)).as("cnt")))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(dft, "term")
+    val joined0 = tf.join(dft, "term")
+    val joined = totalDocs match {
+      case Some(_) => joined0
+      case None => joined0.crossJoin(
+        broadcast(docs.select(count(lit(1)).cast("double").as("__n"))))
+    }
+    val scored = joined
       .withColumn("tfidf_q",
         floor(((col("cnt").cast("double") / col("n_tok").cast("double")) *
-          log(lit(n + 1.0) / (col("df").cast("double") + lit(1.0)))) * lit(1.0e9))
+          log(nCol / (col("df").cast("double") + lit(1.0)))) * lit(1.0e9))
           .cast("long"))
     scored.groupBy(col("doc_id"))
       .agg(graft.functions.top_k(

@@ -369,9 +369,15 @@ object StackQueries {
     "q110_region_stats" -> ((s, _) => {
       val av = graft.operators.Clump.avalanche31(
         col("row") * G.width.toLong + col("col"))
+      // b1 rides THROUGH clump as a carried column (clump preserves its
+      // input columns) instead of re-joining the 217k-row stack on
+      // (row, col) afterwards — the bands derive from the same grid, so
+      // attaching b1 before labeling is the identical relation without
+      // the pixel-x-pixel sort-merge join the old shape paid.
       val px = RasterStack.grid(s, G).withColumn("cat", av % lit(4L))
+        .withColumn("b1", RasterStack.bandValue(col("row"), col("col"),
+          RasterStack.NcBands.find(_.name == "b1").get))
       val labeled = graft.operators.Clump.clump(px, "cat", G)
-        .join(stack(s).df.select("row", "col", "b1"), Seq("row", "col"))
       graft.operators.Zonal.stats(labeled, "component", Seq("b1"))
     }),
 
