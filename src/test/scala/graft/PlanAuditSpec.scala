@@ -97,9 +97,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     graft.plans.Caches.flush()
   }
 
-  test("tfidf: bounded-heap top_k ranking, no rank window, no cross join") {
+  test("tfidf: bounded-heap top_k ranking, no rank window, no row-level cross join") {
+    // the corpus count now rides the DAG as a SINGLE-ROW broadcast
+    // (replacing a separate eager count() job), which plans as a
+    // BroadcastNestedLoopJoin over one aggregate row — allowed here and
+    // only here; a row-level cartesian is still forbidden
     assertShape("tfidf", graft.operators.TextAnalysis.tfidfTopK(
       docs.select("doc_id", "text"), "doc_id", "text", k = 3),
+      mustContain = Seq("ObjectHashAggregate"),
+      mustNotContain = Seq("Window", "CartesianProduct"))
+    // the explicit-count path keeps the join-free shape
+    assertShape("tfidf_n", graft.operators.TextAnalysis.tfidfTopK(
+      docs.select("doc_id", "text"), "doc_id", "text", k = 3,
+      totalDocs = Some(100L)),
       mustContain = Seq("ObjectHashAggregate"))
     graft.plans.Caches.flush()
   }
