@@ -214,35 +214,52 @@ object Clump {
         struct(col("s"), col("t")),
         struct(col("t").as("s"), col("s").as("t")))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
-    val packed = graft.plans.Caches.track(reg0
+    def mkPacked = reg0
       .select(lit(0).as("tag"), col("id").cast("long").as("u"),
         col("n").cast("long").as("v"), col("rcat").isNotNull.as("ok"))
       .unionByName(edges0
         .select(lit(1).as("tag"), col("s").cast("long").as("u"),
-          col("t").cast("long").as("v"), lit(true).as("ok"))))
-    val cnts = step("bound probe")(packed.groupBy(col("tag"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap)
-    val nReg = cnts.getOrElse(0, 0L)
-    val nEdges = cnts.getOrElse(1, 0L)
+          col("t").cast("long").as("v"), lit(true).as("ok")))
+    // CHEAP PIXEL BOUND first: regions <= pixels and symmetrized
+    // per-pixel-pair edges <= 4*pixels, so 4*nPx inside the bound
+    // licenses the local kernel with NO materialization of the region
+    // graph at all — the kernel's one job then computes region stats +
+    // adjacency + all rounds in a single pass (counting the pixels is
+    // the labeled cache fill we pay anyway). Only rasters too big for
+    // the 4x margin (or with localRegions tightened) pay the exact
+    // packed count probe before choosing a path.
+    val nPx = step("pixel bound")(labeled.count())
     // orig region id -> current label (identity to start)
     var relabel = reg0.select(col("id").as("orig"), col("id").as("lbl"))
     var reg = reg0
     var edges: DataFrame = null
-    val localOk =
-      localRegions > 0 && nReg <= localRegions && nEdges <= localRegions
+    var localOk = localRegions > 0 && 4L * nPx <= localRegions
     if (localOk) {
       // lazy + persisted: the kernel runs once, inside the caller's
       // final relabel join, instead of as its own checkpoint job
       relabel = graft.plans.Caches.track(
-        localSieveFixpoint(packed, minPix, rounds))
+        localSieveFixpoint(mkPacked, minPix, rounds))
       done = true
     } else {
-      // distributed loop: checkpoint the round-0 state for the loop's
-      // lineage discipline (same contract as round 6)
-      reg = step("reg0")(truncate(reg0))
-      edges = step("edges0")(truncate(packed.where(col("tag") === 1)
-        .select(col("u").as("s"), col("v").as("t"))))
+      val packed = graft.plans.Caches.track(mkPacked)
+      val cnts = step("bound probe")(packed.groupBy(col("tag"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap)
+      val nReg = cnts.getOrElse(0, 0L)
+      val nEdges = cnts.getOrElse(1, 0L)
+      localOk =
+        localRegions > 0 && nReg <= localRegions && nEdges <= localRegions
+      if (localOk) {
+        relabel = graft.plans.Caches.track(
+          localSieveFixpoint(packed, minPix, rounds))
+        done = true
+      } else {
+        // distributed loop: checkpoint the round-0 state for the loop's
+        // lineage discipline (same contract as round 6)
+        reg = step("reg0")(truncate(reg0))
+        edges = step("edges0")(truncate(packed.where(col("tag") === 1)
+          .select(col("u").as("s"), col("v").as("t"))))
+      }
     }
     while (r < rounds && !done) {
       val tRound = System.nanoTime()
