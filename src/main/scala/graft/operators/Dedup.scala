@@ -298,37 +298,44 @@ object Dedup {
         if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint())
     // the pair relation is referenced twice (vertex set + edge set) and
     // is typically an expensive near-dup join — materialize it once.
+    // PERSIST, not checkpoint: the count below fills the cache in
+    // parallel and doubles as the bound probe; only the distributed
+    // loop needs the checkpoint's lineage truncation and takes it
+    // right before entering (one fewer serialize-everything job on the
+    // round-0 local path).
     // NULL ids are dropped up front: a null can't name a vertex, the
     // hash-min joins would silently drop it anyway, and the local
     // finish's primitive-Long decode would NPE on it — one explicit
     // rule, identical on both paths.
-    val p = truncate(pairs
+    val p0 = Caches.track(pairs
       .select(col(aCol).as("__a"), col(bCol).as("__b"))
       .where(col("__a").isNotNull && col("__b").isNotNull))
     val debug = sys.env.contains("GRAFT_COMP_DEBUG")
     // the local finish needs ids a single task can hold as primitives;
     // every production caller keys on LONG ids (doc ids, run ids) —
     // exotic key types just keep the pure distributed loop
-    val longKeys = p.schema.fields.forall(
+    val longKeys = p0.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    // one count on the fresh checkpoint doubles as the emptiness probe
-    // AND the round-0 size bound (pair count >= distinct edge count, so
-    // the bound check is conservative)
-    val nPairs = p.count()
+    // one count fills the cache in parallel and doubles as the
+    // emptiness probe AND the round-0 size bound (pair count >=
+    // distinct edge count, so the bound check is conservative)
+    val nPairs = p0.count()
     // an empty pair set is a normal outcome for a clean corpus
     if (nPairs == 0)
-      return (p.select(col("__a").as("id"), col("__b").as("component")).limit(0), true)
+      return (p0.select(col("__a").as("id"), col("__b").as("component")).limit(0), true)
     if (longKeys && nPairs <= localFinishEdges) {
       // ROUND-0 FAST PATH: the union-find map already covers EVERY id
       // appearing in the pair set (both endpoints are inserted), so the
       // result IS the map — no vertex distinct, no label join, no ce
       // distinct+checkpoint (union-find is idempotent under duplicate
-      // edges). One single-task job over the checkpointed pairs.
+      // edges). One single-task job over the cached pairs.
       if (debug) println(s"COMP local finish at round=0 pairs=$nPairs")
       return (Caches.track(localComponents(
-        p.select(col("__a").as("ca"), col("__b").as("cb")))
+        p0.select(col("__a").as("ca"), col("__b").as("cb")))
         .select(col("c").as("id"), col("m").as("component"))), true)
     }
+    // distributed loop from here: truncate lineage off the cached pairs
+    val p = truncate(p0)
     var labels =
       p.select(col("__a").as("id")).unionByName(p.select(col("__b").as("id")))
         .distinct().withColumn("component", col("id"))

@@ -74,11 +74,17 @@ object Flow {
     val d8 = graft.plans.Caches.track(Focal.d8(px, b))
     val id = col("row") * w + col("col")
     val dl = delta(col("d8_dir"), w)
-    var pt = truncate(d8.select(id.as("id"), (id + dl).as("p"),
-      when(dl === 0L, 0L).otherwise(1L).as("len")))
+    val pt0 = d8.select(id.as("id"), (id + dl).as("p"),
+      when(dl === 0L, 0L).otherwise(1L).as("len"))
     val debug = sys.env.contains("GRAFT_COMP_DEBUG")
     var moved = 1L
     var round = 0
+    // bound probe = one count over the persisted D8 relation (pt rows
+    // == d8 rows), which fills the cache IN PARALLEL before the
+    // single-task kernel pulls from it — the round-6 shape additionally
+    // checkpointed the pointer projection first, a serialize-everything
+    // job only the distributed loop's lineage discipline needs.
+    val nCells = d8.count()
     // SMALL-FOREST FINISH (the [[Dedup.components]] two-phase
     // discipline): a pointer forest that fits one task resolves every
     // root + hop count in ONE memoized chase instead of ~log(depth)
@@ -87,11 +93,14 @@ object Flow {
     // At continental scale the doubling loop remains the path; pass
     // `localCells = 0` to force it (specs pin both paths identical).
     var localFinish = false
-    if (localCells > 0 && pt.count() <= localCells) {
+    var pt: DataFrame = null
+    if (localCells > 0 && nCells <= localCells) {
       if (debug) println("FLOW local finish")
-      pt = graft.plans.Caches.track(localRouting(pt))
+      pt = graft.plans.Caches.track(localRouting(pt0))
       moved = 0
       localFinish = true
+    } else {
+      pt = truncate(pt0)
     }
     while (moved > 0 && round < maxRounds) {
       val tRound = System.nanoTime()
@@ -165,15 +174,18 @@ object Flow {
     val d8 = graft.plans.Caches.track(Focal.d8(px, b))
     val id = col("row") * w + col("col")
     val dl = delta(col("d8_dir"), w)
-    val pt = truncate(d8.select(id.as("id"), (id + dl).as("p")))
+    val pt0 = d8.select(id.as("id"), (id + dl).as("p"))
     val debug = sys.env.contains("GRAFT_COMP_DEBUG")
     var acc: DataFrame = null
     var localFinish = false
-    if (localCells > 0 && pt.count() <= localCells) {
+    // same persist-and-count bound discipline as [[routing]]
+    val nCells = d8.count()
+    if (localCells > 0 && nCells <= localCells) {
       if (debug) println("FLOWACC local finish")
-      acc = graft.plans.Caches.track(localAccumulation(pt))
+      acc = graft.plans.Caches.track(localAccumulation(pt0))
       localFinish = true
     } else {
+      val pt = truncate(pt0)
       // wave_0: every non-root child deposits 1 on its parent
       var wave = truncate(pt.where(col("p") =!= col("id"))
         .groupBy(col("p").as("id")).agg(count(lit(1)).as("w")))
