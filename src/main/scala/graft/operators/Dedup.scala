@@ -150,6 +150,12 @@ object Dedup {
     val projected = Caches.track(representatives(df, idCol, textCol)
       .select(col("id"), shingleIdsCol(col("text"), w).as("sh"),
         minhashSignature(col("text"), w).as("sig")))
+    // eager fill: the frame fans out to six broadcast-build branches
+    // (band sizes, band join sides, both shingle re-attaches) that
+    // otherwise RACE to materialize the cache — six concurrent jobs
+    // serializing on block locks around the most expensive projection
+    // of the pipeline (measured as a 6-equal-jobs cluster per run)
+    projected.count()
     val withSh = projected.select("id", "sh")
     val sig = projected.select("id", "sig")
     val cand = bandCandidates(sig, maxBucket)
@@ -216,6 +222,9 @@ object Dedup {
     // doc, not re-inline into the band explode and both pair re-attaches
     val sig = Caches.track(representatives(df, idCol, textCol)
       .select(col("id"), minhashSignature(col("text"), w).as("sig")))
+    // eager fill — same racing-broadcast-branches rationale as
+    // [[jaccardPairs]]
+    sig.count()
     val cand = bandCandidates(sig, maxBucket)
     val sa = sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
     val sb = sig.select(col("id").as("id_b"), col("sig").as("sig_b"))
