@@ -51,6 +51,10 @@ object Dedup {
     // that sorts the whole corpus by md5 per partition. The (md5, id)
     // hash agg carries 24-byte rows with map-side combine; the semi join
     // then re-reads the texts of the keeper ids only.
+    // (a scan-parallelism floor here was measured SLOWER on the
+    // fixture corpora — the repartition broke the semi join's shared
+    // scan and shuffled text twice; the signature projections above it
+    // are already cache-filled once per pipeline)
     val keep = df.groupBy(md5(col(textCol).cast("binary")).as("__md5"))
       .agg(min(col(idCol)).as("id")).select("id")
     df.select(col(idCol).as("id"), col(textCol).as("text"))

@@ -127,7 +127,10 @@ object TextAnalysis {
       case Some(n) => lit(n + 1.0)
       case None => col("__n") + lit(1.0)
     }
-    val words = docs.select(col(idCol).as("doc_id"),
+    // scan-parallelism floor: a 1-split doc source would serialize the
+    // token explode + map-side partial aggregation into one task
+    val docsW = graft.plans.Parallelism.floor(docs, col(idCol))
+    val words = docsW.select(col(idCol).as("doc_id"),
       tokenCount(col(textCol)).as("n_tok"),
       explode(split(col(textCol), " ")).as("term"))
     val tf = Caches.track(
@@ -290,7 +293,8 @@ object TextAnalysis {
    * Ties break by word ascending (`cnt DESC, word`).
    */
   def vocabTopK(docs: DataFrame, langCol: String, textCol: String, k: Int): DataFrame = {
-    val counts = docs.select(col(langCol).as("lang"),
+    val counts = graft.plans.Parallelism.floor(docs, col(textCol))
+      .select(col(langCol).as("lang"),
         explode(split(col(textCol), " ")).as("word"))
       .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
     counts.groupBy(col("lang"))
@@ -336,7 +340,7 @@ object TextAnalysis {
    * (score undefined).
    */
   def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bi = Caches.track(docs
+    val bi = Caches.track(graft.plans.Parallelism.floor(docs, col(idCol))
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .select(col("doc_id"), explode(zip_with(
         slice(col("w"), lit(1), size(col("w")) - 1),
@@ -386,7 +390,8 @@ object TextAnalysis {
    * guard is also a correctness requirement, not just hygiene).
    */
   def bpePairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    val wc = docs.select(explode(split(col(textCol), " ")).as("word"))
+    val wc = graft.plans.Parallelism.floor(docs, col(textCol))
+      .select(explode(split(col(textCol), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
     val pairs = wc.where(length(col("word")) >= 2)
       .select(col("wcnt"), explode(expr(
