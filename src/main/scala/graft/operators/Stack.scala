@@ -177,11 +177,41 @@ final case class Stack(df: DataFrame, meta: GridMeta, layers: Seq[String]) {
   def pyramid(levels: Int, how: String = "avg"): DataFrame = {
     require(levels >= 1 && (meta.height >> levels) > 0 && (meta.width >> levels) > 0,
       s"pyramid: $levels levels would collapse the ${meta.height}x${meta.width} grid")
-    (1 to levels).map { l =>
-      val h = (meta.height + (1 << l) - 1) >> l
-      val w = (meta.width + (1 << l) - 1) >> l
-      aggregate(h, w, how).df.withColumn("level", lit(l))
-    }.reduce(_ unionByName _)
+    // exact-sum aggregations share ONE source scan: each pixel explodes
+    // its per-level block key and a single hash-agg (map-side partials)
+    // produces every level — the union-of-aggregates form scanned and
+    // band-synthesized the base once PER LEVEL. Block keys are the same
+    // integer arithmetic as [[aggregate]]; per-block values are
+    // identical, so results match the per-level form bit-for-bit for
+    // the order-free aggregations (sum/count exactly; avg/min/max on
+    // the integral-band invariant). Rank-based hows (median/mode/q1/q3)
+    // and `nearest` keep the per-level path.
+    val shared = Set("avg", "min", "max", "sum", "count")
+    if (!shared(how))
+      return (1 to levels).map { l =>
+        val h = (meta.height + (1 << l) - 1) >> l
+        val w = (meta.width + (1 << l) - 1) >> l
+        aggregate(h, w, how).df.withColumn("level", lit(l))
+      }.reduce(_ unionByName _)
+    val fn: Column => Column = how match {
+      case "avg" => avg
+      case "min" => min
+      case "max" => max
+      case "sum" => sum
+      case "count" => c => count(c).cast("double")
+    }
+    val hL = meta.height.toLong; val wL = meta.width.toLong
+    val lev = df.select((col("row") +: col("col") +: layers.map(L)): _*)
+      .withColumn("level", explode(array((1 to levels).map(lit): _*)))
+      .withColumn("__p2", expr("shiftleft(1L, level)"))
+      .withColumn("__oh", idiv(lit(hL) + col("__p2") - 1L, col("__p2")))
+      .withColumn("__ow", idiv(lit(wL) + col("__p2") - 1L, col("__p2")))
+    lev.groupBy(col("level"),
+        idiv(col("row") * col("__oh"), lit(hL)).as("row"),
+        idiv(col("col") * col("__ow"), lit(wL)).as("col"))
+      .agg(fn(col(layers.head)).as(layers.head),
+        layers.tail.map(n => fn(col(n)).as(n)): _*)
+      .select((Seq("row", "col") ++ layers :+ "level").map(col): _*)
   }
 
   /**
