@@ -51,7 +51,12 @@ object Pages {
    * UNCHANGED (byte-identity invariant).
    */
   def fromDocuments(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    // scan-parallelism floor: the fixture corpus is one small parquet
+    // file (1 split), which would serialize every narrow chain built on
+    // pages — md5 invariants, PIP assigns, haversine — into one task;
+    // wider sources pass through untouched (plans.Parallelism)
+    graft.plans.Parallelism.floor(
+      spark.read.parquet(s"$sfDir/documents.parquet"), col("doc_id"))
       .withColumn("url", concat(lit("https://host-"), col("doc_id") % 97, lit(".example/d/"), col("doc_id")))
       .withColumn("warc_ts", timestamp_seconds(lit(1577836800L) + col("doc_id")))
       .withColumn("html", encode(concat(lit("<html><body>"), col("text"), lit("</body></html>")), "UTF-8"))

@@ -129,9 +129,14 @@ class ExtensionsSpec extends AnyFunSuite {
       Pages.fromDocuments(spark, "/root/testdata/sf0.001"), "doc_id")
       .select("doc_id", "lon", "lat")
     val viaPlan = SpatialJoin.assignPlan(pages, "lon", "lat", Fixtures.Polys)
-    // physical nodeName strips the Exec suffix: the custom node prints as "PipAssign"
-    assert(viaPlan.queryExecution.executedPlan.exists(_.isInstanceOf[graft.plans.PipAssignExec]),
-      viaPlan.queryExecution.executedPlan.toString.take(400))
+    // physical nodeName strips the Exec suffix: the custom node prints as
+    // "PipAssign". String-match the plan tree rather than exists(): the
+    // pages source now carries a scan-parallelism repartition, whose
+    // Exchange makes AQE wrap the plan in AdaptiveSparkPlanExec — the
+    // custom exec sits inside the adaptive plan, where a top-level
+    // exists() cannot see it.
+    val planStr = viaPlan.queryExecution.executedPlan.toString
+    assert(planStr.contains("PipAssign"), planStr.take(400))
     val a = viaPlan.select("doc_id", "poly_id").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val b = SpatialJoin.assign(pages, org.apache.spark.sql.functions.col("lon"),
