@@ -347,6 +347,10 @@ object TextAnalysis {
         slice(col("w"), lit(2), size(col("w")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+    // eager fill: three consumers (the stream side, the bigram-count
+    // branch and the prefix-count branch through it) otherwise race to
+    // materialize the cache — same discipline as the dedup signatures
+    bi.count()
     val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
     val pc = bc.groupBy(col("w1")).agg(sum(col("bc")).as("pc"))
     bi.join(bc, Seq("w1", "w2")).join(pc, Seq("w1"))
