@@ -46,6 +46,14 @@ object Warp {
     def heavy: Boolean = false
   }
 
+  /** [[CrsPoint]] wrapper: the opaque-kernel Column for a heavy
+    * transform's series (see the CrsPoint doc for the bit-identity
+    * argument). */
+  private def crsCol(t: CrsTransform, x: Column, y: Column, takeX: Boolean): Column =
+    org.apache.spark.sql.GraftBridge.column(CrsPoint(
+      org.apache.spark.sql.GraftBridge.expression(x),
+      org.apache.spark.sql.GraftBridge.expression(y), t, takeX))
+
   /** Affine pseudo-CRS: sx = a*x + b*y + c, sy = d*x + e*y + f. */
   final case class AffineCrs(a: Double, b: Double, c: Double,
                              d: Double, e: Double, f: Double) extends CrsTransform {
@@ -160,9 +168,9 @@ object Warp {
    */
   final case class UtmToLonLat(zone: Int, north: Boolean) extends CrsTransform {
     override def sourceX(x: Column, y: Column): Column =
-      Utm.invLonLat(x, y, zone, north)(Utm.ColAr)._1
+      crsCol(this, x, y, takeX = true)
     override def sourceY(x: Column, y: Column): Column =
-      Utm.invLonLat(x, y, zone, north)(Utm.ColAr)._2
+      crsCol(this, x, y, takeX = false)
     override def inverse: CrsTransform = LonLatToUtm(zone, north)
     override def toSourcePt(x: Double, y: Double): (Double, Double) =
       Utm.invLonLat(x, y, zone, north)(Utm.DblAr)
@@ -177,9 +185,9 @@ object Warp {
     * pooling kernels and the defaultTarget bounds projection. */
   final case class LonLatToUtm(zone: Int, north: Boolean) extends CrsTransform {
     override def sourceX(x: Column, y: Column): Column =
-      Utm.fwdEN(x, y, zone, north)(Utm.ColAr)._1
+      crsCol(this, x, y, takeX = true)
     override def sourceY(x: Column, y: Column): Column =
-      Utm.fwdEN(x, y, zone, north)(Utm.ColAr)._2
+      crsCol(this, x, y, takeX = false)
     override def inverse: CrsTransform = UtmToLonLat(zone, north)
     override def toSourcePt(x: Double, y: Double): (Double, Double) =
       Utm.fwdEN(x, y, zone, north)(Utm.DblAr)
@@ -201,9 +209,9 @@ object Warp {
    */
   final case class LccToLonLat(p: Lcc.Params, epsg: String) extends CrsTransform {
     override def sourceX(x: Column, y: Column): Column =
-      Lcc.invLonLat(x, y, p)(Utm.ColAr)._1
+      crsCol(this, x, y, takeX = true)
     override def sourceY(x: Column, y: Column): Column =
-      Lcc.invLonLat(x, y, p)(Utm.ColAr)._2
+      crsCol(this, x, y, takeX = false)
     override def inverse: CrsTransform = LonLatToLcc(p, epsg)
     override def toSourcePt(x: Double, y: Double): (Double, Double) =
       Lcc.invLonLat(x, y, p)(Utm.DblAr)
@@ -216,9 +224,9 @@ object Warp {
     * the pooling kernels and the defaultTarget bounds projection. */
   final case class LonLatToLcc(p: Lcc.Params, epsg: String) extends CrsTransform {
     override def sourceX(x: Column, y: Column): Column =
-      Lcc.fwdEN(x, y, p)(Utm.ColAr)._1
+      crsCol(this, x, y, takeX = true)
     override def sourceY(x: Column, y: Column): Column =
-      Lcc.fwdEN(x, y, p)(Utm.ColAr)._2
+      crsCol(this, x, y, takeX = false)
     override def inverse: CrsTransform = LccToLonLat(p, epsg)
     override def toSourcePt(x: Double, y: Double): (Double, Double) =
       Lcc.fwdEN(x, y, p)(Utm.DblAr)
@@ -238,9 +246,9 @@ object Warp {
    */
   final case class AlbersToLonLat(p: Albers.Params, epsg: String) extends CrsTransform {
     override def sourceX(x: Column, y: Column): Column =
-      Albers.invLonLat(x, y, p)(Utm.ColAr)._1
+      crsCol(this, x, y, takeX = true)
     override def sourceY(x: Column, y: Column): Column =
-      Albers.invLonLat(x, y, p)(Utm.ColAr)._2
+      crsCol(this, x, y, takeX = false)
     override def inverse: CrsTransform = LonLatToAlbers(p, epsg)
     override def toSourcePt(x: Double, y: Double): (Double, Double) =
       Albers.invLonLat(x, y, p)(Utm.DblAr)
@@ -253,9 +261,9 @@ object Warp {
     * srcToTarget for pooling and defaultTarget bounds projection. */
   final case class LonLatToAlbers(p: Albers.Params, epsg: String) extends CrsTransform {
     override def sourceX(x: Column, y: Column): Column =
-      Albers.fwdEN(x, y, p)(Utm.ColAr)._1
+      crsCol(this, x, y, takeX = true)
     override def sourceY(x: Column, y: Column): Column =
-      Albers.fwdEN(x, y, p)(Utm.ColAr)._2
+      crsCol(this, x, y, takeX = false)
     override def inverse: CrsTransform = AlbersToLonLat(p, epsg)
     override def toSourcePt(x: Double, y: Double): (Double, Double) =
       Albers.fwdEN(x, y, p)(Utm.DblAr)
@@ -273,9 +281,9 @@ object Warp {
    */
   final case class PsToLonLat(p: PolarStereo.Params, epsg: String) extends CrsTransform {
     override def sourceX(x: Column, y: Column): Column =
-      PolarStereo.invLonLat(x, y, p)(Utm.ColAr)._1
+      crsCol(this, x, y, takeX = true)
     override def sourceY(x: Column, y: Column): Column =
-      PolarStereo.invLonLat(x, y, p)(Utm.ColAr)._2
+      crsCol(this, x, y, takeX = false)
     override def inverse: CrsTransform = LonLatToPs(p, epsg)
     override def toSourcePt(x: Double, y: Double): (Double, Double) =
       PolarStereo.invLonLat(x, y, p)(Utm.DblAr)
@@ -288,9 +296,9 @@ object Warp {
     * srcToTarget for pooling and defaultTarget bounds projection. */
   final case class LonLatToPs(p: PolarStereo.Params, epsg: String) extends CrsTransform {
     override def sourceX(x: Column, y: Column): Column =
-      PolarStereo.fwdEN(x, y, p)(Utm.ColAr)._1
+      crsCol(this, x, y, takeX = true)
     override def sourceY(x: Column, y: Column): Column =
-      PolarStereo.fwdEN(x, y, p)(Utm.ColAr)._2
+      crsCol(this, x, y, takeX = false)
     override def inverse: CrsTransform = PsToLonLat(p, epsg)
     override def toSourcePt(x: Double, y: Double): (Double, Double) =
       PolarStereo.fwdEN(x, y, p)(Utm.DblAr)
@@ -710,4 +718,50 @@ object Warp {
       .drop("__tx", "__ty", "__sx", "__sy", "__srow", "__scol")
     Stack(joined, target, stack.layers)
   }
+}
+
+/**
+ * Opaque scalar kernel for the heavy closed-form CRS series (UTM /
+ * LCC / Albers / polar stereographic): ONE Catalyst expression node
+ * whose eval/codegen calls the transform's own [[Warp.CrsTransform.toSourcePt]]
+ * — the [[Utm.DblAr]] instantiation of the SAME generic series the
+ * Column/SQL twins instantiate, so values are bit-identical (Catalyst's
+ * Sin/Atan/Exp/Log/Sqrt codegen bottoms out in the same java.lang.Math
+ * ops in the same order). The [[Epsg.GeoChain]] pattern, generalized.
+ *
+ * WHY: the inline Column instantiation duplicates shared subtrees
+ * textually (sinh/atanh double their argument per level), so the
+ * forward Krüger series expands to a ~250 KB plan text whose fused
+ * whole-stage method blows janino's 64 KB limit — the stage paid a
+ * failed compile and fell back to split-method projection, and every
+ * optimizer walk carried the megabyte tree. A 3-node tree keeps
+ * WholeStageCodegen fused and makes plan transforms O(1).
+ */
+case class CrsPoint(left: org.apache.spark.sql.catalyst.expressions.Expression,
+                    right: org.apache.spark.sql.catalyst.expressions.Expression,
+                    t: Warp.CrsTransform, takeX: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, DoubleType}
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"crs_${if (takeX) "x" else "y"}"
+
+  def compute(a: Double, b: Double): Double = {
+    val r = t.toSourcePt(a, b)
+    if (takeX) r._1 else r._2
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[Double], b.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("crsPoint", this, classOf[CrsPoint].getName)
+    defineCodeGen(ctx, ev, (x, y) => s"$ref.compute($x, $y)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
