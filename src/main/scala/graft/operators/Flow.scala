@@ -143,19 +143,27 @@ object Flow {
    * contributing-area count driving stream-network extraction
    * (cells with accumulation above a threshold ARE the channels).
    *
-   * Scale design: WAVE PROPAGATION over the pointer forest — round k's
-   * wave carries, per node, the count of upstream cells at exactly
-   * depth k; each round is ONE cell-keyed hash-agg (children sum into
-   * parents) plus a join back onto the pointer relation, and the wave
-   * SHRINKS as branches exhaust. Rounds = forest depth (not log-depth:
-   * counting every path node has no doubling shortcut short of
-   * Euler-tour list ranking, which trades one giant sort for the
-   * rounds — the wave's per-round cost decays geometrically on real
-   * terrain, so depth × shrinking beats log × full-size until depths
-   * reach the tens of thousands). The small-forest finish (same bound
-   * discipline as [[routing]]) resolves bounded forests in ONE
-   * single-task chase that increments every node along each cell's
-   * path — O(total path length).
+   * Scale design — SUBTREE-COUNT DOUBLING on the same p←p∘p ladder
+   * [[routing]] runs (flow_acc(x) = strict-subtree size of x in the
+   * pointer forest): carry S_k(x) = #descendants of x within ≤ 2^k
+   * hops (S_0 = in-degree); a node y whose ladder edge spans exactly
+   * 2^k hops (len == 2^k — saturated-at-root rows are shorter) is the
+   * unique depth-2^k waypoint for every descendant 2^k..2^{k+1} deep
+   * below its jump target x, so S_{k+1}(x) = S_k(x) + Σ such-y S_k(y).
+   * ⌈log₂ depth⌉ + 1 rounds for ANY raster — a continental-depth DEM
+   * (depth ~10⁴) costs ~15 rounds where per-hop flooding costs 10⁴.
+   * Each round: one frontier-filtered join + hash-agg (the
+   * contribution), one merge agg, one ladder self-join — all
+   * checkpoint-truncated (the [[Dedup.components]] lineage
+   * discipline).
+   *
+   * `scheme = "wave"` keeps the per-hop WAVE propagation (round k
+   * pushes counts of cells exactly k deep; the wave SHRINKS as
+   * branches exhaust, so on shallow terrain its depth × shrinking
+   * total can undercut doubling's log × full-size — the documented
+   * trade): a spec pins doubling ≡ wave ≡ the local chase. The
+   * small-forest finish (same bound discipline as [[routing]])
+   * resolves bounded forests in ONE O(cells) single-task Kahn sweep.
    *
    * Output: the [[Focal.d8]] columns plus `flow_acc` (exact LONG, 0
    * for ridge cells and nodata).
@@ -163,7 +171,8 @@ object Flow {
   def accumulation(px: DataFrame, b: String, g: GridMeta,
                    checkpointDir: Option[String] = None,
                    maxRounds: Int = 10000,
-                   localCells: Long = 2000000L): DataFrame = {
+                   localCells: Long = 2000000L,
+                   scheme: String = "doubling"): DataFrame = {
     val spark = px.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
@@ -184,6 +193,50 @@ object Flow {
       if (debug) println("FLOWACC local finish")
       acc = graft.plans.Caches.track(localAccumulation(pt0))
       localFinish = true
+    } else if (scheme == "doubling") {
+      // ladder state: (id, p = 2^k-hop target, len = real hops
+      // traversed, saturating at roots) — identical composition rule
+      // to [[routing]]'s loop
+      var pt = truncate(pt0.withColumn("len",
+        when(col("p") === col("id"), 0L).otherwise(1L)))
+      // S_0: every non-root child deposits 1 on its parent (in-degree
+      // — the same first aggregate the wave's round 0 runs)
+      acc = truncate(pt.where(col("p") =!= col("id"))
+        .groupBy(col("p").as("id")).agg(count(lit(1)).as("w")))
+      var jump = 1L
+      var frontier = pt.where(col("len") === jump)
+      var frontierRows = frontier.count()
+      var round = 0
+      while (frontierRows > 0 && round < maxRounds) {
+        val tRound = System.nanoTime()
+        // y exactly `jump` below x (= p_k(y)) is the unique depth-2^k
+        // waypoint of every descendant of x that is jump..2*jump deep:
+        // add S_k(y) to x. Absent acc rows are S_k = 0 — inner join.
+        val contrib = frontier.select(col("id"), col("p"))
+          .join(acc.select(col("id"), col("w").as("cw")), Seq("id"))
+          .groupBy(col("p").as("id")).agg(sum(col("cw")).as("w"))
+        acc = truncate(acc.unionByName(contrib)
+          .groupBy(col("id")).agg(sum(col("w")).as("w")))
+        // p <- p∘p, len <- len + len(p) (saturates at roots)
+        pt = truncate(pt.as("a").join(
+            pt.select(col("id").as("pid"), col("p").as("pp"),
+              col("len").as("plen")),
+            col("p") === col("pid"))
+          .select(col("a.id").as("id"), col("pp").as("p"),
+            (col("a.len") + col("plen")).as("len")))
+        jump *= 2L
+        frontier = pt.where(col("len") === jump)
+        frontierRows = frontier.count()
+        round += 1
+        if (debug) println(f"FLOWACC doubling round=$round jump=$jump " +
+          f"frontier=$frontierRows ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+      }
+      // unreachable below depth 2^maxRounds, kept for the no-silent-cap
+      // discipline (the q117 hot-bands rule)
+      if (frontierRows > 0)
+        System.err.println(s"WARN Flow.accumulation: doubling loop " +
+          s"exhausted maxRounds=$maxRounds with $frontierRows frontier " +
+          s"rows - flow_acc is UNDERCOUNTED; raise maxRounds")
     } else {
       val pt = truncate(pt0)
       // wave_0: every non-root child deposits 1 on its parent

@@ -237,8 +237,9 @@ class FocalSpec extends AnyFunSuite with SparkSpec {
 
   test("flow accumulation equals the scalar path-visit count; both paths equal") {
     val g = GridMeta.northUp(0.0, 0.0, W.toDouble, H.toDouble, width = W, height = H)
-    def collect(localCells: Long): Map[(Int, Int), Long] =
-      graft.operators.Flow.accumulation(px, "b1", g, localCells = localCells)
+    def collect(localCells: Long, scheme: String = "doubling"): Map[(Int, Int), Long] =
+      graft.operators.Flow.accumulation(px, "b1", g, localCells = localCells,
+          scheme = scheme)
         .select("row", "col", "flow_acc")
         .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
           r.getLong(2)).toMap
@@ -268,8 +269,10 @@ class FocalSpec extends AnyFunSuite with SparkSpec {
     for (r <- 0 until H; c <- 0 until W)
       assert(got((r, c)) === want((r, c)), s"cell ($r,$c)")
     assert(got.values.max >= 3L, "fixture too flat to exercise accumulation")
-    // forced distributed wave loop == the single-task chase
-    assert(collect(0L) === got)
+    // forced distributed paths == the single-task Kahn sweep: the
+    // O(log depth) subtree-count doubling ladder AND the per-hop wave
+    assert(collect(0L, "doubling") === got)
+    assert(collect(0L, "wave") === got)
   }
 
   test("focal plans are separable windows: WindowExec, no join, no cartesian") {
