@@ -41,8 +41,13 @@ object PipelineQueries {
     * boilerplate cluster that exercises the exact-dup pre-collapse). */
   private def corpusBoiler(s: SparkSession, dir: String): DataFrame = {
     val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
-    val boiler = s.range(500).select((col("id") + 200000L).as("doc_id"))
-      .crossJoin(d.where(col("doc_id") === 0).select(col("text")))
+    // clone ids ride an explode over the ONE matching row — the
+    // range-crossJoin form paid a BroadcastNestedLoopJoin build job
+    // per corpus evaluation (and the corpus evaluates twice: the
+    // representatives keep-agg and the semi-join re-read)
+    val boiler = d.where(col("doc_id") === 0)
+      .select(explode(sequence(lit(200000L), lit(200499L))).as("doc_id"),
+        col("text"))
     corpusNear(s, dir).unionByName(boiler.select(col("doc_id"), col("text")))
   }
   private val corpusBoilerSql =
@@ -345,8 +350,12 @@ object PipelineQueries {
     // biting cap must never be silent.
     "q117_hot_bands" -> ((s, dir) => {
       val d = docs(s, dir).select("doc_id", "text")
-      val planted = s.range(150).select((col("id") + 300000L).as("doc_id"))
-        .crossJoin(d.where(col("doc_id") === 0).select(col("text").as("t0")))
+      // planted ids explode from the ONE matching row (the q50
+      // corpusBoiler note: range-crossJoin pays a BNLJ build job per
+      // evaluation)
+      val planted = d.where(col("doc_id") === 0)
+        .select(explode(sequence(lit(300000L), lit(300149L))).as("doc_id"),
+          col("text").as("t0"))
         .select(col("doc_id"),
           concat(col("t0"), lit(" tail "), col("doc_id") - 300000L).as("text"))
       Dedup.hotBands(d.unionByName(planted), "doc_id", "text",
